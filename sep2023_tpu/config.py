@@ -1,0 +1,220 @@
+"""Configuration objects for the TPU-native elastic FWI framework.
+
+Replaces the reference's filesystem JSON side-channel (para_file.json /
+survey_file.json parsed by rapidjson in
+`DAS_Waveform_Inversion/Ops/FWI/Src/Parameter.cpp:17-178` and
+`Src_Rec.cu:20-282`) with in-process dataclasses.  JSON round-trip helpers are
+provided for compatibility with the reference file schema
+(`Ops/FWI/fwi_utils.py:46-124`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence
+
+import numpy as np
+
+C1 = 9.0 / 8.0  # O(4) staggered-grid FD coefficients (elasticSolver.py:315-316)
+C2 = 1.0 / 24.0
+SRC_SCALE = 1500.0 ** 2  # explosive source scale (utilities.cu:531)
+
+
+@dataclasses.dataclass(frozen=True)
+class Grid:
+    """Padded simulation grid: nz x nx INCLUDES the 2*npml absorbing collar.
+
+    The reference additionally pads the bottom with ``nPad`` rows so nz is a
+    multiple of 32 for CUDA tiling (`propagator.py:95`).  The TPU build is
+    nPad-free: XLA/Mosaic handle lane padding; callers that speak the
+    reference schema strip nPad at the boundary (see `io.py`).
+    """
+
+    nz: int
+    nx: int
+    dz: float
+    dx: float
+    npml: int = 32
+
+    @property
+    def nz_phys(self) -> int:
+        return self.nz - 2 * self.npml
+
+    @property
+    def nx_phys(self) -> int:
+        return self.nx - 2 * self.npml
+
+    @property
+    def shape(self) -> tuple:
+        return (self.nz, self.nx)
+
+    def interior_slices(self):
+        return (slice(self.npml, self.nz - self.npml),
+                slice(self.npml, self.nx - self.npml))
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (hashable) simulation configuration.
+
+    Mirrors para_file.json fields (`fwi_utils.py:46-83`): nz, nx, dz, dx,
+    nSteps -> nt, dt, f0, nPoints_pml -> npml.  `das_channel` selects which
+    fiber-strain channel feeds the 'ett' record: 'exx' (horizontal fiber,
+    `utilities.cu:593-615`) or 'ezz' (vertical fiber, `utilities.cu:620-641`).
+    """
+
+    nz: int
+    nx: int
+    dz: float
+    dx: float
+    nt: int
+    dt: float
+    f0: float
+    npml: int = 32
+    das_channel: str = "exx"
+    src_scale: float = SRC_SCALE
+    n_bnd_layers: int = 5  # boundary-saving strip depth (Boundary.cu:19)
+
+    @property
+    def grid(self) -> Grid:
+        return Grid(self.nz, self.nx, self.dz, self.dx, self.npml)
+
+    def courant_number(self, vp_max: float) -> float:
+        """Stability bound of the O(4) scheme (utilities.cu:225-241)."""
+        dh_min = min(self.dz, self.dx)
+        return vp_max * self.dt * np.sqrt(2.0) * (C1 + C2) / dh_min
+
+    def check_stability(self, vp_max: float) -> None:
+        c = self.courant_number(float(vp_max))
+        if c > 1.0:
+            raise ValueError(
+                f"Courant number {c:.4f} > 1: unstable. Reduce dt or refine "
+                f"the grid (vp_max={vp_max}, dt={self.dt}, dh={min(self.dz, self.dx)}).")
+
+
+@dataclasses.dataclass
+class Survey:
+    """Acquisition geometry. Indices are in the PHYSICAL (un-padded) grid; the
+    npml offset is applied internally (the reference applies it when parsing
+    survey_file.json, `Src_Rec.cu:87-116`).
+
+    All shots share the receiver spread (as in `fwi_utils.py:87-124`).
+    src_rxz is the sxx/szz source moment ratio (default 1.0: isotropic
+    explosive source, `utilities.cu:524-552`).
+    """
+
+    src_z: np.ndarray  # (S,) int
+    src_x: np.ndarray  # (S,) int
+    rec_z: np.ndarray  # (R,) int
+    rec_x: np.ndarray  # (R,) int
+    src_rxz: Optional[np.ndarray] = None  # (S,) float
+
+    def __post_init__(self):
+        self.src_z = np.asarray(self.src_z, dtype=np.int32)
+        self.src_x = np.asarray(self.src_x, dtype=np.int32)
+        self.rec_z = np.asarray(self.rec_z, dtype=np.int32)
+        self.rec_x = np.asarray(self.rec_x, dtype=np.int32)
+        if self.src_rxz is None:
+            self.src_rxz = np.ones(self.src_z.shape, dtype=np.float32)
+        else:
+            self.src_rxz = np.asarray(self.src_rxz, dtype=np.float32)
+
+    @property
+    def n_shots(self) -> int:
+        return int(self.src_z.shape[0])
+
+    @property
+    def n_rec(self) -> int:
+        return int(self.rec_z.shape[0])
+
+    # -- reference-schema JSON round trip ------------------------------------
+    def to_json(self, fname: str) -> None:
+        survey = {"nShots": self.n_shots}
+        for i in range(self.n_shots):
+            survey[f"shot{i}"] = {
+                "z_src": int(self.src_z[i]),
+                "x_src": int(self.src_x[i]),
+                "nrec": self.n_rec,
+                "z_rec": self.rec_z.tolist(),
+                "x_rec": self.rec_x.tolist(),
+                "src_rxz": float(self.src_rxz[i]),
+            }
+        with open(fname, "w") as fp:
+            json.dump(survey, fp)
+
+    @classmethod
+    def from_json(cls, fname: str) -> "Survey":
+        with open(fname) as fp:
+            d = json.load(fp)
+        n = d["nShots"]
+        shots = [d[f"shot{i}"] for i in range(n)]
+        return cls(
+            src_z=np.array([s["z_src"] for s in shots]),
+            src_x=np.array([s["x_src"] for s in shots]),
+            rec_z=np.array(shots[0]["z_rec"]),
+            rec_x=np.array(shots[0]["x_rec"]),
+            src_rxz=np.array([s.get("src_rxz", 1.0) for s in shots]),
+        )
+
+
+def sim_config_to_json(cfg: SimConfig, para_fname: str, survey_fname: str,
+                       data_dir_name: str, **extra) -> None:
+    """Write a reference-compatible para_file.json (fwi_utils.py:46-83)."""
+    para = {
+        "nz": cfg.nz, "nx": cfg.nx, "dz": cfg.dz, "dx": cfg.dx,
+        "nSteps": cfg.nt, "dt": cfg.dt, "f0": cfg.f0,
+        "nPoints_pml": cfg.npml, "nPad": 0,
+        "survey_fname": survey_fname, "data_dir_name": data_dir_name,
+    }
+    para.update(extra)
+    with open(para_fname, "w") as fp:
+        json.dump(para, fp)
+
+
+def sim_config_from_json(para_fname: str) -> SimConfig:
+    with open(para_fname) as fp:
+        d = json.load(fp)
+    npad = int(d.get("nPad", 0))
+    return SimConfig(
+        nz=int(d["nz"]) - npad, nx=int(d["nx"]), dz=float(d["dz"]),
+        dx=float(d["dx"]), nt=int(d["nSteps"]), dt=float(d["dt"]),
+        f0=float(d["f0"]), npml=int(d["nPoints_pml"]),
+    )
+
+
+def ricker(f0: float, nt: int, dt: float, amp: float = 1.0e7,
+           delay_cycles: float = 1.2) -> np.ndarray:
+    """Ricker wavelet, delay 1.2/f0, amplitude 1e7 (fwi_utils.py:127-140)."""
+    t = np.arange(nt) * dt
+    e = (np.pi * f0) ** 2
+    td = t - delay_cycles / f0
+    return ((1.0 - 2.0 * e * td ** 2) * np.exp(-e * td ** 2) * amp).astype(np.float64)
+
+
+def ricker_integrated(f0: float, nt: int, dt: float, amp: float = 1.0e7) -> np.ndarray:
+    """Time-integrated Ricker (the Julia-era variant, fwi_util.jl:99-116)."""
+    s = ricker(f0, nt, dt, amp)
+    return np.cumsum(s) * dt
+
+
+def klauder(f0: float, nt: int, dt: float, f_min: float = None,
+            f_max: float = None, sweep_time: float = 7.0,
+            amp: float = 1.0e7) -> np.ndarray:
+    """Klauder (vibroseis autocorrelation) wavelet (fwi_util.jl:136-172).
+
+    K(t) = Re[ sin(pi k t (T - t)) / (pi k t) * exp(2 pi i f_c t) ],
+    with sweep rate k = (f_max - f_min)/T and center frequency f_c.
+    """
+    if f_min is None:
+        f_min = 0.5 * f0
+    if f_max is None:
+        f_max = 1.5 * f0
+    T = sweep_time
+    k = (f_max - f_min) / T
+    fc = 0.5 * (f_min + f_max)
+    t = np.arange(nt) * dt - 1.2 / f0
+    denom = np.pi * k * t
+    core = np.where(np.abs(denom) < 1e-12, T,
+                    np.sin(np.pi * k * t * (T - t)) / np.where(
+                        np.abs(denom) < 1e-12, 1.0, denom))
+    return (core * np.cos(2 * np.pi * fc * t) * amp / T).astype(np.float64)

@@ -1,0 +1,52 @@
+"""Misfit functionals on (4, n_rec, nt) seismogram arrays.
+
+The reference computes residuals with the first time sample zeroed
+(`gpuMinus`, utilities.cu:154-167), sums squares per channel
+(`cuda_cal_objective`, utilities.cu:169-205) and keeps ONLY the Ett (DAS)
+term in the objective, scaled by 0.5 (`libCUFD.cu:410-427, 776-779`).
+
+Everything here is ordinary JAX: gradients flow back into `propagate` as
+data cotangents, which the custom VJP turns into adjoint sources (replacing
+`res_injection_exx` and friends).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+_CH_INDEX = {"pr": 0, "vx": 1, "vz": 2, "ett": 3}
+
+
+def residual(obs, syn):
+    """obs - syn with the first time sample zeroed (utilities.cu:158-163)."""
+    r = obs - syn
+    return r.at[..., 0].set(0.0)
+
+
+def l2_misfit(obs, syn, channels: Sequence[str] = ("ett",), weights=None):
+    """0.5 * sum of squared residuals over the selected channels
+    (default: Ett only, matching `libCUFD.cu:427`)."""
+    r = residual(obs, syn)
+    idx = jnp.array([_CH_INDEX[c] for c in channels])
+    r = r[..., idx, :, :] if r.ndim == 4 else r[idx]
+    if weights is not None:
+        r = r * weights
+    return 0.5 * jnp.sum(r * r)
+
+
+def trace_normalize(d, eps=1e-12):
+    n = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    return d / (n + eps)
+
+
+def normalized_crosscorr_misfit(obs, syn, channels: Sequence[str] = ("ett",)):
+    """Global-correlation (normalized cross-correlation) misfit,
+    1 - <obs_hat, syn_hat> per trace, the capability behind the reference's
+    if_cross_misfit flag (`utilities.cu:1011-1113`)."""
+    idx = jnp.array([_CH_INDEX[c] for c in channels])
+    o = obs[..., idx, :, :] if obs.ndim == 4 else obs[idx]
+    s = syn[..., idx, :, :] if syn.ndim == 4 else syn[idx]
+    o = trace_normalize(o)
+    s = trace_normalize(s)
+    return jnp.sum(1.0 - jnp.sum(o * s, axis=-1))

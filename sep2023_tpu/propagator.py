@@ -1,0 +1,422 @@
+"""TPU-native 2D elastic velocity-stress propagator with CPML and a
+boundary-saving adjoint (`jax.custom_vjp`).
+
+This is the from-scratch JAX/XLA re-design of the reference CUDA engine:
+
+  - forward time loop                      `libCUFD.cu:268-332`
+  - fused stress / velocity CPML kernels   `el_stress.cu:50-87`, `el_velocity.cu:45-82`
+  - boundary saving + reconstruction       `Boundary.cu`, `el_stress.cu:89-104`,
+                                           `el_velocity.cu:84-98`, `libCUFD.cu:545-653`
+  - adjoint kernels + imaging conditions   `el_stress_adj.cu`, `el_velocity_adj.cu`,
+                                           `el_stress.cu:106-123`, `el_velocity.cu:100-110`
+
+Architecture (deliberately NOT a translation):
+
+  * One `lax.scan` over time; fields are (nz, nx) arrays (z = sublanes,
+    x = lanes).  Derivatives are fused slice arithmetic (ops/fd.py) that XLA
+    lowers to a few fused VPU loops per step.
+  * CPML recursions applied uniformly (profiles are the identity outside the
+    PML — see cpml.py), so there is no divergent control flow anywhere.
+  * The backward pass is a single reverse `lax.scan` whose body
+      (1) reconstructs the forward wavefield one step back by time-reversed
+          updates restricted to the interior + re-injection of saved boundary
+          strips (the reference's memory strategy: O(nt * perimeter) instead
+          of O(nt * area)), and
+      (2) obtains the EXACT discrete adjoint and parameter gradients from
+          `jax.vjp` of the forward step function itself.  Because the wave
+          dynamics are linear in the state, the state-Jacobian is
+          state-independent, so the adjoint propagation is exact even though
+          the reconstructed field is only valid in the interior; parameter
+          gradients are masked to the interior, exactly as the reference
+          restricts its imaging conditions to the non-PML region.
+    This replaces ~450 lines of hand-transposed CUDA (el_*_adj.cu, the
+    atomicAdd gradient "sprays", source_grad, res_injection_*) with
+    machine-derived transposes that are correct by construction.
+
+`propagate` returns the full 4-channel seismograms (pr, vx, vz, ett), so any
+misfit — L2 on a channel subset (the reference uses Ett only,
+`libCUFD.cu:427`), windowing, band-pass filtering, cross-correlation — is
+composed on top with ordinary JAX AD; the adjoint source then arrives here as
+the cotangent of the data array (replacing `res_injection_exx` et al.).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sep2023_tpu import cpml as cpml_mod
+from sep2023_tpu.config import SimConfig
+from sep2023_tpu.medium import MatFields, material_fields
+from sep2023_tpu.ops import fd
+
+CHANNELS = ("pr", "vx", "vz", "ett")
+N_CHANNELS = 4
+
+
+class Fields(NamedTuple):
+    vz: jax.Array
+    vx: jax.Array
+    szz: jax.Array
+    sxx: jax.Array
+    sxz: jax.Array
+
+
+class Psi(NamedTuple):
+    """CPML memory variables (one per stencil derivative), cf. the eight
+    d_mem_* arrays in `libCUFD.cu:98-99`."""
+
+    vz_dz: jax.Array
+    vx_dx: jax.Array
+    vx_dz: jax.Array
+    vz_dx: jax.Array
+    szz_dz: jax.Array
+    sxz_dx: jax.Array
+    sxz_dz: jax.Array
+    sxx_dx: jax.Array
+
+
+class State(NamedTuple):
+    f: Fields
+    psi: Psi
+
+
+class ShotGeom(NamedTuple):
+    """Per-shot acquisition (indices already on the padded grid)."""
+
+    src_z: jax.Array  # () int32
+    src_x: jax.Array  # () int32
+    rxz: jax.Array    # () float — sxx/szz source moment ratio
+    rec_z: jax.Array  # (R,) int32
+    rec_x: jax.Array  # (R,) int32
+
+
+class Strips(NamedTuple):
+    """Boundary strips of one field: 5-deep slabs on the 4 interior edges
+    (+2 halo layers into the PML), cf. `Boundary.cu:17-27`."""
+
+    top: jax.Array    # (L, nx)
+    bot: jax.Array    # (L, nx)
+    left: jax.Array   # (nz, L)
+    right: jax.Array  # (nz, L)
+
+
+def zero_state(nz: int, nx: int, dtype) -> State:
+    z = lambda: jnp.zeros((nz, nx), dtype)
+    return State(f=Fields(z(), z(), z(), z(), z()),
+                 psi=Psi(z(), z(), z(), z(), z(), z(), z(), z()))
+
+
+def _consts(cfg: SimConfig, dtype):
+    """Trace-time constants: CPML profiles and update masks."""
+    cp = cpml_mod.cpml_profiles(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
+                                cfg.dt, cfg.f0, dtype=dtype)
+    # forward update region [2, n-3] (el_stress.cu:52); interior region
+    # [npml, n-1-npml] (reverse branch, el_stress.cu:92)
+    mzf, mxf = fd.update_mask(cfg.nz, cfg.nx, 2, cfg.nz - 3, 2, cfg.nx - 3, dtype)
+    mzi, mxi = fd.update_mask(cfg.nz, cfg.nx, cfg.npml, cfg.nz - 1 - cfg.npml,
+                              cfg.npml, cfg.nx - 1 - cfg.npml, dtype)
+    return cp, (mzf, mxf), (mzi, mxi)
+
+
+# ---------------------------------------------------------------------------
+# Forward step
+# ---------------------------------------------------------------------------
+
+def _stress_update(f: Fields, psi: Psi, mat: MatFields, cp, mask, cfg):
+    mz, mx = mask
+    dt = cfg.dt
+    dvz_dz = fd.dz_minus(f.vz) / cfg.dz
+    p_vz_dz = cp.bz * psi.vz_dz + cp.az * dvz_dz
+    dvz = dvz_dz / cp.kz + p_vz_dz
+
+    dvx_dx = fd.dx_minus(f.vx) / cfg.dx
+    p_vx_dx = cp.bx * psi.vx_dx + cp.ax * dvx_dx
+    dvx = dvx_dx / cp.kx + p_vx_dx
+
+    szz = f.szz + (mz * mx) * ((mat.lp2m * dvz + mat.lam * dvx) * dt)
+    sxx = f.sxx + (mz * mx) * ((mat.lam * dvz + mat.lp2m * dvx) * dt)
+
+    dvx_dz = fd.dz_plus(f.vx) / cfg.dz
+    p_vx_dz = cp.bz_h * psi.vx_dz + cp.az_h * dvx_dz
+    dvxz = dvx_dz / cp.kz_h + p_vx_dz
+
+    dvz_dx = fd.dx_plus(f.vz) / cfg.dx
+    p_vz_dx = cp.bx_h * psi.vz_dx + cp.ax_h * dvz_dx
+    dvzx = dvz_dx / cp.kx_h + p_vz_dx
+
+    sxz = f.sxz + (mz * mx) * (mat.ave_mu * (dvxz + dvzx) * dt)
+    return (szz, sxx, sxz), (p_vz_dz, p_vx_dx, p_vx_dz, p_vz_dx)
+
+
+def _velocity_update(f: Fields, psi: Psi, mat: MatFields, cp, mask, cfg):
+    mz, mx = mask
+    dt = cfg.dt
+    dszz_dz = fd.dz_plus(f.szz) / cfg.dz
+    p_szz_dz = cp.bz_h * psi.szz_dz + cp.az_h * dszz_dz
+    dszz = dszz_dz / cp.kz_h + p_szz_dz
+
+    dsxz_dx = fd.dx_minus(f.sxz) / cfg.dx
+    p_sxz_dx = cp.bx * psi.sxz_dx + cp.ax * dsxz_dx
+    dsxzx = dsxz_dx / cp.kx + p_sxz_dx
+
+    vz = f.vz + (mz * mx) * ((dszz + dsxzx) * mat.byc_a * dt)
+
+    dsxz_dz = fd.dz_minus(f.sxz) / cfg.dz
+    p_sxz_dz = cp.bz * psi.sxz_dz + cp.az * dsxz_dz
+    dsxzz = dsxz_dz / cp.kz + p_sxz_dz
+
+    dsxx_dx = fd.dx_plus(f.sxx) / cfg.dx
+    p_sxx_dx = cp.bx_h * psi.sxx_dx + cp.ax_h * dsxx_dx
+    dsxx = dsxx_dx / cp.kx_h + p_sxx_dx
+
+    vx = f.vx + (mz * mx) * ((dsxzz + dsxx) * mat.byc_b * dt)
+    return (vz, vx), (p_szz_dz, p_sxz_dx, p_sxz_dz, p_sxx_dx)
+
+
+def _record(f: Fields, geom: ShotGeom, cfg: SimConfig):
+    """Sample the 4 channels at receivers (utilities.cu:593-703).
+
+    ett is the un-normalized fiber strain-rate: a forward difference of the
+    particle velocity along the fiber axis (NOT divided by dx, matching
+    `recording_exx`, utilities.cu:600-601).
+    """
+    rz, rx = geom.rec_z, geom.rec_x
+    pr = f.szz[rz, rx] + f.sxx[rz, rx]
+    vxr = f.vx[rz, rx]
+    vzr = f.vz[rz, rx]
+    if cfg.das_channel == "ezz":
+        ett = f.vz[rz, rx] - f.vz[rz - 1, rx]
+    else:
+        ett = f.vx[rz, rx] - f.vx[rz, rx - 1]
+    return jnp.stack([pr, vxr, vzr, ett])
+
+
+def _add_source(szz, sxx, amp, geom: ShotGeom, cfg: SimConfig, sign=1.0):
+    """Explosive point source into szz+sxx (utilities.cu:524-552)."""
+    s = sign * cfg.src_scale * cfg.dt * amp
+    szz = szz.at[geom.src_z, geom.src_x].add(s)
+    sxx = sxx.at[geom.src_z, geom.src_x].add(geom.rxz * s)
+    return szz, sxx
+
+
+def elastic_step(state: State, mat: MatFields, amp, geom: ShotGeom,
+                 cp, mask_f, cfg: SimConfig):
+    """One full leapfrog step: stress -> source -> velocity -> record,
+    mirroring the kernel order in `libCUFD.cu:281-330`."""
+    f, psi = state
+    (szz, sxx, sxz), (p1, p2, p3, p4) = _stress_update(f, psi, mat, cp, mask_f, cfg)
+    szz, sxx = _add_source(szz, sxx, amp, geom, cfg)
+    f2 = Fields(f.vz, f.vx, szz, sxx, sxz)
+    psi2 = Psi(p1, p2, p3, p4, psi.szz_dz, psi.sxz_dx, psi.sxz_dz, psi.sxx_dx)
+    (vz, vx), (p5, p6, p7, p8) = _velocity_update(f2, psi2, mat, cp, mask_f, cfg)
+    f3 = Fields(vz, vx, szz, sxx, sxz)
+    psi3 = Psi(p1, p2, p3, p4, p5, p6, p7, p8)
+    return State(f3, psi3), _record(f3, geom, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Time-reversed reconstruction (backward-propagation branches of
+# el_stress.cu:89-104 / el_velocity.cu:84-98: interior only, no CPML)
+# ---------------------------------------------------------------------------
+
+def _velocity_reverse(f: Fields, mat: MatFields, mask_i, cfg):
+    mz, mx = mask_i
+    dt = cfg.dt
+    dvz = (fd.dz_plus(f.szz) / cfg.dz + fd.dx_minus(f.sxz) / cfg.dx)
+    dvx = (fd.dz_minus(f.sxz) / cfg.dz + fd.dx_plus(f.sxx) / cfg.dx)
+    vz = f.vz - (mz * mx) * (dvz * mat.byc_a * dt)
+    vx = f.vx - (mz * mx) * (dvx * mat.byc_b * dt)
+    return Fields(vz, vx, f.szz, f.sxx, f.sxz)
+
+
+def _stress_reverse(f: Fields, mat: MatFields, mask_i, cfg):
+    mz, mx = mask_i
+    dt = cfg.dt
+    dvz_dz = fd.dz_minus(f.vz) / cfg.dz
+    dvx_dx = fd.dx_minus(f.vx) / cfg.dx
+    szz = f.szz - (mz * mx) * ((mat.lp2m * dvz_dz + mat.lam * dvx_dx) * dt)
+    sxx = f.sxx - (mz * mx) * ((mat.lam * dvz_dz + mat.lp2m * dvx_dx) * dt)
+    dvx_dz = fd.dz_plus(f.vx) / cfg.dz
+    dvz_dx = fd.dx_plus(f.vz) / cfg.dx
+    sxz = f.sxz - (mz * mx) * (mat.ave_mu * (dvx_dz + dvz_dx) * dt)
+    return Fields(f.vz, f.vx, szz, sxx, sxz)
+
+
+# ---------------------------------------------------------------------------
+# Boundary strips
+# ---------------------------------------------------------------------------
+
+def _strip_bounds(cfg: SimConfig):
+    L = cfg.n_bnd_layers
+    z0 = cfg.npml - 2                 # top strip start (utilities.cu:371)
+    z1 = cfg.nz - cfg.npml - 3        # bottom strip start (utilities.cu:388)
+    x0 = cfg.npml - 2
+    x1 = cfg.nx - cfg.npml - 3
+    return L, z0, z1, x0, x1
+
+
+def _extract_strips(a, cfg: SimConfig) -> Strips:
+    L, z0, z1, x0, x1 = _strip_bounds(cfg)
+    return Strips(top=a[z0:z0 + L, :], bot=a[z1:z1 + L, :],
+                  left=a[:, x0:x0 + L], right=a[:, x1:x1 + L])
+
+
+def _inject_strips(a, s: Strips, cfg: SimConfig):
+    L, z0, z1, x0, x1 = _strip_bounds(cfg)
+    a = a.at[z0:z0 + L, :].set(s.top)
+    a = a.at[z1:z1 + L, :].set(s.bot)
+    a = a.at[:, x0:x0 + L].set(s.left)
+    a = a.at[:, x1:x1 + L].set(s.right)
+    return a
+
+
+class BndSave(NamedTuple):
+    """Per-step boundary record of the five fields (Boundary.cu:30-41)."""
+
+    vz: Strips
+    vx: Strips
+    szz: Strips
+    sxx: Strips
+    sxz: Strips
+
+
+def _save_bnd(f: Fields, cfg) -> BndSave:
+    return BndSave(vz=_extract_strips(f.vz, cfg), vx=_extract_strips(f.vx, cfg),
+                   szz=_extract_strips(f.szz, cfg), sxx=_extract_strips(f.sxx, cfg),
+                   sxz=_extract_strips(f.sxz, cfg))
+
+
+# ---------------------------------------------------------------------------
+# Forward scans
+# ---------------------------------------------------------------------------
+
+def _assemble_data(ys, n_rec, nt, dtype):
+    # ys: (nt-1, 4, R) recorded at t = 1..nt-1; sample 0 stays zero
+    # (recording index it+1, libCUFD.cu:310)
+    data = jnp.moveaxis(ys, 0, -1)  # (4, R, nt-1)
+    return jnp.concatenate([jnp.zeros((N_CHANNELS, n_rec, 1), dtype), data], axis=-1)
+
+
+def _forward(cfg: SimConfig, lam, mu, rho, stf, geom: ShotGeom, save_bnd: bool):
+    dtype = lam.dtype
+    mat = material_fields(lam, mu, rho)
+    cp, mask_f, _ = _consts(cfg, dtype)
+    cp = jax.tree.map(jnp.asarray, cp)
+    state0 = zero_state(cfg.nz, cfg.nx, dtype)
+
+    if save_bnd:
+        def body(s, amp):
+            bnd = _save_bnd(s.f, cfg)  # state at time t, pre-update (libCUFD.cu:272)
+            s2, rec = elastic_step(s, mat, amp, geom, cp, mask_f, cfg)
+            return s2, (rec, bnd)
+
+        final, (ys, bnds) = jax.lax.scan(body, state0, stf[:cfg.nt - 1])
+        data = _assemble_data(ys, geom.rec_z.shape[0], cfg.nt, dtype)
+        return data, final, bnds
+
+    def body(s, amp):
+        s2, rec = elastic_step(s, mat, amp, geom, cp, mask_f, cfg)
+        return s2, rec
+
+    _, ys = jax.lax.scan(body, state0, stf[:cfg.nt - 1])
+    return _assemble_data(ys, geom.rec_z.shape[0], cfg.nt, dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp: boundary-saving adjoint
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def propagate(cfg: SimConfig, lam, mu, rho, stf, geom: ShotGeom):
+    """Simulate one shot; returns seismograms shaped (4, n_rec, nt) with
+    channel order (pr, vx, vz, ett).  Differentiable in lam, mu, rho, stf
+    via the boundary-saving adjoint."""
+    return _forward(cfg, lam, mu, rho, stf, geom, save_bnd=False)
+
+
+def _propagate_fwd(cfg, lam, mu, rho, stf, geom):
+    data, final, bnds = _forward(cfg, lam, mu, rho, stf, geom, save_bnd=True)
+    return data, (lam, mu, rho, stf, geom, final, bnds)
+
+
+def _propagate_bwd(cfg, res, d_data):
+    lam, mu, rho, stf, geom, final, bnds = res
+    dtype = lam.dtype
+    mat, mat_vjp = jax.vjp(material_fields, lam, mu, rho)
+    cp, mask_f, mask_i = _consts(cfg, dtype)
+    cp = jax.tree.map(jnp.asarray, cp)
+
+    step_fn = lambda s, m, a: elastic_step(s, m, a, geom, cp, mask_f, cfg)
+
+    d_rec_seq = jnp.moveaxis(d_data[:, :, 1:], -1, 0)  # (nt-1, 4, R)
+    zero_psi = zero_state(cfg.nz, cfg.nx, dtype).psi
+    gmat0 = jax.tree.map(jnp.zeros_like, mat)
+    adj0 = jax.tree.map(jnp.zeros_like, zero_state(cfg.nz, cfg.nx, dtype))
+
+    def rbody(carry, xs):
+        state_tp1, adj, gmat = carry
+        bnd, d_rec, amp = xs
+        # -- reconstruct state_t (libCUFD.cu:553-582 ordering) --------------
+        f = _velocity_reverse(state_tp1.f, mat, mask_i, cfg)
+        f = Fields(vz=_inject_strips(f.vz, bnd.vz, cfg),
+                   vx=_inject_strips(f.vx, bnd.vx, cfg),
+                   szz=f.szz, sxx=f.sxx, sxz=f.sxz)
+        szz, sxx = _add_source(f.szz, f.sxx, amp, geom, cfg, sign=-1.0)
+        f = Fields(f.vz, f.vx, szz, sxx, f.sxz)
+        f = _stress_reverse(f, mat, mask_i, cfg)
+        f = Fields(vz=f.vz, vx=f.vx,
+                   szz=_inject_strips(f.szz, bnd.szz, cfg),
+                   sxx=_inject_strips(f.sxx, bnd.sxx, cfg),
+                   sxz=_inject_strips(f.sxz, bnd.sxz, cfg))
+        state_t = State(f, zero_psi)
+        # -- exact one-step adjoint + parameter gradient ---------------------
+        _, vjp_fn = jax.vjp(step_fn, state_t, mat, amp)
+        d_state, d_mat, d_amp = vjp_fn((adj, d_rec))
+        gmat = jax.tree.map(jnp.add, gmat, d_mat)
+        return (state_t, d_state, gmat), d_amp
+
+    xs = (bnds, d_rec_seq, stf[:cfg.nt - 1])
+    (_, _, gmat), d_stf_main = jax.lax.scan(
+        rbody, (final, adj0, gmat0), xs, reverse=True)
+
+    # Parameter gradients are only trusted where the reconstruction is exact:
+    # restrict to the interior, as the reference's imaging conditions do
+    # (el_stress.cu:92, el_velocity.cu:87).
+    mzi, mxi = mask_i
+    gmat = jax.tree.map(lambda g: g * (mzi * mxi), gmat)
+    d_lam, d_mu, d_rho = mat_vjp(gmat)
+
+    d_stf = jnp.concatenate([d_stf_main, jnp.zeros((1,), dtype)])
+    d_geom = ShotGeom(
+        src_z=np.zeros(geom.src_z.shape, dtype=jax.dtypes.float0),
+        src_x=np.zeros(geom.src_x.shape, dtype=jax.dtypes.float0),
+        rxz=jnp.zeros_like(geom.rxz),
+        rec_z=np.zeros(geom.rec_z.shape, dtype=jax.dtypes.float0),
+        rec_x=np.zeros(geom.rec_x.shape, dtype=jax.dtypes.float0),
+    )
+    return d_lam, d_mu, d_rho, d_stf, d_geom
+
+
+propagate.defvjp(_propagate_fwd, _propagate_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Shot-batched API
+# ---------------------------------------------------------------------------
+
+def propagate_shots(cfg: SimConfig, lam, mu, rho, stf, geoms: ShotGeom):
+    """vmap over the shot axis: stf (S, nt), geoms fields lead with S.
+    Replaces the OpenMP shot loop of `Torch_Fwi.cpp:71-95`; combine with
+    shard_map (parallel.py) to span a chip mesh."""
+    fn = jax.vmap(lambda st, g: propagate(cfg, lam, mu, rho, st, g))
+    return fn(stf, geoms)
+
+
+def propagate_ad(cfg: SimConfig, lam, mu, rho, stf, geom: ShotGeom):
+    """Reference-free differentiable forward (plain scan, no custom_vjp):
+    used as the AD oracle in tests to validate the boundary-saving adjoint."""
+    return _forward(cfg, lam, mu, rho, stf, geom, save_bnd=False)
