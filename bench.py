@@ -1,0 +1,88 @@
+"""Single-chip benchmark on the reference's GPU forward workload
+(Main-000-Forward-Benchmark.py: 101x201 physical grid -> 165x265 padded,
+dt=2 ms, nt=1501, 19 shots, 181 receivers, f0=10 Hz, nPml=32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GCell/s", "vs_baseline": N}
+
+vs_baseline is measured throughput over the 1 GCell-updates/s/chip target
+from BASELINE.md (the reference publishes no numbers of its own).
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build(dtype=jnp.float32):
+    import sep2023_tpu as st
+    from sep2023_tpu import models, parallel
+    from sep2023_tpu.cli import benchmark_problem
+
+    cfg, survey, geoms, stf = benchmark_problem(dtype=dtype)
+    vp, vs, rho = models.anomaly_vp_vs_rho(101, 201)
+    med = st.Medium(
+        jnp.asarray(st.medium.pad_model_np(vp, cfg.npml), dtype),
+        jnp.asarray(st.medium.pad_model_np(vs, cfg.npml), dtype),
+        jnp.asarray(st.medium.pad_model_np(rho, cfg.npml), dtype))
+    return st, cfg, survey, geoms, stf, med
+
+
+def _fence(out):
+    """Force completion: block_until_ready can return immediately under
+    remote-relay platforms, so fetch one scalar to host."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+    return out
+
+
+def _time(fn, *args, repeats=3):
+    out = _fence(fn(*args))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = _fence(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    st, cfg, survey, geoms, stf, med = _build()
+
+    fwd = jax.jit(lambda lam, mu, rho, s, g: jax.vmap(
+        lambda si, gi: st.propagate(cfg, lam, mu, rho, si, gi))(s, g))
+    t_fwd, data = _time(fwd, med.lam, med.mu, med.rho, stf, geoms)
+
+    cells = cfg.nz * cfg.nx * (cfg.nt - 1) * survey.n_shots
+    gcell_fwd = cells / t_fwd / 1e9
+
+    # gradient workload: misfit + (lam, mu, rho) gradients for all shots
+    from sep2023_tpu import parallel
+    loss = parallel.make_local_misfit(cfg)
+    w = jnp.ones((survey.n_shots,), med.lam.dtype)
+    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    t_grad, _ = _time(grad_fn, med.lam, med.mu, med.rho, stf, geoms, data, w)
+    gcell_grad = cells / t_grad / 1e9
+
+    result = {
+        "metric": "2D elastic forward GCell-updates/s/chip "
+                  "(ref workload 165x265x1501x19)",
+        "value": round(gcell_fwd, 3),
+        "unit": "GCell/s",
+        "vs_baseline": round(gcell_fwd / 1.0, 3),
+        "extra": {
+            "forward_s": round(t_fwd, 4),
+            "gradient_s": round(t_grad, 4),
+            "gradient_GCell_per_s": round(gcell_grad, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

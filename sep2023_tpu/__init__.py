@@ -17,9 +17,11 @@ Layers (bottom-up):
 
 from sep2023_tpu.config import (C1, C2, Grid, SimConfig, Survey, klauder,
                                 ricker, ricker_integrated)
+from sep2023_tpu import medium
 from sep2023_tpu.medium import MatFields, Medium, material_fields, pad_model
 from sep2023_tpu.cpml import CpmlCoefs, cpml_profiles
 from sep2023_tpu.propagator import (CHANNELS, ShotGeom, propagate,
                                     propagate_ad, propagate_shots)
+from sep2023_tpu.acoustic import AcGeom, propagate_acoustic
 
 __version__ = "0.1.0"

@@ -1,0 +1,220 @@
+"""Experiment drivers: the framework's equivalents of the reference's
+Main-000..005 scripts (`DAS_Waveform_Inversion/notebooks/Main-*.py`), as a
+`python -m sep2023_tpu` CLI.
+
+  forward   observed-data generation + throughput report   (Main-000)
+  invert    twin-experiment FWI with any parameterization   (Main-001..005)
+              --head vp_vs_rho   -> Main-001
+              --head lame_rho    -> Main-002
+              --head ip_is_rho   -> Main-003
+              --head rock_vrh / rock_gassmann -> Main-004/005
+  bench     single-chip benchmark (JSON line)
+
+Models are synthesized (models.py) because the reference git-ignores its
+Models/*.txt grids.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sep2023_tpu as st
+from sep2023_tpu import heads as H
+from sep2023_tpu import io as sio
+from sep2023_tpu import models, optimize, parallel
+from sep2023_tpu.config import Survey
+
+
+def benchmark_problem(nz=101, nx=201, dz=20.0, dx=20.0, nt=1501, dt=0.002,
+                      f0=10.0, npml=32, dtype=jnp.float32):
+    """The reference GPU benchmark workload (Main-000/001: 101x201 grid,
+    19 shots at z=1, 181 receivers at z=95, nt=1501)."""
+    cfg = st.SimConfig(nz=nz + 2 * npml, nx=nx + 2 * npml, dz=dz, dx=dx,
+                       nt=nt, dt=dt, f0=f0, npml=npml)
+    src_x = np.arange(10, nx - 10, 10)
+    survey = Survey(src_z=np.ones(len(src_x)), src_x=src_x,
+                    rec_z=np.full(nx - 20, 95), rec_x=np.arange(10, nx - 10))
+    geoms = parallel.survey_to_geoms(survey, npml, dtype=dtype)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(f0, nt, dt), dtype), (survey.n_shots, nt))
+    return cfg, survey, geoms, stf
+
+
+def cmd_forward(args):
+    dtype = jnp.float32
+    cfg, survey, geoms, stf = benchmark_problem(
+        nz=args.nz, nx=args.nx, dz=args.dz, dx=args.dx, nt=args.nt,
+        dt=args.dt, f0=args.f0, npml=args.npml)
+    vp, vs, rho = models.anomaly_vp_vs_rho(args.nz, args.nx)
+    med = st.Medium(jnp.asarray(st.medium.pad_model_np(vp, cfg.npml), dtype),
+                    jnp.asarray(st.medium.pad_model_np(vs, cfg.npml), dtype),
+                    jnp.asarray(st.medium.pad_model_np(rho, cfg.npml), dtype))
+    cfg.check_stability(float(vp.max()))
+
+    fwd = jax.jit(lambda lam, mu, rho_, s, g: jax.vmap(
+        lambda si, gi: st.propagate(cfg, lam, mu, rho_, si, gi))(s, g))
+
+    def fence(out):
+        # block_until_ready can return early on remote-relay platforms;
+        # force a scalar device->host fetch
+        np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[0]))
+        return out
+
+    t0 = time.perf_counter()
+    data = fence(fwd(med.lam, med.mu, med.rho, stf, geoms))
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    data = fence(fwd(med.lam, med.mu, med.rho, stf, geoms))
+    t_run = time.perf_counter() - t0
+
+    cells = cfg.nz * cfg.nx * (cfg.nt - 1) * survey.n_shots
+    print(f"forward: {survey.n_shots} shots, grid {cfg.nz}x{cfg.nx}, "
+          f"nt={cfg.nt}; compile {t_compile:.1f}s, run {t_run:.3f}s, "
+          f"{cells / t_run / 1e9:.2f} GCell/s")
+    if args.data_dir:
+        sio.write_shots(args.data_dir, np.asarray(data))
+        print(f"wrote {survey.n_shots} shots to {args.data_dir}")
+
+
+def cmd_invert(args):
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    cfg, survey, geoms, stf = benchmark_problem(
+        nz=args.nz, nx=args.nx, dz=args.dz, dx=args.dx, nt=args.nt,
+        dt=args.dt, f0=args.f0, npml=args.npml, dtype=dtype)
+    grid = cfg.grid
+    os.makedirs(args.exp_name, exist_ok=True)
+
+    # --- true and initial parameter sets per head -----------------------
+    vp_t, vs_t, rho_t = models.anomaly_vp_vs_rho(args.nz, args.nx)
+    if args.head in ("rock_vrh", "rock_gassmann"):
+        phi, cc, sw = models.reservoir_pcs(args.nz, args.nx)
+        true_params = dict(phi=phi, cc=cc, sw=sw)
+        init_params = {k: models.smooth(v, 8.0) for k, v in
+                       true_params.items()}
+        bounds = dict(phi=(0.05, 0.4), cc=(0.05, 0.6), sw=(0.2, 1.0))
+        invert_names = ("phi", "cc", "sw")
+    elif args.head == "lame_rho":
+        lam_t = (vp_t ** 2 - 2 * vs_t ** 2) * rho_t
+        mu_t = vs_t ** 2 * rho_t
+        true_params = dict(lam=lam_t, mu=mu_t, rho=rho_t)
+        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
+        bounds = None
+        invert_names = ("lam", "mu", "rho")
+    elif args.head == "ip_is_rho":
+        true_params = {"ip": rho_t * vp_t, "is": rho_t * vs_t, "rho": rho_t}
+        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
+        bounds = None
+        invert_names = ("ip", "is", "rho")
+    elif args.head == "vp_vs_ip":
+        true_params = dict(vp=vp_t, vs=vs_t, ip=rho_t * vp_t)
+        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
+        bounds = None
+        invert_names = ("vp", "vs", "ip")
+    elif args.head == "vp_vs_is":
+        true_params = {"vp": vp_t, "vs": vs_t, "is": rho_t * vs_t}
+        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
+        bounds = None
+        invert_names = ("vp", "vs", "is")
+    else:  # vp_vs_rho
+        true_params = dict(vp=vp_t, vs=vs_t, rho=rho_t)
+        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
+        bounds = dict(vp=(vp_t.min() - 500, vp_t.max() + 500),
+                      vs=(vs_t.min() - 300, vs_t.max() + 300),
+                      rho=(rho_t.min() - 300, rho_t.max() + 300))
+        invert_names = ("vp", "vs", "rho")
+
+    mask = H.default_mask(grid, freeze_top_rows=4)
+    head = H.HEADS[args.head](grid, init_params, mask=mask, bounds=bounds)
+
+    # --- observed data (twin experiment) --------------------------------
+    lam_t_pad, mu_t_pad, rho_t_pad = head.apply(
+        {k: jnp.asarray(v, dtype) for k, v in true_params.items()})
+    fwd = jax.jit(lambda lam, mu, rho_, s, g: jax.vmap(
+        lambda si, gi: st.propagate(cfg, lam, mu, rho_, si, gi))(s, g))
+    print("generating observed data ...")
+    obs = jax.block_until_ready(fwd(lam_t_pad, mu_t_pad, rho_t_pad, stf, geoms))
+    if args.generate_data:
+        sio.write_shots(os.path.join(args.exp_name, "Data"), np.asarray(obs))
+        print("data written; exiting (--generate_data)")
+        return
+
+    w = jnp.ones((survey.n_shots,), dtype)
+    bad = [c for c in args.channels if c not in st.CHANNELS]
+    if bad:
+        raise SystemExit(f"unknown channel(s) {bad}; choose from {st.CHANNELS}")
+    loss_data = parallel.make_local_misfit(cfg, channels=tuple(args.channels))
+
+    def loss(params):
+        full = dict(init_params)
+        full.update(params)
+        lam, mu, rho = head.apply(
+            {k: jnp.asarray(v, dtype) for k, v in full.items()})
+        return loss_data(lam, mu, rho, stf, geoms, obs, w)
+
+    obj = optimize.ScipyObjective(
+        loss, {k: init_params[k] for k in invert_names},
+        bounds={k: bounds[k] for k in invert_names} if bounds else None)
+    logger = optimize.InversionLogger(
+        os.path.join(args.exp_name, "Results"), obj)
+    print(f"L-BFGS-B: {args.niter} iterations, head={args.head}")
+    res = optimize.lbfgsb(obj, maxiter=args.niter, callback=logger,
+                          disp=True, iprint=args.iprint)
+    print(f"final misfit {res.fun:.6e} after {res.nit} iterations "
+          f"({obj.n_evals} evaluations)")
+
+
+def cmd_bench(args):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="sep2023_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--nz", type=int, default=101)
+    common.add_argument("--nx", type=int, default=201)
+    common.add_argument("--dz", type=float, default=20.0)
+    common.add_argument("--dx", type=float, default=20.0)
+    common.add_argument("--nt", type=int, default=1501)
+    common.add_argument("--dt", type=float, default=0.002)
+    common.add_argument("--f0", type=float, default=10.0)
+    common.add_argument("--npml", type=int, default=32)
+
+    f = sub.add_parser("forward", parents=[common])
+    f.add_argument("--data-dir", default="")
+    f.set_defaults(fn=cmd_forward)
+
+    i = sub.add_parser("invert", parents=[common])
+    i.add_argument("--head", default="vp_vs_rho", choices=sorted(H.HEADS))
+    i.add_argument("--exp-name", default="scratch/exp")
+    i.add_argument("--niter", type=int, default=20)
+    i.add_argument("--channels", nargs="+", default=["ett"])
+    i.add_argument("--generate_data", action="store_true")
+    i.add_argument("--x64", action="store_true")
+    i.add_argument("--iprint", type=int, default=-1)
+    i.set_defaults(fn=cmd_invert)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

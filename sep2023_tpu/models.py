@@ -1,0 +1,81 @@
+"""Synthetic earth-model builders.
+
+The reference's model grids (Models/*.txt, e.g.
+Anomaly_P-WAVE_VELOCITY_101_201.txt, Main-001:78-80) are excluded from its
+repository by .gitignore, so the experiment drivers here synthesize
+equivalent models programmatically: a layered background with box/Gaussian
+anomalies (the twin-experiment setup of notebooks 001-003) and a PCS
+(porosity/clay/saturation) reservoir model for the rock-physics experiments
+(notebooks 004-005).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+
+def constant(nz: int, nx: int, value: float) -> np.ndarray:
+    return np.full((nz, nx), value, dtype=np.float64)
+
+
+def layered(nz: int, nx: int, interfaces: Sequence[int],
+            values: Sequence[float]) -> np.ndarray:
+    """Horizontally layered model: values[i] between interfaces[i-1] and
+    interfaces[i] (interfaces in grid rows)."""
+    assert len(values) == len(interfaces) + 1
+    m = np.full((nz, nx), values[-1], dtype=np.float64)
+    prev = 0
+    for iface, v in zip(interfaces, values[:-1]):
+        m[prev:iface, :] = v
+        prev = iface
+    return m
+
+
+def box_anomaly(base: np.ndarray, z0: int, z1: int, x0: int, x1: int,
+                delta: float) -> np.ndarray:
+    out = base.copy()
+    out[z0:z1, x0:x1] += delta
+    return out
+
+
+def gaussian_anomaly(base: np.ndarray, zc: float, xc: float, sigma: float,
+                     delta: float) -> np.ndarray:
+    nz, nx = base.shape
+    z, x = np.mgrid[0:nz, 0:nx]
+    return base + delta * np.exp(-((z - zc) ** 2 + (x - xc) ** 2)
+                                 / (2.0 * sigma ** 2))
+
+
+def smooth(model: np.ndarray, sigma: float) -> np.ndarray:
+    """Smoothed initial model for twin experiments."""
+    return gaussian_filter(model, sigma)
+
+
+def anomaly_vp_vs_rho(nz: int = 101, nx: int = 201,
+                      vp_bg: float = 3000.0, d_vp: float = 200.0
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Twin-experiment triple with a central box anomaly, shaped like the
+    reference's Anomaly_*_101_201 models (Main-001)."""
+    vp = constant(nz, nx, vp_bg)
+    vp = box_anomaly(vp, nz // 3, nz // 3 + nz // 5,
+                     2 * nx // 5, 2 * nx // 5 + nx // 5, d_vp)
+    vs = vp / np.sqrt(3.0)
+    rho = np.power(vp, 0.25) * 310.0  # Gardner-style (notebook cell 8 uses it)
+    return vp, vs, rho
+
+
+def reservoir_pcs(nz: int = 201, nx: int = 321
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """PCS reservoir model for the rock-physics experiments (Main-004/005):
+    layered porosity/clay with a hydrocarbon (low-saturation) lens."""
+    phi = layered(nz, nx, [nz // 4, nz // 2, 3 * nz // 4],
+                  [0.12, 0.18, 0.25, 0.15])
+    cc = layered(nz, nx, [nz // 3, 2 * nz // 3], [0.45, 0.25, 0.35])
+    sw = constant(nz, nx, 1.0)
+    # hydrocarbon lens
+    z0, z1 = int(0.52 * nz), int(0.62 * nz)
+    x0, x1 = int(0.40 * nx), int(0.60 * nx)
+    sw[z0:z1, x0:x1] = 0.35
+    return phi, cc, sw

@@ -1,0 +1,129 @@
+"""L-BFGS-B outer loop: JAX <-> scipy.optimize bridge with bounds, result
+caching and per-iteration checkpointing.
+
+Functional re-design of the reference's PyTorchObjective
+(`Ops/FWI/obj_wrapper.py`) and its driver loop
+(`Main-001-FWI-Anomaly-Vp-Vs-Den.py:127-168`):
+  - parameters: a dict of named arrays, flattened to a float64 vector
+  - one jitted value_and_grad evaluation serves both fun and jac
+    (the reference's is_new/cache dedupe, obj_wrapper.py:62-85)
+  - bounds packed per parameter (obj_wrapper.py:51-60)
+  - a callback that logs the loss history and snapshots parameters each
+    iteration (Main-001:137-154 saved .mat files; we save .npz)
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import optimize as sciopt
+
+
+class ScipyObjective:
+    """Wrap a JAX scalar loss over a dict of arrays as a scipy objective."""
+
+    def __init__(self, loss_fn: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray],
+                 params0: Dict[str, np.ndarray],
+                 bounds: Optional[Dict[str, tuple]] = None,
+                 jit: bool = True):
+        self.names = list(params0)
+        self.shapes = {n: np.asarray(params0[n]).shape for n in self.names}
+        self.sizes = {n: int(np.prod(self.shapes[n])) for n in self.names}
+        self.x0 = np.concatenate(
+            [np.asarray(params0[n], dtype=np.float64).ravel()
+             for n in self.names])
+        self._dtype = jnp.asarray(params0[self.names[0]]).dtype
+        vg = jax.value_and_grad(lambda p: loss_fn(p))
+        self._vg = jax.jit(vg) if jit else vg
+        self.bounds = self.pack_bounds(bounds) if bounds else None
+        self._cached_x = None
+        self.f = None
+        self.g = None
+        self.n_evals = 0
+
+    # -- packing -------------------------------------------------------------
+    def unpack(self, x: np.ndarray) -> Dict[str, jnp.ndarray]:
+        out, i = {}, 0
+        for n in self.names:
+            out[n] = jnp.asarray(
+                x[i:i + self.sizes[n]].reshape(self.shapes[n]), self._dtype)
+            i += self.sizes[n]
+        return out
+
+    def pack_bounds(self, bounds: Dict[str, tuple]) -> sciopt.Bounds:
+        lo, hi = [], []
+        for n in self.names:
+            if n in bounds and bounds[n] is not None:
+                l, h = bounds[n]
+                lo.append(np.broadcast_to(np.asarray(l, np.float64),
+                                          self.shapes[n]).ravel())
+                hi.append(np.broadcast_to(np.asarray(h, np.float64),
+                                          self.shapes[n]).ravel())
+            else:
+                lo.append(np.full(self.sizes[n], -np.inf))
+                hi.append(np.full(self.sizes[n], np.inf))
+        return sciopt.Bounds(np.concatenate(lo), np.concatenate(hi))
+
+    # -- evaluation ----------------------------------------------------------
+    def _ensure(self, x: np.ndarray):
+        if self._cached_x is None or not np.array_equal(x, self._cached_x):
+            f, g = self._vg(self.unpack(x))
+            self.f = float(f)
+            self.g = np.concatenate(
+                [np.asarray(g[n], dtype=np.float64).ravel()
+                 for n in self.names])
+            self._cached_x = np.array(x)
+            self.n_evals += 1
+
+    def fun(self, x):
+        self._ensure(np.asarray(x))
+        return self.f
+
+    def jac(self, x):
+        self._ensure(np.asarray(x))
+        return self.g
+
+
+class InversionLogger:
+    """Per-iteration checkpointing: loss.txt + parameter/gradient snapshots
+    (`Main-001:137-154`); enables manual resume like the reference."""
+
+    def __init__(self, result_dir: str, objective: ScipyObjective,
+                 save_every: int = 1):
+        self.dir = result_dir
+        self.obj = objective
+        self.save_every = save_every
+        self.it = 0
+        self.loss_history = []
+        os.makedirs(result_dir, exist_ok=True)
+
+    def __call__(self, x):
+        self.loss_history.append(self.obj.f)
+        with open(os.path.join(self.dir, "loss.txt"), "a") as fp:
+            fp.write(f"{self.it} {self.obj.f}\n")
+        if self.it % self.save_every == 0:
+            params = self.obj.unpack(np.asarray(x))
+            np.savez(os.path.join(self.dir, f"model_{self.it:04d}.npz"),
+                     **{n: np.asarray(v) for n, v in params.items()})
+            grads = self.obj.unpack(self.obj.g)
+            np.savez(os.path.join(self.dir, f"grad_{self.it:04d}.npz"),
+                     **{n: np.asarray(v) for n, v in grads.items()})
+        self.it += 1
+
+
+# L-BFGS-B options matching the reference driver (Main-001:157-168)
+REFERENCE_LBFGSB_OPTIONS = dict(disp=True, iprint=101, gtol=1e-16, ftol=1e-12,
+                                maxcor=5, maxfun=1500, maxls=6)
+
+
+def lbfgsb(objective: ScipyObjective, maxiter: int,
+           callback: Optional[Callable] = None, **options):
+    opts = dict(REFERENCE_LBFGSB_OPTIONS)
+    opts.update(options)
+    opts["maxiter"] = maxiter
+    return sciopt.minimize(objective.fun, objective.x0, method="L-BFGS-B",
+                           jac=objective.jac, bounds=objective.bounds,
+                           tol=None, callback=callback, options=opts)

@@ -85,13 +85,20 @@ class State(NamedTuple):
 
 
 class ShotGeom(NamedTuple):
-    """Per-shot acquisition (indices already on the padded grid)."""
+    """Per-shot acquisition (indices already on the padded grid).
+
+    das_w: optional (R, 3) per-receiver fiber sensitivity weights for the
+    (exx, exz, ezz) strain-rate components, used when
+    cfg.das_channel == 'weighted' (the CPU solver's directional DAS sampling,
+    elasticSolver.py:269-276; weights from das.sensitivity_weights).
+    """
 
     src_z: jax.Array  # () int32
     src_x: jax.Array  # () int32
     rxz: jax.Array    # () float — sxx/szz source moment ratio
     rec_z: jax.Array  # (R,) int32
     rec_x: jax.Array  # (R,) int32
+    das_w: jax.Array | None = None
 
 
 class Strips(NamedTuple):
@@ -190,6 +197,16 @@ def _record(f: Fields, geom: ShotGeom, cfg: SimConfig):
     vzr = f.vz[rz, rx]
     if cfg.das_channel == "ezz":
         ett = f.vz[rz, rx] - f.vz[rz - 1, rx]
+    elif cfg.das_channel == "weighted":
+        # directional fiber sampling with per-channel sensitivity weights on
+        # (exx, exz, ezz), the CPU solver's DAS model
+        # (elasticSolver.py:269-276); here physically normalized by dx/dz.
+        exx = (f.vx[rz, rx] - f.vx[rz, rx - 1]) / cfg.dx
+        ezz = (f.vz[rz, rx] - f.vz[rz - 1, rx]) / cfg.dz
+        exz = 0.5 * ((f.vx[rz + 1, rx] - f.vx[rz, rx]) / cfg.dz
+                     + (f.vz[rz, rx + 1] - f.vz[rz, rx]) / cfg.dx)
+        w = geom.das_w
+        ett = w[:, 0] * exx + w[:, 1] * exz + w[:, 2] * ezz
     else:
         ett = f.vx[rz, rx] - f.vx[rz, rx - 1]
     return jnp.stack([pr, vxr, vzr, ett])
@@ -260,17 +277,23 @@ def _strip_bounds(cfg: SimConfig):
 
 
 def _extract_strips(a, cfg: SimConfig) -> Strips:
+    """Strips are stored FLATTENED (1-D): a 2-D (nz, 5) slab would be
+    lane-padded 5 -> 128 in TPU HBM layout (a 25x blowup over nt steps);
+    1-D vectors pad only to the next 128 multiple (~7% overhead)."""
     L, z0, z1, x0, x1 = _strip_bounds(cfg)
-    return Strips(top=a[z0:z0 + L, :], bot=a[z1:z1 + L, :],
-                  left=a[:, x0:x0 + L], right=a[:, x1:x1 + L])
+    return Strips(top=a[z0:z0 + L, :].reshape(-1),
+                  bot=a[z1:z1 + L, :].reshape(-1),
+                  left=a[:, x0:x0 + L].reshape(-1),
+                  right=a[:, x1:x1 + L].reshape(-1))
 
 
 def _inject_strips(a, s: Strips, cfg: SimConfig):
     L, z0, z1, x0, x1 = _strip_bounds(cfg)
-    a = a.at[z0:z0 + L, :].set(s.top)
-    a = a.at[z1:z1 + L, :].set(s.bot)
-    a = a.at[:, x0:x0 + L].set(s.left)
-    a = a.at[:, x1:x1 + L].set(s.right)
+    nz, nx = a.shape
+    a = a.at[z0:z0 + L, :].set(s.top.reshape(L, nx))
+    a = a.at[z1:z1 + L, :].set(s.bot.reshape(L, nx))
+    a = a.at[:, x0:x0 + L].set(s.left.reshape(nz, L))
+    a = a.at[:, x1:x1 + L].set(s.right.reshape(nz, L))
     return a
 
 
@@ -397,6 +420,7 @@ def _propagate_bwd(cfg, res, d_data):
         rxz=jnp.zeros_like(geom.rxz),
         rec_z=np.zeros(geom.rec_z.shape, dtype=jax.dtypes.float0),
         rec_x=np.zeros(geom.rec_x.shape, dtype=jax.dtypes.float0),
+        das_w=None if geom.das_w is None else jnp.zeros_like(geom.das_w),
     )
     return d_lam, d_mu, d_rho, d_stf, d_geom
 

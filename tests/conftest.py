@@ -1,0 +1,18 @@
+"""Test configuration: force CPU with a virtual 8-device mesh (for sharding
+tests) and enable float64 (for adjoint / finite-difference accuracy).
+
+Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize pins JAX_PLATFORMS=axon (real TPU); tests run on a
+# virtual 8-device CPU mesh, so override before the backend initializes.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

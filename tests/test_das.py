@@ -1,0 +1,103 @@
+"""DAS operators: fiber geometry, sensitivity weights, gauge-length
+quadrature convergence (the reference's Fig-2-3 experiment), and the
+differentiable weighted recording channel."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sep2023_tpu as st
+from sep2023_tpu import das
+
+
+def test_straight_fiber_weights():
+    cable = das.straight_fiber(10.0, direction=(1, 0, 0))
+    assert cable.shape == (21, 9)
+    # x-aligned fiber: only TxTx = 1
+    assert np.allclose(cable[:, 3], 1.0)
+    assert np.allclose(cable[:, 4:], 0.0, atol=1e-12)
+    # arc length spacing uniform
+    d = np.linalg.norm(np.diff(cable[:, :3], axis=0), axis=1)
+    assert np.allclose(d, d[0], rtol=1e-6)
+
+
+def test_sensitivity_weights_sum():
+    """w1 + w4 + w6 = |T|^2 = 1 for any tangent (TxTx + TyTy + TzTz)."""
+    cable = das.arc_fiber(10.0, 1.0 / np.pi)
+    w = cable[:, 3:]
+    assert np.allclose(w[:, 0] + w[:, 3] + w[:, 5], 1.0, atol=1e-10)
+
+
+def test_quadrature_convergence():
+    """Higher quadrature order converges to the 21-point response; curvier
+    fibers need more points (the reference's quadrature study,
+    Fig-2-3-Analytical-DAS-Waveform.ipynb cell 12)."""
+    vp, vs, rho, f0, M0 = 3000.0, 1500.0, 2500.0, 25.0, 1e15
+    GL = 20.0
+    M = np.eye(3)
+    cable = das.arc_fiber(GL, 2.0 / np.pi, center=(120.0, 140.0, 100.0))
+    src = (0.0, 0.0, 0.0)
+    kw = dict(tmin=0.0, tmax=0.35, dt=0.002, f0=f0, M0=M0, M=M)
+    full = das.das_response(vp, vs, rho, GL, cable, 21, src, **kw)
+    scale = np.abs(full).max()
+    errs = {}
+    for nq in (1, 3, 7):
+        r = das.das_response(vp, vs, rho, GL, cable, nq, src, **kw)
+        errs[nq] = np.abs(r - full).max() / scale
+    assert errs[7] < errs[1]
+    assert errs[7] < 0.05
+
+
+def test_straight_fiber_matches_point_strain():
+    """For a straight x-fiber the gauge response converges to Exx as GL -> 0."""
+    vp, vs, rho, f0, M0 = 3000.0, 1500.0, 2500.0, 25.0, 1e15
+    M = np.eye(3)
+    center = (150.0, 120.0, 90.0)
+    kw = dict(tmin=0.0, tmax=0.3, dt=0.002, f0=f0, M0=M0, M=M)
+    from sep2023_tpu import analytic as an
+    cable = das.straight_fiber(2.0, direction=(1, 0, 0), center=center)
+    resp = das.das_response(vp, vs, rho, 2.0, cable, 21, (0, 0, 0), **kw)
+    sol = an.solution(vp, vs, rho, *center, kw["tmin"], kw["tmax"], kw["dt"],
+                      f0, M0, M, dim="3D", comp="strain")
+    scale = np.abs(sol["Exx"]).max()
+    assert np.abs(resp - sol["Exx"]).max() / scale < 0.02
+
+
+def test_weighted_das_channel_differentiable():
+    """The propagator's 'weighted' DAS channel reduces to exx/dx for an
+    x-aligned fiber and is differentiable."""
+    cfg_w = st.SimConfig(nz=60, nx=70, dz=20.0, dx=20.0, nt=80, dt=0.002,
+                         f0=10.0, npml=12, das_channel="weighted")
+    cfg_e = st.SimConfig(nz=60, nx=70, dz=20.0, dx=20.0, nt=80, dt=0.002,
+                         f0=10.0, npml=12, das_channel="exx")
+    vp = jnp.full(cfg_w.grid.shape, 3000.0)
+    med = st.Medium(vp, vp / jnp.sqrt(3.0), jnp.full_like(vp, 2500.0))
+    stf = jnp.asarray(st.ricker(cfg_w.f0, cfg_w.nt, cfg_w.dt))
+    R = 10
+    das_w = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (R, 1))
+    geom_w = st.ShotGeom(src_z=jnp.int32(20), src_x=jnp.int32(30),
+                         rxz=jnp.float64(1.0),
+                         rec_z=jnp.full(R, 40, jnp.int32),
+                         rec_x=jnp.arange(20, 30, dtype=jnp.int32),
+                         das_w=das_w)
+    geom_e = geom_w._replace(das_w=None)
+    d_w = st.propagate(cfg_w, med.lam, med.mu, med.rho, stf, geom_w)
+    d_e = st.propagate(cfg_e, med.lam, med.mu, med.rho, stf, geom_e)
+    # weighted(1,0,0) == exx / dx
+    assert np.allclose(np.asarray(d_w[3]), np.asarray(d_e[3]) / cfg_w.dx,
+                       rtol=1e-10)
+
+    def loss(lam):
+        d = st.propagate(cfg_w, lam, med.mu, med.rho, stf, geom_w)
+        return jnp.sum(d[3] ** 2)
+
+    g = jax.grad(loss)(med.lam)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_gauge_matrix():
+    A = das.gauge_matrix(2, 21, 10.0)
+    assert A.shape == (2, 42)
+    # rows sum to 1 (average of a constant strain field is itself)
+    assert np.allclose(A.sum(axis=1), 1.0)
