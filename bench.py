@@ -57,7 +57,16 @@ def main():
     t_fwd, data = _time(fwd, med.lam, med.mu, med.rho, stf, geoms)
 
     cells = cfg.nz * cfg.nx * (cfg.nt - 1) * survey.n_shots
-    gcell_fwd = cells / t_fwd / 1e9
+    gcell_xla = cells / t_fwd / 1e9
+
+    # fused Pallas engine (whole time loop in VMEM)
+    from sep2023_tpu.ops import pallas_engine as pe
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml, survey.rec_x + cfg.npml)
+    pallas_fwd = lambda lam, mu, rho, s: pe.forward_pallas(
+        cfg, rs, lam, mu, rho, s, survey.src_z + cfg.npml,
+        survey.src_x + cfg.npml, survey.src_rxz)
+    t_pal, _ = _time(pallas_fwd, med.lam, med.mu, med.rho, stf)
+    gcell_fwd = cells / t_pal / 1e9
 
     # gradient workload: misfit + (lam, mu, rho) gradients for all shots
     from sep2023_tpu import parallel
@@ -69,12 +78,14 @@ def main():
 
     result = {
         "metric": "2D elastic forward GCell-updates/s/chip "
-                  "(ref workload 165x265x1501x19)",
+                  "(ref workload 165x265x1501x19, fused Pallas engine)",
         "value": round(gcell_fwd, 3),
         "unit": "GCell/s",
         "vs_baseline": round(gcell_fwd / 1.0, 3),
         "extra": {
-            "forward_s": round(t_fwd, 4),
+            "pallas_forward_s": round(t_pal, 4),
+            "xla_forward_s": round(t_fwd, 4),
+            "xla_forward_GCell_per_s": round(gcell_xla, 3),
             "gradient_s": round(t_grad, 4),
             "gradient_GCell_per_s": round(gcell_grad, 3),
             "device": str(jax.devices()[0]),

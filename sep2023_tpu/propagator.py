@@ -444,3 +444,34 @@ def propagate_ad(cfg: SimConfig, lam, mu, rho, stf, geom: ShotGeom):
     """Reference-free differentiable forward (plain scan, no custom_vjp):
     used as the AD oracle in tests to validate the boundary-saving adjoint."""
     return _forward(cfg, lam, mu, rho, stf, geom, save_bnd=False)
+
+
+def propagate_snapshots(cfg: SimConfig, lam, mu, rho, stf, geom: ShotGeom,
+                        save_every: int = 10):
+    """Forward run that also returns decimated wavefield snapshots — the CPU
+    solver's `save_wavefield` capability (elasticSolver.py:232-284).
+
+    Returns (data, snaps) with snaps a Fields pytree of
+    (nt//save_every, nz, nx) movies (fields at t = k*save_every).
+    """
+    dtype = lam.dtype
+    mat = material_fields(lam, mu, rho)
+    cp, mask_f, _ = _consts(cfg, dtype)
+    cp = jax.tree.map(jnp.asarray, cp)
+    n_chunks = (cfg.nt - 1) // save_every
+    used = n_chunks * save_every
+    amps = stf[:used].reshape(n_chunks, save_every)
+
+    def outer(s, amp_chunk):
+        def inner(s2, amp):
+            s3, rec = elastic_step(s2, mat, amp, geom, cp, mask_f, cfg)
+            return s3, rec
+
+        s, recs = jax.lax.scan(inner, s, amp_chunk)
+        return s, (recs, s.f)
+
+    state0 = zero_state(cfg.nz, cfg.nx, dtype)
+    _, (recs, snaps) = jax.lax.scan(outer, state0, amps)
+    recs = recs.reshape(used, N_CHANNELS, -1)
+    data = _assemble_data(recs, geom.rec_z.shape[0], used + 1, dtype)
+    return data, snaps

@@ -1,0 +1,53 @@
+"""Fused Pallas engine vs XLA engine (interpret mode on CPU; the same kernel
+compiles via Mosaic on real TPU — cross-checked by bench.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sep2023_tpu as st
+from sep2023_tpu import parallel
+from sep2023_tpu.config import Survey
+from sep2023_tpu.ops import pallas_engine as pe
+
+
+def test_check_row_survey():
+    assert pe.check_row_survey(np.full(5, 7), np.arange(3, 8)) == \
+        pe.RowSurvey(7, 3, 5)
+    assert pe.check_row_survey(np.array([7, 8]), np.array([3, 4])) is None
+    assert pe.check_row_survey(np.array([7, 7]), np.array([3, 5])) is None
+
+
+def test_pallas_matches_xla_engine():
+    npml = 10
+    cfg = st.SimConfig(nz=44 + 2 * npml, nx=60 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=260, dt=0.002, f0=10.0, npml=npml)
+    vp, vs = 3000.0, 3000.0 / np.sqrt(3.0)
+    vp_a = jnp.full(cfg.grid.shape, vp).at[30:38, 40:52].add(250.0)
+    med = st.Medium(vp_a, vp_a / jnp.sqrt(3.0),
+                    jnp.full(cfg.grid.shape, 2500.0))
+    lam = med.lam.astype(jnp.float32)
+    mu = med.mu.astype(jnp.float32)
+    rho = med.rho.astype(jnp.float32)
+
+    survey = Survey(src_z=np.array([2, 2]), src_x=np.array([14, 40]),
+                    rec_z=np.full(24, 38), rec_x=np.arange(16, 40))
+    geoms = parallel.survey_to_geoms(survey, npml, dtype=jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+
+    rs = pe.check_row_survey(survey.rec_z + npml, survey.rec_x + npml)
+    out = np.asarray(pe.forward_pallas(
+        cfg, rs, lam, mu, rho, stf, survey.src_z + npml,
+        survey.src_x + npml, survey.src_rxz))
+
+    fwd = jax.jit(lambda *a: jax.vmap(
+        lambda s, g: st.propagate(cfg, a[0], a[1], a[2], s, g))(a[3], a[4]))
+    ref = np.asarray(fwd(lam, mu, rho, stf, geoms)).astype(np.float32)
+
+    assert out.shape == ref.shape
+    for c in range(4):
+        scale = np.abs(ref[:, c]).max()
+        rel = np.abs(out[:, c] - ref[:, c]).max() / scale
+        assert rel < 2e-5, (c, rel)

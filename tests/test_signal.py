@@ -1,0 +1,97 @@
+"""Signal ops: band-pass filter, taper window, spectral source estimation,
+cross-correlation misfit, snapshots, survey tools."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sep2023_tpu as st
+from sep2023_tpu import survey_tools
+from sep2023_tpu.ops import misfit as mf
+from sep2023_tpu.ops import signal as sg
+from sep2023_tpu.propagator import propagate_snapshots
+
+
+def test_bandpass_passes_and_rejects():
+    nt, dt = 2048, 0.002
+    t = np.arange(nt) * dt
+    # bin-aligned frequencies (k = f*nt*dt integer) to avoid leakage skew
+    lo = np.sin(2 * np.pi * (20 / (nt * dt)) * t)    # ~4.9 Hz, passband
+    hi = np.sin(2 * np.pi * (256 / (nt * dt)) * t)   # 62.5 Hz, stopband
+    corners = (1.0, 3.0, 20.0, 40.0)
+    out_lo = np.asarray(sg.bandpass(jnp.asarray(lo), dt, corners))
+    out_hi = np.asarray(sg.bandpass(jnp.asarray(hi), dt, corners))
+    assert np.abs(out_lo).max() > 0.9
+    assert np.abs(out_hi).max() < 0.02
+
+
+def test_bandpass_amplitude_shape():
+    H = np.asarray(sg.bandpass_amplitude(1000, 0.002, 1.0, 3.0, 20.0, 40.0))
+    freq = np.fft.rfftfreq(1000, 0.002)
+    assert np.allclose(H[(freq > 3.0) & (freq < 20.0)], 1.0)
+    assert np.allclose(H[freq >= 40.0], 0.0)
+    assert np.all((H >= 0) & (H <= 1.0 + 1e-12))
+
+
+def test_taper_window():
+    w = np.asarray(sg.taper_window(1000, 0.002, win_start=100, win_end=800,
+                                   ratio=0.02))
+    assert w[0] == 0.0
+    assert np.allclose(w[150:750], 1.0)
+    assert w[950] == 0.0
+
+
+def test_source_update_recovers_scale_and_shift():
+    """Wiener filter must recover a pure amplitude scaling of the source."""
+    nt, dt = 500, 0.002
+    s = st.ricker(10.0, nt, dt, amp=1.0)
+    syn = np.stack([np.roll(s, k) for k in (5, 9, 13)])
+    obs = 2.5 * syn
+    W = sg.source_update_filter(jnp.asarray(obs), jnp.asarray(syn))
+    s_new = np.asarray(sg.apply_source_filter(jnp.asarray(s), W))
+    # exact scaling except in zero-energy bands suppressed by the Wiener eps
+    assert np.abs(s_new - 2.5 * s).max() < 1e-3 * np.abs(s).max()
+
+
+def test_xcorr_misfit_zero_at_match():
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=(4, 6, 100)))
+    assert float(mf.normalized_crosscorr_misfit(d, d)) < 1e-10
+    assert float(mf.normalized_crosscorr_misfit(d, 2.0 * d)) < 1e-10  # amplitude-blind
+    d2 = jnp.asarray(rng.normal(size=(4, 6, 100)))
+    assert float(mf.normalized_crosscorr_misfit(d, d2)) > 0.1
+
+
+def test_snapshots():
+    cfg = st.SimConfig(nz=50, nx=60, dz=20.0, dx=20.0, nt=101, dt=0.002,
+                       f0=10.0, npml=10)
+    vp = jnp.full(cfg.grid.shape, 3000.0)
+    med = st.Medium(vp, vp / jnp.sqrt(3.0), jnp.full_like(vp, 2500.0))
+    stf = jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt))
+    geom = st.ShotGeom(src_z=jnp.int32(20), src_x=jnp.int32(30),
+                       rxz=jnp.float64(1.0),
+                       rec_z=jnp.full(3, 30, jnp.int32),
+                       rec_x=jnp.arange(25, 28, dtype=jnp.int32))
+    data, snaps = propagate_snapshots(cfg, med.lam, med.mu, med.rho, stf,
+                                      geom, save_every=10)
+    assert snaps.vx.shape == (10, cfg.nz, cfg.nx)
+    energy = np.asarray(jnp.sum(snaps.szz ** 2, axis=(1, 2)))
+    assert energy[2] > 0  # wave exists after source onset
+
+
+def test_vs_bounds_from_cloud():
+    cloud = np.array([[1500.0, 3000.0, 5000.0],   # vp line
+                      [900.0, 1900.0, 3100.0],    # vs high
+                      [500.0, 1200.0, 2200.0]])   # vs low
+    vp_img = np.array([[2000.0, 4000.0]])
+    lo, hi = survey_tools.vs_bounds_from_cloud(vp_img, cloud)
+    assert lo.shape == vp_img.shape
+    assert np.all(lo < hi)
+    assert np.all(hi <= vp_img / np.sqrt(2.0) - 1.0 + 1e-9)
+
+
+def test_compute_rxz():
+    vp = np.full((50, 60), 3000.0)
+    vs = vp / np.sqrt(3.0)
+    rxz = survey_tools.compute_rxz(vp, vs, [10, 20], [30, 40])
+    # vp^2/(vp^2-2vs^2) with vs=vp/sqrt(3) -> 3.0
+    assert np.allclose(rxz, 3.0, rtol=1e-6)
