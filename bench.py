@@ -68,12 +68,14 @@ def main():
     t_pal, _ = _time(pallas_fwd, med.lam, med.mu, med.rho, stf)
     gcell_fwd = cells / t_pal / 1e9
 
-    # gradient workload: misfit + (lam, mu, rho) gradients for all shots
+    # gradient workload: misfit + (lam, mu, rho) gradients for all shots,
+    # through the fused-Pallas boundary-saving adjoint
     from sep2023_tpu import parallel
-    loss = parallel.make_local_misfit(cfg)
     w = jnp.ones((survey.n_shots,), med.lam.dtype)
-    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-    t_grad, _ = _time(grad_fn, med.lam, med.mu, med.rho, stf, geoms, data, w)
+    loss_p = parallel.make_pallas_misfit(cfg, survey, shot_chunk=10)
+    grad_p = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
+    t_grad, _ = _time(grad_p, med.lam, med.mu, med.rho, stf,
+                      data.astype(jnp.float32), w.astype(jnp.float32))
     gcell_grad = cells / t_grad / 1e9
 
     result = {

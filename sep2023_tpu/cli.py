@@ -150,7 +150,23 @@ def cmd_invert(args):
     bad = [c for c in args.channels if c not in st.CHANNELS]
     if bad:
         raise SystemExit(f"unknown channel(s) {bad}; choose from {st.CHANNELS}")
-    loss_data = parallel.make_local_misfit(cfg, channels=tuple(args.channels))
+
+    use_pallas = args.engine == "pallas" or (
+        args.engine == "auto" and not args.x64
+        and jax.default_backend() == "tpu")
+    if use_pallas:
+        try:
+            loss_data_p = parallel.make_pallas_misfit(
+                cfg, survey, channels=tuple(args.channels),
+                shot_chunk=args.shot_chunk)
+            loss_data = lambda lam, mu, rho, s, g, o, w_: loss_data_p(
+                lam, mu, rho, s, o, w_)
+            print("engine: fused Pallas")
+        except ValueError:
+            use_pallas = False
+    if not use_pallas:
+        loss_data = parallel.make_local_misfit(cfg, channels=tuple(args.channels))
+        print("engine: XLA")
 
     def loss(params):
         full = dict(init_params)
@@ -207,6 +223,10 @@ def main(argv=None):
     i.add_argument("--generate_data", action="store_true")
     i.add_argument("--x64", action="store_true")
     i.add_argument("--iprint", type=int, default=-1)
+    i.add_argument("--engine", default="auto",
+                   choices=("auto", "xla", "pallas"))
+    i.add_argument("--shot-chunk", type=int, default=10,
+                   help="shots per Pallas gradient call (bounds strip memory)")
     i.set_defaults(fn=cmd_invert)
 
     b = sub.add_parser("bench")

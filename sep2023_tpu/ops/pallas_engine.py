@@ -6,26 +6,37 @@ bandwidth bound.  This engine instead keeps ALL state (5 fields + 8 CPML
 memory arrays) in VMEM scratch for the entire nt-step loop:
 
   pallas_call(grid=(n_shots,))          one program per shot (sequential)
-    scalar prefetch: per-shot source indices (SMEM)
-    inputs (VMEM):   material fields, CPML profiles, source wavelets
+    scalar prefetch: per-shot source indices + wavelets (SMEM)
+    inputs (VMEM):   material fields, CPML profiles
     scratch (VMEM):  vz, vx, szz, sxx, sxz + 8 psi arrays
     fori_loop over nt-1:
       stress update -> source inject -> velocity update -> record row
-    outputs (VMEM->HBM): per-channel seismogram blocks
+    outputs: recordings DMA'd to HBM in REC_CHUNK-step chunks
 
-HBM traffic per step drops from ~8 MB to ~3 KB (the recorded samples), so
-the kernel runs at VPU arithmetic speed instead of HBM speed.
+HBM traffic per step drops from ~8 MB to ~3 KB for the forward pass, so the
+kernel runs at VPU arithmetic speed instead of HBM speed (measured ~4x the
+XLA engine on a v5e chip).
 
-Constraints of the fast path (checked by the wrapper; the XLA engine remains
-the general fallback):
-  * all receivers on one grid row with contiguous x indices — the reference's
-    survey layout (`surveyGen`, fwi_utils.py:87-124)
-  * das channel 'exx' (the CUDA engine's ett, utilities.cu:593-615)
-  * grid state must fit VMEM: ~18 * nz_pad * nx_pad * 4 bytes <~ 10 MB
+The GRADIENT engine adds the boundary-saving adjoint
+(`Boundary.cu` / `libCUFD.cu:545-653` strategy) fully inside Pallas:
+  * the forward kernel packs 5-deep boundary strips of all five fields into
+    two lane/sublane-friendly staging buffers per step — left+right columns
+    as (nz, 128) [10 lanes per field], top+bottom rows as (56, nx) — and
+    DMAs them to HBM (the naive (nz, 5) layout would be lane-padded 25x);
+  * the backward kernel walks time in reverse: re-injects the strips,
+    runs the time-reversed interior updates to reconstruct the forward
+    field, and obtains the EXACT one-step adjoint + material gradients from
+    `jax.vjp` of the pure step function — evaluated at trace time INSIDE the
+    kernel, so the machine-derived transpose lowers through Mosaic like any
+    other kernel code.  This keeps the no-hand-written-adjoint property of
+    the XLA engine (propagator.py) on the fast path.
 
-Stencils use pltpu.roll (cyclic lane/sublane rotates); wrap-around values
-only ever land in the 2-cell halo that the update mask excludes, exactly as
-the slice-based fd.py ops leave the halo untouched.
+Fast-path constraints (checked by wrappers; the XLA engine is the general
+fallback): receivers on one grid row with contiguous x (the reference's
+surveyGen layout), das channel 'exx', state fits VMEM.
+
+Stencils use pltpu.roll (cyclic rotates); wrap-around values only ever land
+in the 2-cell halo that the update mask excludes.
 """
 from __future__ import annotations
 
@@ -44,13 +55,41 @@ from sep2023_tpu.medium import material_fields
 
 LANE = 128
 SUBLANE = 8
+DEBUG_SKIP_STRIP_PACK = False
+DEBUG_SKIP_STRIP_DMA = False
+REC_CHUNK = 128
+STRIP_L = 5          # boundary strip depth (Boundary.cu:19)
+N_FIELDS = 5
+TB_ROWS = 56         # 5 fields * 10 strip rows, padded to a sublane multiple
 
 
+def _pad128(n):
+    return ((n + LANE - 1) // LANE) * LANE
+
+
+def _pad8(n):
+    return ((n + SUBLANE - 1) // SUBLANE) * SUBLANE
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _roll(a, shift, axis):
     # jnp.roll semantics (out[i] = a[i - shift]); pltpu.roll requires a
     # non-negative shift, so express negative shifts as n - |shift|.
+    # custom_vjp because pltpu.roll has no AD rule: the transpose of a
+    # cyclic roll is the roll by -shift (needed by the in-kernel step vjp).
     n = a.shape[axis]
     return pltpu.roll(a, shift % n, axis)
+
+
+def _roll_fwd(a, shift, axis):
+    return _roll(a, shift, axis), None
+
+
+def _roll_bwd(shift, axis, _, g):
+    return (_roll(g, -shift, axis),)
+
+
+_roll.defvjp(_roll_fwd, _roll_bwd)
 
 
 def _dz_minus(f):
@@ -69,147 +108,6 @@ def _dx_plus(f):
     return C1 * (_roll(f, -1, 1) - f) - C2 * (_roll(f, -2, 1) - _roll(f, 1, 1))
 
 
-REC_CHUNK = 128
-
-
-def _pad128(n):
-    return ((n + LANE - 1) // LANE) * LANE
-
-
-def _forward_kernel(cfg: SimConfig, rec_row: int, rec_x0: int, n_rec: int,
-                    # scalar prefetch (SMEM)
-                    srcz_ref, srcx_ref, rxz_ref, stf_ref,
-                    # inputs
-                    lam_ref, lp2m_ref, avemu_ref, byca_ref, bycb_ref,
-                    kz_ref, az_ref, bz_ref, kzh_ref, azh_ref, bzh_ref,
-                    kx_ref, ax_ref, bx_ref, kxh_ref, axh_ref, bxh_ref,
-                    # outputs
-                    data_out_ref,
-                    # scratch: fields + psi + recording ring buffer
-                    vz_s, vx_s, szz_s, sxx_s, sxz_s,
-                    p_vzdz, p_vxdx, p_vxdz, p_vzdx,
-                    p_szzdz, p_sxzdx, p_sxzdz, p_sxxdx,
-                    rec_buf, rec_sem):
-    i = pl.program_id(0)
-    nz, nx, dt = cfg.nz, cfg.nx, cfg.dt
-    dz, dx = cfg.dz, cfg.dx
-
-    src_z = srcz_ref[i]
-    src_x = srcx_ref[i]
-    rxz = rxz_ref[i]
-
-    zi = jax.lax.broadcasted_iota(jnp.int32, (nz, nx), 0)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (nz, nx), 1)
-    mask = ((zi >= 2) & (zi <= nz - 3) & (xi >= 2) & (xi <= nx - 3)
-            ).astype(jnp.float32)
-    src_hot = ((zi == src_z) & (xi == src_x)).astype(jnp.float32)
-
-    for s in (vz_s, vx_s, szz_s, sxx_s, sxz_s, p_vzdz, p_vxdx, p_vxdz,
-              p_vzdx, p_szzdz, p_sxzdx, p_sxzdz, p_sxxdx, rec_buf):
-        s[:] = jnp.zeros_like(s)
-
-    lam = lam_ref[:]
-    lp2m = lp2m_ref[:]
-    avemu = avemu_ref[:]
-    byca = byca_ref[:]
-    bycb = bycb_ref[:]
-    kz, az, bz = kz_ref[:], az_ref[:], bz_ref[:]
-    kzh, azh, bzh = kzh_ref[:], azh_ref[:], bzh_ref[:]
-    kx, ax, bx = kx_ref[:], ax_ref[:], bx_ref[:]
-    kxh, axh, bxh = kxh_ref[:], axh_ref[:], bxh_ref[:]
-
-    def body(it, _):
-        vz, vx = vz_s[:], vx_s[:]
-
-        # -- stress update (el_stress.cu:50-87) -----------------------------
-        d = _dz_minus(vz) / dz
-        p = bz * p_vzdz[:] + az * d
-        p_vzdz[:] = p
-        dvz = d / kz + p
-
-        d = _dx_minus(vx) / dx
-        p = bx * p_vxdx[:] + ax * d
-        p_vxdx[:] = p
-        dvx = d / kx + p
-
-        amp = stf_ref[i, it]
-        s_amp = cfg.src_scale * dt * amp
-        szz = szz_s[:] + mask * ((lp2m * dvz + lam * dvx) * dt) + src_hot * s_amp
-        sxx = (sxx_s[:] + mask * ((lam * dvz + lp2m * dvx) * dt)
-               + src_hot * (rxz * s_amp))
-        szz_s[:] = szz
-        sxx_s[:] = sxx
-
-        d = _dz_plus(vx) / dz
-        p = bzh * p_vxdz[:] + azh * d
-        p_vxdz[:] = p
-        dvxz = d / kzh + p
-
-        d = _dx_plus(vz) / dx
-        p = bxh * p_vzdx[:] + axh * d
-        p_vzdx[:] = p
-        dvzx = d / kxh + p
-
-        sxz = sxz_s[:] + mask * (avemu * (dvxz + dvzx) * dt)
-        sxz_s[:] = sxz
-
-        # -- velocity update (el_velocity.cu:45-82) --------------------------
-        d = _dz_plus(szz) / dz
-        p = bzh * p_szzdz[:] + azh * d
-        p_szzdz[:] = p
-        dszz = d / kzh + p
-
-        d = _dx_minus(sxz) / dx
-        p = bx * p_sxzdx[:] + ax * d
-        p_sxzdx[:] = p
-        dsxzx = d / kx + p
-
-        vz = vz + mask * ((dszz + dsxzx) * byca * dt)
-        vz_s[:] = vz
-
-        d = _dz_minus(sxz) / dz
-        p = bz * p_sxzdz[:] + az * d
-        p_sxzdz[:] = p
-        dsxzz = d / kz + p
-
-        d = _dx_plus(sxx) / dx
-        p = bxh * p_sxxdx[:] + axh * d
-        p_sxxdx[:] = p
-        dsxx = d / kxh + p
-
-        vx = vx + mask * ((dsxzz + dsxx) * bycb * dt)
-        vx_s[:] = vx
-
-        # -- record (utilities.cu:593-703), receivers on one row -------------
-        # rec_row / rec_x0 are static: plain slices on the field values.
-        # Samples land in a 2-slot VMEM ring; full chunks are DMA'd to HBM
-        # (keeps VMEM use independent of nt).
-        r = it + 1
-        k = r // REC_CHUNK
-        pos = r % REC_CHUNK
-        sl = (rec_row, slice(rec_x0, rec_x0 + n_rec))
-        rec_buf[0, pos, :n_rec] = szz[sl] + sxx[sl]
-        rec_buf[1, pos, :n_rec] = vx[sl]
-        rec_buf[2, pos, :n_rec] = vz[sl]
-        rec_buf[3, pos, :n_rec] = vx[sl] - vx[rec_row,
-                                              rec_x0 - 1:rec_x0 - 1 + n_rec]
-
-        # synchronous chunk flush: ~2 us stall every REC_CHUNK steps
-        @pl.when((pos == REC_CHUNK - 1) | (r == cfg.nt - 1))
-        def _flush():
-            cp = pltpu.make_async_copy(
-                rec_buf,
-                data_out_ref.at[i, :, pl.ds(k * REC_CHUNK, REC_CHUNK), :],
-                rec_sem)
-            cp.start()
-            cp.wait()
-            rec_buf[:] = jnp.zeros_like(rec_buf)
-
-        return 0
-
-    jax.lax.fori_loop(0, cfg.nt - 1, body, 0)
-
-
 class RowSurvey(NamedTuple):
     """Static fast-path acquisition: receivers on one row, contiguous x."""
 
@@ -226,48 +124,533 @@ def check_row_survey(rec_z: np.ndarray, rec_x: np.ndarray) -> RowSurvey | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Pure one-step physics on VALUES (shared by forward and vjp-adjoint kernels)
+# ---------------------------------------------------------------------------
+
+def _step_values(cfg: SimConfig, rs: RowSurvey, prof, mask, src_hot, rxz,
+                 fields, psi, mats, amp):
+    """One leapfrog step (el_stress.cu:50-87 + el_velocity.cu:45-82 + source
+    + recording), as a pure function so `jax.vjp` of it yields the exact
+    one-step adjoint inside the backward kernel."""
+    (vz, vx, szz, sxx, sxz) = fields
+    (p_vzdz, p_vxdx, p_vxdz, p_vzdx, p_szzdz, p_sxzdx, p_sxzdz, p_sxxdx) = psi
+    (lam, lp2m, avemu, byca, bycb) = mats
+    (kz, az, bz, kzh, azh, bzh, kx, ax, bx, kxh, axh, bxh) = prof
+    dt, dz, dx = cfg.dt, cfg.dz, cfg.dx
+
+    d = _dz_minus(vz) / dz
+    p_vzdz = bz * p_vzdz + az * d
+    dvz = d / kz + p_vzdz
+    d = _dx_minus(vx) / dx
+    p_vxdx = bx * p_vxdx + ax * d
+    dvx = d / kx + p_vxdx
+
+    s_amp = cfg.src_scale * dt * amp
+    szz = szz + mask * ((lp2m * dvz + lam * dvx) * dt) + src_hot * s_amp
+    sxx = sxx + mask * ((lam * dvz + lp2m * dvx) * dt) + src_hot * (rxz * s_amp)
+
+    d = _dz_plus(vx) / dz
+    p_vxdz = bzh * p_vxdz + azh * d
+    dvxz = d / kzh + p_vxdz
+    d = _dx_plus(vz) / dx
+    p_vzdx = bxh * p_vzdx + axh * d
+    dvzx = d / kxh + p_vzdx
+    sxz = sxz + mask * (avemu * (dvxz + dvzx) * dt)
+
+    d = _dz_plus(szz) / dz
+    p_szzdz = bzh * p_szzdz + azh * d
+    dszz = d / kzh + p_szzdz
+    d = _dx_minus(sxz) / dx
+    p_sxzdx = bx * p_sxzdx + ax * d
+    dsxzx = d / kx + p_sxzdx
+    vz = vz + mask * ((dszz + dsxzx) * byca * dt)
+
+    d = _dz_minus(sxz) / dz
+    p_sxzdz = bz * p_sxzdz + az * d
+    dsxzz = d / kz + p_sxzdz
+    d = _dx_plus(sxx) / dx
+    p_sxxdx = bxh * p_sxxdx + axh * d
+    dsxx = d / kxh + p_sxxdx
+    vx = vx + mask * ((dsxzz + dsxx) * bycb * dt)
+
+    # Recording as a masked sublane reduction producing FULL-WIDTH (1, nx)
+    # rows: its transpose is a sublane broadcast (Mosaic-lowerable), whereas
+    # a row gather or a 1-D slice would transpose to scatter / 1-D pad,
+    # which Mosaic rejects.  The receiver window is sliced OUTSIDE the
+    # kernel; the cotangent arrives pre-placed at lanes [rec_x0, rec_x0+R).
+    rr = rs.rec_row
+    zi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 0)
+    row_hot = (zi == rr).astype(jnp.float32)
+    row = lambda f: jnp.sum(f * row_hot, axis=0, keepdims=True)  # (1, nx)
+    przr = row(szz) + row(sxx)
+    vxr = row(vx)
+    vzr = row(vz)
+    recs = (przr, vxr, vzr, vxr - _roll(vxr, 1, 1))
+    new_fields = (vz, vx, szz, sxx, sxz)
+    new_psi = (p_vzdz, p_vxdx, p_vxdz, p_vzdx, p_szzdz, p_sxzdx, p_sxzdz,
+               p_sxxdx)
+    return new_fields, new_psi, recs
+
+
+def _masks(cfg, src_z, src_x):
+    zi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 1)
+    mask = ((zi >= 2) & (zi <= cfg.nz - 3) & (xi >= 2) & (xi <= cfg.nx - 3)
+            ).astype(jnp.float32)
+    src_hot = ((zi == src_z) & (xi == src_x)).astype(jnp.float32)
+    interior = ((zi >= cfg.npml) & (zi <= cfg.nz - 1 - cfg.npml)
+                & (xi >= cfg.npml) & (xi <= cfg.nx - 1 - cfg.npml)
+                ).astype(jnp.float32)
+    return mask, src_hot, interior
+
+
+def _strip_bounds(cfg):
+    z0 = cfg.npml - 2
+    z1 = cfg.nz - cfg.npml - 3
+    x0 = cfg.npml - 2
+    x1 = cfg.nx - cfg.npml - 3
+    return z0, z1, x0, x1
+
+
+def _read_consts(refs):
+    return tuple(r[:] for r in refs)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel (shared body; optionally saves boundary strips)
+# ---------------------------------------------------------------------------
+
+def _fwd_body(cfg, rs, save_strips,
+              srcz_ref, srcx_ref, rxz_ref, stf_ref,
+              mat_refs, prof_refs,
+              data_out_ref, lr_out_ref, tb_out_ref, ffin_out_ref,
+              field_s, psi_s, rec_buf, rec_sem, lr_buf, tb_buf, strip_sem):
+    i = pl.program_id(0)
+    src_z = srcz_ref[i]
+    src_x = srcx_ref[i]
+    rxz = rxz_ref[i]
+    mask, src_hot, _ = _masks(cfg, src_z, src_x)
+    mats = _read_consts(mat_refs)
+    prof = _read_consts(prof_refs)
+    z0, z1, x0, x1 = _strip_bounds(cfg)
+    L = STRIP_L
+    n_rec = rs.n_rec
+
+    for s in (*field_s, *psi_s, rec_buf):
+        s[:] = jnp.zeros_like(s)
+
+    def body(it, _):
+        fields = tuple(s[:] for s in field_s)
+
+        if save_strips and not DEBUG_SKIP_STRIP_PACK:
+            # pack strips of the PRE-update state (libCUFD.cu:272):
+            # left/right columns -> 10 lanes per field of lr_buf (nz, 128);
+            # top/bottom rows -> 10 sublanes per field of tb_buf (56, nx)
+            for f_idx, fld in enumerate(fields):
+                c = f_idx * 2 * L
+                lr_buf[0, :cfg.nz, c:c + L] = fld[:, x0:x0 + L]
+                lr_buf[0, :cfg.nz, c + L:c + 2 * L] = fld[:, x1:x1 + L]
+                tb_buf[0, c:c + L, :cfg.nx] = fld[z0:z0 + L, :]
+                tb_buf[0, c + L:c + 2 * L, :cfg.nx] = fld[z1:z1 + L, :]
+            if not DEBUG_SKIP_STRIP_DMA:
+                cp1 = pltpu.make_async_copy(
+                    lr_buf, lr_out_ref.at[i, pl.ds(it, 1)], strip_sem.at[0])
+                cp2 = pltpu.make_async_copy(
+                    tb_buf, tb_out_ref.at[i, pl.ds(it, 1)], strip_sem.at[1])
+                cp1.start()
+                cp2.start()
+                cp1.wait()
+                cp2.wait()
+
+        psi = tuple(s[:] for s in psi_s)
+        amp = stf_ref[i, it]
+        new_fields, new_psi, recs = _step_values(
+            cfg, rs, prof, mask, src_hot, rxz, fields, psi, mats, amp)
+        for s, v in zip(field_s, new_fields):
+            s[:] = v
+        for s, v in zip(psi_s, new_psi):
+            s[:] = v
+
+        # recordings land in a VMEM ring; full chunks are DMA'd to HBM
+        r = it + 1
+        k = r // REC_CHUNK
+        pos = r % REC_CHUNK
+        for c in range(4):
+            rec_buf[c, pos, :cfg.nx] = recs[c][0]
+
+        @pl.when((pos == REC_CHUNK - 1) | (r == cfg.nt - 1))
+        def _flush():
+            cp = pltpu.make_async_copy(
+                rec_buf,
+                data_out_ref.at[i, :, pl.ds(k * REC_CHUNK, REC_CHUNK), :],
+                rec_sem)
+            cp.start()
+            cp.wait()
+            rec_buf[:] = jnp.zeros_like(rec_buf)
+
+        return 0
+
+    jax.lax.fori_loop(0, cfg.nt - 1, body, 0)
+
+    if save_strips:
+        # final fields -> HBM (the backward sweep's starting state)
+        for f_idx, s in enumerate(field_s):
+            ffin_out_ref[0, f_idx] = s[:]
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _profiles(cfg):
+    cp = cpml_mod.cpml_profiles(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
+                                cfg.dt, cfg.f0, dtype=np.float32)
+    return tuple(jnp.asarray(p) for p in (cp.kz, cp.az, cp.bz, cp.kz_h,
+                                          cp.az_h, cp.bz_h, cp.kx, cp.ax,
+                                          cp.bx, cp.kx_h, cp.ax_h, cp.bx_h))
+
+
+def _nt_pad(cfg):
+    return ((cfg.nt + REC_CHUNK - 1) // REC_CHUNK) * REC_CHUNK
+
+
+def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
+                 src_z, src_x, rxz, save_strips: bool):
+    S = stf.shape[0]
+    f32 = jnp.float32
+    mat = material_fields(lam.astype(f32), mu.astype(f32), rho.astype(f32))
+    prof = _profiles(cfg)
+    nt_pad = _nt_pad(cfg)
+    R_pad = _pad128(cfg.nx)
+
+    out_shape = [jax.ShapeDtypeStruct((S, 4, nt_pad, R_pad), f32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if save_strips:
+        out_shape += [
+            jax.ShapeDtypeStruct((S, cfg.nt, _pad8(cfg.nz), LANE),
+                                 f32),                                 # lr
+            jax.ShapeDtypeStruct((S, cfg.nt, TB_ROWS, _pad128(cfg.nx)),
+                                 f32),                                 # tb
+            jax.ShapeDtypeStruct((S, N_FIELDS, cfg.nz, cfg.nx), f32),  # final
+        ]
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, N_FIELDS, cfg.nz, cfg.nx),
+                         lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    scratch = ([pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13
+               + [pltpu.VMEM((4, REC_CHUNK, R_pad), f32),
+                  pltpu.SemaphoreType.DMA(())])
+    if save_strips:
+        scratch += [pltpu.VMEM((1, _pad8(cfg.nz), LANE), f32),
+                    pltpu.VMEM((1, TB_ROWS, _pad128(cfg.nx)), f32),
+                    pltpu.SemaphoreType.DMA((2,))]
+
+    def kernel(*args):
+        srcz, srcx, rxz_r, stf_r = args[:4]
+        mat_refs = args[4:9]
+        prof_refs = args[9:21]
+        pos = 21
+        data_out = args[pos]
+        pos += 1
+        if save_strips:
+            lr_out, tb_out, ffin = args[pos:pos + 3]
+            pos += 3
+        else:
+            lr_out = tb_out = ffin = None
+        field_s = args[pos:pos + 5]
+        psi_s = args[pos + 5:pos + 13]
+        rec_buf, rec_sem = args[pos + 13:pos + 15]
+        if save_strips:
+            lr_buf, tb_buf, strip_sem = args[pos + 15:pos + 18]
+        else:
+            lr_buf = tb_buf = strip_sem = None
+        _fwd_body(cfg, rs, save_strips, srcz, srcx, rxz_r, stf_r,
+                  mat_refs, prof_refs, data_out, lr_out, tb_out, ffin,
+                  field_s, psi_s, rec_buf, rec_sem, lr_buf, tb_buf, strip_sem)
+
+    # distinct kernel names per variant (avoids any name-keyed compile-cache
+    # collision in remote-compile setups)
+    kernel.__name__ = f"elastic_fwd_kernel_save{int(save_strips)}"
+    kernel.__qualname__ = kernel.__name__
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    interp = _interpret()
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
+      jnp.asarray(rxz, f32), stf.astype(f32),
+      mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b, *prof)
+
+    data = jnp.swapaxes(
+        outs[0][:, :, :cfg.nt, rs.rec_x0:rs.rec_x0 + rs.n_rec], 2, 3)
+    if save_strips:
+        return data, outs[1], outs[2], outs[3]
+    return data
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def forward_pallas(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
                    src_z, src_x, rxz):
     """All-shots fused forward.  stf: (S, nt); src_z/src_x/rxz: (S,).
     Returns data (S, 4, n_rec, nt) float32."""
+    return _run_forward(cfg, rs, lam, mu, rho, stf, src_z, src_x, rxz,
+                        save_strips=False)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _inject_strips_refs(field_refs, lr_buf, tb_buf, cfg, which):
+    """Overwrite the 5-deep edge strips of the selected field REFS from the
+    staging buffers (field_to_bnd, Boundary.cu:78-101).  Ref stores with
+    static slices lower cleanly in Mosaic (value-level dynamic_update_slice
+    / .at[].set do not)."""
+    z0, z1, x0, x1 = _strip_bounds(cfg)
+    L = STRIP_L
+    nx = cfg.nx
+    nz = cfg.nz
+    for f_idx in which:
+        ref = field_refs[f_idx]
+        c = f_idx * 2 * L
+        ref[:, x0:x0 + L] = lr_buf[:nz, c:c + L]
+        ref[:, x1:x1 + L] = lr_buf[:nz, c + L:c + 2 * L]
+        ref[z0:z0 + L, :] = tb_buf[c:c + L, :nx]
+        ref[z1:z1 + L, :] = tb_buf[c + L:c + 2 * L, :nx]
+
+
+def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
+                srcz_ref, srcx_ref, rxz_ref, stf_ref,
+                *args):
+    mat_refs = args[0:5]
+    prof_refs = args[5:17]
+    ffin_ref = args[17]
+    lr_in = args[18]
+    tb_in = args[19]
+    ddata_in = args[20]
+    gmat_out = args[21]
+    dstf_out = args[22]
+    field_s = args[23:28]
+    adj_f_s = args[28:33]
+    adj_p_s = args[33:41]
+    lr_buf, tb_buf, drec_buf = args[41:44]
+    sems = args[44]
+
+    i = pl.program_id(0)
+    src_z = srcz_ref[i]
+    src_x = srcx_ref[i]
+    rxz = rxz_ref[i]
+    mask, src_hot, interior = _masks(cfg, src_z, src_x)
+    mats = _read_consts(mat_refs)
+    prof = _read_consts(prof_refs)
+    (lam, lp2m, avemu, byca, bycb) = mats
+    dt, dz, dx = cfg.dt, cfg.dz, cfg.dx
+    n_rec = rs.n_rec
+
+    @pl.when(i == 0)
+    def _init_gmat():
+        gmat_out[:] = jnp.zeros_like(gmat_out)
+
+    # start from the saved final fields (DMA'd from HBM); adjoint = zero
+    for f_idx, s in enumerate(field_s):
+        cp = pltpu.make_async_copy(ffin_ref.at[i, f_idx], s, sems.at[0])
+        cp.start()
+        cp.wait()
+    for s in (*adj_f_s, *adj_p_s):
+        s[:] = jnp.zeros_like(s)
+
+    zero_psi = tuple(jnp.zeros((cfg.nz, cfg.nx), jnp.float32)
+                     for _ in range(8))
+
+    def step_fn(fields, psi, mats_, amp):
+        return _step_values(cfg, rs, prof, mask, src_hot, rxz, fields, psi,
+                            mats_, amp)
+
+    def body(idx, _):
+        it = cfg.nt - 2 - idx
+        r = it + 1
+        k = r // REC_CHUNK
+        pos = r % REC_CHUNK
+
+        # refill the data-cotangent chunk when crossing a chunk boundary
+        @pl.when((pos == REC_CHUNK - 1) | (idx == 0))
+        def _load_chunk():
+            cp = pltpu.make_async_copy(
+                ddata_in.at[i, :, pl.ds(k * REC_CHUNK, REC_CHUNK), :],
+                drec_buf, sems.at[2])
+            cp.start()
+            cp.wait()
+
+        # strips of state_t
+        cp1 = pltpu.make_async_copy(lr_in.at[i, it], lr_buf, sems.at[0])
+        cp2 = pltpu.make_async_copy(tb_in.at[i, it], tb_buf, sems.at[1])
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+
+        # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) -------------
+        (vz, vx, szz, sxx, sxz) = tuple(s[:] for s in field_s)
+        # velocity reverse (interior, no CPML; el_velocity.cu:84-98)
+        dvz = (_dz_plus(szz) / dz + _dx_minus(sxz) / dx)
+        dvx = (_dz_minus(sxz) / dz + _dx_plus(sxx) / dx)
+        field_s[0][:] = vz - interior * (dvz * byca * dt)
+        field_s[1][:] = vx - interior * (dvx * bycb * dt)
+        _inject_strips_refs(field_s, lr_buf, tb_buf, cfg, which=(0, 1))
+        vz, vx = field_s[0][:], field_s[1][:]
+        # subtract source
+        amp = stf_ref[i, it]
+        s_amp = cfg.src_scale * dt * amp
+        szz = szz - src_hot * s_amp
+        sxx = sxx - src_hot * (rxz * s_amp)
+        # stress reverse (el_stress.cu:89-104)
+        dvz_dz = _dz_minus(vz) / dz
+        dvx_dx = _dx_minus(vx) / dx
+        field_s[2][:] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
+        field_s[3][:] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
+        dvx_dz = _dz_plus(vx) / dz
+        dvz_dx = _dx_plus(vz) / dx
+        field_s[4][:] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
+        _inject_strips_refs(field_s, lr_buf, tb_buf, cfg, which=(2, 3, 4))
+        fields_t = tuple(s[:] for s in field_s)
+
+        # ---- exact one-step adjoint via vjp of the step ---------------------
+        _, vjp_fn = jax.vjp(step_fn, fields_t, zero_psi, mats, amp)
+        adj_f = tuple(s[:] for s in adj_f_s)
+        adj_p = tuple(s[:] for s in adj_p_s)
+        d_rec = tuple(drec_buf[c, pl.ds(pos, 1), :cfg.nx]
+                      for c in range(4))
+        d_fields, d_psi, d_mats, d_amp = vjp_fn((adj_f, adj_p, d_rec))
+        for s, v in zip(adj_f_s, d_fields):
+            s[:] = v
+        for s, v in zip(adj_p_s, d_psi):
+            s[:] = v
+        for f_idx, v in enumerate(d_mats):
+            gmat_out[f_idx] = gmat_out[f_idx] + v
+        dstf_out[i, it] = d_amp
+        return 0
+
+    dstf_out[i, cfg.nt - 1] = 0.0
+    jax.lax.fori_loop(0, cfg.nt - 1, body, 0)
+
+
+def _run_backward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
+                  src_z, src_x, rxz, ffin, lr, tb, d_data):
     S = stf.shape[0]
     f32 = jnp.float32
     mat = material_fields(lam.astype(f32), mu.astype(f32), rho.astype(f32))
-    cp = cpml_mod.cpml_profiles(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
-                                cfg.dt, cfg.f0, dtype=np.float32)
+    prof = _profiles(cfg)
+    nt_pad = _nt_pad(cfg)
+    R_pad = _pad128(cfg.nx)
 
-    nt_pad = ((cfg.nt + REC_CHUNK - 1) // REC_CHUNK) * REC_CHUNK
+    # cotangent (S, 4, R, nt) -> (S, 4, nt_pad, nx_pad) with the receiver
+    # samples placed at lanes [rec_x0, rec_x0 + R) of full-width rows
+    dd = jnp.zeros((S, 4, nt_pad, R_pad), f32)
+    dd = dd.at[:, :, :cfg.nt, rs.rec_x0:rs.rec_x0 + rs.n_rec].set(
+        jnp.swapaxes(d_data.astype(f32), 2, 3))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(S,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        scratch_shapes=[pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13
-        + [pltpu.VMEM((4, REC_CHUNK, _pad128(rs.n_rec)), f32),
-           pltpu.SemaphoreType.DMA(())],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 17
+            + [pl.BlockSpec(memory_space=pltpu.HBM),
+               pl.BlockSpec(memory_space=pltpu.HBM),
+               pl.BlockSpec(memory_space=pltpu.HBM),
+               pl.BlockSpec(memory_space=pltpu.HBM)]),
+        out_specs=[
+            pl.BlockSpec((N_FIELDS, cfg.nz, cfg.nx),
+                         lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            # d_stf: scalar per step -> whole array in SMEM (scalar
+            # stores are only supported to SMEM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 5      # primal fields
+            + [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13   # adjoint fields+psi
+            + [pltpu.VMEM((_pad8(cfg.nz), LANE), f32),
+               pltpu.VMEM((TB_ROWS, _pad128(cfg.nx)), f32),
+               pltpu.VMEM((4, REC_CHUNK, R_pad), f32),
+               pltpu.SemaphoreType.DMA((3,))]),
     )
-
-    kernel = functools.partial(_forward_kernel, cfg, rs.rec_row, rs.rec_x0,
-                               rs.n_rec)
-    out_shape = [jax.ShapeDtypeStruct((S, 4, nt_pad, _pad128(rs.n_rec)), f32)]
-
-    # interpret mode lets the CPU test suite exercise the kernel
-    interpret = jax.default_backend() != "tpu"
-    outs = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((N_FIELDS, cfg.nz, cfg.nx), f32),  # gmat
+        jax.ShapeDtypeStruct((S, nt_pad), f32),                 # d_stf
+    ]
+    kernel = functools.partial(_bwd_kernel, cfg, rs)
+    interp = _interpret()
+    gmat, d_stf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
       jnp.asarray(rxz, f32), stf.astype(f32),
-      mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b,
-      jnp.asarray(cp.kz), jnp.asarray(cp.az), jnp.asarray(cp.bz),
-      jnp.asarray(cp.kz_h), jnp.asarray(cp.az_h), jnp.asarray(cp.bz_h),
-      jnp.asarray(cp.kx), jnp.asarray(cp.ax), jnp.asarray(cp.bx),
-      jnp.asarray(cp.kx_h), jnp.asarray(cp.ax_h), jnp.asarray(cp.bx_h))
+      mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b, *prof,
+      ffin, lr, tb, dd)
 
-    # (S, 4, nt_pad, R_pad) -> (S, 4, R, nt)
-    return jnp.swapaxes(outs[0][:, :, :cfg.nt, :rs.n_rec], 2, 3)
+    # restrict to the interior (the reconstruction is only exact there) and
+    # chain back through the staggered material averaging
+    mzi = (jnp.arange(cfg.nz) >= cfg.npml) & (jnp.arange(cfg.nz)
+                                              <= cfg.nz - 1 - cfg.npml)
+    mxi = (jnp.arange(cfg.nx) >= cfg.npml) & (jnp.arange(cfg.nx)
+                                              <= cfg.nx - 1 - cfg.npml)
+    m = (mzi[:, None] & mxi[None, :]).astype(f32)
+    from sep2023_tpu.medium import MatFields
+    gmat_t = MatFields(lam=gmat[0] * m, lp2m=gmat[1] * m, ave_mu=gmat[2] * m,
+                       byc_a=gmat[3] * m, byc_b=gmat[4] * m)
+    _, mat_vjp = jax.vjp(material_fields, lam.astype(f32), mu.astype(f32),
+                         rho.astype(f32))
+    d_lam, d_mu, d_rho = mat_vjp(gmat_t)
+    return d_lam, d_mu, d_rho, d_stf[:, :cfg.nt]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def propagate_pallas(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
+                     src_z, src_x, rxz):
+    """Differentiable fused-Pallas propagator: data (S, 4, n_rec, nt).
+    Gradients w.r.t. lam, mu, rho, stf via the in-kernel boundary-saving
+    adjoint."""
+    return _run_forward(cfg, rs, lam, mu, rho, stf, src_z, src_x, rxz,
+                        save_strips=False)
+
+
+def _pp_fwd(cfg, rs, lam, mu, rho, stf, src_z, src_x, rxz):
+    data, lr, tb, ffin = _run_forward(cfg, rs, lam, mu, rho, stf,
+                                      src_z, src_x, rxz, save_strips=True)
+    return data, (lam, mu, rho, stf, src_z, src_x, rxz, ffin, lr, tb)
+
+
+def _pp_bwd(cfg, rs, res, d_data):
+    lam, mu, rho, stf, src_z, src_x, rxz, ffin, lr, tb = res
+    d_lam, d_mu, d_rho, d_stf = _run_backward(
+        cfg, rs, lam, mu, rho, stf, src_z, src_x, rxz, ffin, lr, tb, d_data)
+    f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+    return (d_lam.astype(lam.dtype), d_mu.astype(mu.dtype),
+            d_rho.astype(rho.dtype), d_stf.astype(stf.dtype),
+            f0(src_z), f0(src_x), jnp.zeros_like(jnp.asarray(rxz)))
+
+
+propagate_pallas.defvjp(_pp_fwd, _pp_bwd)

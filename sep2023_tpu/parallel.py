@@ -99,10 +99,89 @@ def make_sharded_misfit(cfg: SimConfig, mesh: Mesh,
     return loss
 
 
+def make_pallas_misfit(cfg: SimConfig, survey: Survey,
+                       channels: Sequence[str] = ("ett",),
+                       shot_chunk: int = 0):
+    """Fused-Pallas engine loss: loss(lam, mu, rho, stf, obs, weights).
+
+    Requires the fast-path survey layout (receivers on one row, contiguous
+    x — the reference's surveyGen geometry).  shot_chunk > 0 bounds the
+    boundary-strip residual memory by processing shots in groups.
+    """
+    from sep2023_tpu.ops import pallas_engine as pe
+
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
+                             survey.rec_x + cfg.npml)
+    if rs is None:
+        raise ValueError("survey does not satisfy the Pallas fast path "
+                         "(single receiver row, contiguous x)")
+    sz = jnp.asarray(survey.src_z + cfg.npml, jnp.int32)
+    sx = jnp.asarray(survey.src_x + cfg.npml, jnp.int32)
+    rz = jnp.asarray(survey.src_rxz, jnp.float32)
+    S = survey.n_shots
+    chunk = shot_chunk if shot_chunk and shot_chunk < S else S
+
+    def loss(lam, mu, rho, stf, obs, weights):
+        total = jnp.float32(0.0)
+        for c0 in range(0, S, chunk):
+            c1 = min(c0 + chunk, S)
+            syn = pe.propagate_pallas(cfg, rs, lam, mu, rho,
+                                      stf[c0:c1], sz[c0:c1], sx[c0:c1],
+                                      rz[c0:c1])
+            per_shot = jax.vmap(lambda o, s_: mf.l2_misfit(
+                o, s_, channels=channels))(obs[c0:c1], syn)
+            total = total + jnp.sum(weights[c0:c1] * per_shot)
+        return total
+
+    return loss
+
+
 def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",)):
     """Single-device (vmap only) variant with the same signature."""
 
     def loss(lam, mu, rho, stf, geoms, obs, weights):
+        syn = jax.vmap(lambda s, g: propagate(cfg, lam, mu, rho, s, g))(
+            stf, geoms)
+        per_shot = jax.vmap(
+            lambda o, s: mf.l2_misfit(o, s, channels=channels))(obs, syn)
+        return jnp.sum(weights * per_shot)
+
+    return loss
+
+
+def mesh_2d(n_shot: int, n_x: int, devices=None) -> Mesh:
+    """2-D device mesh: data-parallel shots x spatial domain decomposition."""
+    devs = jax.devices() if devices is None else devices
+    assert len(devs) >= n_shot * n_x
+    return Mesh(np.array(devs[:n_shot * n_x]).reshape(n_shot, n_x),
+                ("shot", "x"))
+
+
+def make_dd_misfit(cfg: SimConfig, mesh: Mesh,
+                   channels: Sequence[str] = ("ett",)):
+    """Shot-parallel + spatially-decomposed loss on a ('shot', 'x') mesh.
+
+    The model's x-axis is sharded across the 'x' mesh axis; GSPMD inserts
+    the 2-cell halo exchanges (collective-permutes over ICI) that the
+    O(4) stencil slices require — the wave-equation analogue of tensor
+    parallelism, expressed purely as sharding annotations (no manual halo
+    code; cf. the jax scaling-book recipe: pick a mesh, annotate, let XLA
+    insert collectives).
+
+    Differentiable; grads come out replicated.  Use under jit.
+    """
+    from jax.sharding import NamedSharding
+
+    model_s = NamedSharding(mesh, P(None, "x"))
+    shot_s = NamedSharding(mesh, P("shot"))
+    wsc = jax.lax.with_sharding_constraint
+
+    def loss(lam, mu, rho, stf, geoms, obs, weights):
+        lam = wsc(lam, model_s)
+        mu = wsc(mu, model_s)
+        rho = wsc(rho, model_s)
+        stf = wsc(stf, shot_s)
+        obs = wsc(obs, shot_s)
         syn = jax.vmap(lambda s, g: propagate(cfg, lam, mu, rho, s, g))(
             stf, geoms)
         per_shot = jax.vmap(

@@ -51,3 +51,52 @@ def test_pallas_matches_xla_engine():
         scale = np.abs(ref[:, c]).max()
         rel = np.abs(out[:, c] - ref[:, c]).max() / scale
         assert rel < 2e-5, (c, rel)
+
+
+def test_pallas_gradient_matches_xla_engine():
+    """The in-kernel boundary-saving adjoint (propagate_pallas) must match
+    the XLA engine's custom_vjp gradients (both f32, interpret mode)."""
+    from sep2023_tpu.ops import misfit as mf
+
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=140, dt=0.002, f0=10.0, npml=npml)
+    vp_a = jnp.full(cfg.grid.shape, 3000.0).at[28:34, 36:48].add(250.0)
+    med = st.Medium(vp_a, vp_a / jnp.sqrt(3.0),
+                    jnp.full(cfg.grid.shape, 2500.0))
+    lam = med.lam.astype(jnp.float32)
+    mu = med.mu.astype(jnp.float32)
+    rho = med.rho.astype(jnp.float32)
+    survey = Survey(src_z=np.array([2, 2]), src_x=np.array([12, 36]),
+                    rec_z=np.full(20, 34), rec_x=np.arange(14, 34))
+    geoms = parallel.survey_to_geoms(survey, npml, dtype=jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    rs = pe.check_row_survey(survey.rec_z + npml, survey.rec_x + npml)
+    sz = jnp.asarray(survey.src_z + npml)
+    sx = jnp.asarray(survey.src_x + npml)
+    rz = jnp.asarray(survey.src_rxz)
+
+    obs = pe.forward_pallas(cfg, rs, lam * 1.03, mu, rho, stf, sz, sx, rz)
+
+    def loss_pal(l, m, r, s):
+        return mf.l2_misfit(obs, pe.propagate_pallas(
+            cfg, rs, l, m, r, s, sz, sx, rz))
+
+    def loss_xla(l, m, r, s):
+        syn = jax.vmap(lambda si, g: st.propagate(cfg, l, m, r, si, g))(
+            s, geoms)
+        return mf.l2_misfit(obs, syn)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(lam, mu, rho, stf)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(lam, mu, rho, stf)
+    m = 2
+    sl = (slice(npml + m, cfg.nz - npml - m),
+          slice(npml + m, cfg.nx - npml - m))
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_pal, g_xla):
+        if name != "stf":
+            a, b = a[sl], b[sl]
+        scale = np.abs(np.asarray(b)).max() + 1e-30
+        rel = np.abs(np.asarray(a - b)).max() / scale
+        assert rel < 5e-4, (name, rel)

@@ -52,6 +52,26 @@ def test_sharded_matches_local(problem):
         assert np.abs(np.asarray(a - b)).max() / scale < 1e-8
 
 
+def test_dd_2d_mesh_matches_local(problem):
+    """Shot x spatial-domain 2-D mesh (GSPMD halo exchanges) must reproduce
+    the single-device misfit and gradients."""
+    cfg, lam, mu, rho, stf, geoms, obs, w = problem
+    sl = lambda a: a[:4]
+    stf4, geoms4, obs4, w4 = sl(stf), jax.tree.map(sl, geoms), sl(obs), sl(w)
+    mesh2 = par.mesh_2d(4, 2)
+    loss_dd = par.make_dd_misfit(cfg, mesh2)
+    loss_lo = par.make_local_misfit(cfg)
+    args = (lam, mu, rho, stf4, geoms4, obs4, w4)
+    f_dd = float(jax.jit(loss_dd)(*args))
+    f_lo = float(jax.jit(loss_lo)(*args))
+    assert np.isclose(f_dd, f_lo, rtol=1e-9)
+    g_dd = jax.jit(jax.grad(loss_dd, argnums=(0, 1, 2)))(*args)
+    g_lo = jax.jit(jax.grad(loss_lo, argnums=(0, 1, 2)))(*args)
+    for a, b in zip(g_dd, g_lo):
+        scale = np.abs(np.asarray(b)).max() + 1e-30
+        assert np.abs(np.asarray(a - b)).max() / scale < 1e-8
+
+
 def test_pad_shots_zero_weight(problem):
     cfg, lam, mu, rho, stf, geoms, obs, w = problem
     # drop to 5 shots, pad back to 8: padded loss must equal the 5-shot loss
