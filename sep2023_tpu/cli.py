@@ -146,6 +146,22 @@ def cmd_invert(args):
         print("data written; exiting (--generate_data)")
         return
 
+    if args.src_update:
+        # spectral (Wiener) source correction from the initial model's
+        # synthetics — the reference's if_src_update capability
+        # (source_update, utilities.cu:905-978)
+        from sep2023_tpu.ops import signal as sg
+        lam_i, mu_i, rho_i = head.apply(
+            {k: jnp.asarray(v, dtype) for k, v in init_params.items()})
+        syn0 = fwd(lam_i, mu_i, rho_i, stf, geoms)
+
+        def upd(o, s_, w_):
+            W = sg.source_update_filter(o[3], s_[3])
+            return sg.apply_source_filter(w_, W)
+
+        stf = jax.vmap(upd)(obs, syn0, stf)
+        print("source wavelets updated (Wiener spectral correction)")
+
     w = jnp.ones((survey.n_shots,), dtype)
     bad = [c for c in args.channels if c not in st.CHANNELS]
     if bad:
@@ -225,6 +241,8 @@ def main(argv=None):
     i.add_argument("--iprint", type=int, default=-1)
     i.add_argument("--engine", default="auto",
                    choices=("auto", "xla", "pallas"))
+    i.add_argument("--src-update", action="store_true",
+                   help="Wiener spectral source correction before inversion")
     i.add_argument("--shot-chunk", type=int, default=10,
                    help="shots per Pallas gradient call (bounds strip memory)")
     i.set_defaults(fn=cmd_invert)

@@ -35,6 +35,35 @@ def l2_misfit(obs, syn, channels: Sequence[str] = ("ett",), weights=None):
     return 0.5 * jnp.sum(r * r)
 
 
+def make_preprocessed_l2(channels=("ett",), dt=None, filter_corners=None,
+                         window=None, win_ratio=0.005):
+    """L2 misfit with the reference's optional data preconditioning chain
+    applied identically to observed and synthetic data: taper window
+    (`cuda_window`, utilities.cu:790-884; para flag if_win) and trapezoid
+    band-pass (`bp_filter1d`, utilities.cu:733-763; para flag filter).
+
+    Because the chain is differentiable, the adjoint source automatically
+    includes the re-filter/re-window steps the reference applies to the
+    residual (`libCUFD.cu:444-457`).
+    """
+    from sep2023_tpu.ops import signal as sg
+
+    def loss(obs, syn):
+        if window is not None or filter_corners is not None:
+            nt = obs.shape[-1]
+            if window is not None:
+                w = sg.taper_window(nt, dt, window[0], window[1],
+                                    ratio=win_ratio, dtype=obs.dtype)
+                obs = obs * w
+                syn = syn * w
+            if filter_corners is not None:
+                obs = sg.bandpass(obs, dt, filter_corners)
+                syn = sg.bandpass(syn, dt, filter_corners)
+        return l2_misfit(obs, syn, channels=channels)
+
+    return loss
+
+
 def trace_normalize(d, eps=1e-12):
     n = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
     return d / (n + eps)

@@ -58,6 +58,7 @@ SUBLANE = 8
 DEBUG_SKIP_STRIP_PACK = False
 DEBUG_SKIP_STRIP_DMA = False
 REC_CHUNK = 128
+DREC_CHUNK = 64
 STRIP_L = 5          # boundary strip depth (Boundary.cu:19)
 N_FIELDS = 5
 TB_ROWS = 56         # 5 fields * 10 strip rows, padded to a sublane multiple
@@ -296,7 +297,7 @@ def _fwd_body(cfg, rs, save_strips,
     if save_strips:
         # final fields -> HBM (the backward sweep's starting state)
         for f_idx, s in enumerate(field_s):
-            ffin_out_ref[0, f_idx] = s[:]
+            ffin_out_ref[0, f_idx, :cfg.nz, :cfg.nx] = s[:]
 
 
 def _interpret():
@@ -332,12 +333,13 @@ def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
                                  f32),                                 # lr
             jax.ShapeDtypeStruct((S, cfg.nt, TB_ROWS, _pad128(cfg.nx)),
                                  f32),                                 # tb
-            jax.ShapeDtypeStruct((S, N_FIELDS, cfg.nz, cfg.nx), f32),  # final
+            jax.ShapeDtypeStruct((S, N_FIELDS, _pad8(cfg.nz),
+                                  _pad128(cfg.nx)), f32),              # final
         ]
         out_specs += [
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, N_FIELDS, cfg.nz, cfg.nx),
+            pl.BlockSpec((1, N_FIELDS, _pad8(cfg.nz), _pad128(cfg.nx)),
                          lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -449,8 +451,8 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
     field_s = args[23:28]
     adj_f_s = args[28:33]
     adj_p_s = args[33:41]
-    lr_buf, tb_buf, drec_buf = args[41:44]
-    sems = args[44]
+    lr_buf, tb_buf, drec_buf, ffin_stage = args[41:45]
+    sems = args[45]
 
     i = pl.program_id(0)
     src_z = srcz_ref[i]
@@ -467,11 +469,13 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
     def _init_gmat():
         gmat_out[:] = jnp.zeros_like(gmat_out)
 
-    # start from the saved final fields (DMA'd from HBM); adjoint = zero
+    # start from the saved final fields: one tile-aligned DMA into the
+    # padded staging scratch, then unpad into the field scratch
+    cp = pltpu.make_async_copy(ffin_ref.at[i], ffin_stage, sems.at[0])
+    cp.start()
+    cp.wait()
     for f_idx, s in enumerate(field_s):
-        cp = pltpu.make_async_copy(ffin_ref.at[i, f_idx], s, sems.at[0])
-        cp.start()
-        cp.wait()
+        s[:] = ffin_stage[f_idx, :cfg.nz, :cfg.nx]
     for s in (*adj_f_s, *adj_p_s):
         s[:] = jnp.zeros_like(s)
 
@@ -485,14 +489,14 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
     def body(idx, _):
         it = cfg.nt - 2 - idx
         r = it + 1
-        k = r // REC_CHUNK
-        pos = r % REC_CHUNK
+        k = r // DREC_CHUNK
+        pos = r % DREC_CHUNK
 
         # refill the data-cotangent chunk when crossing a chunk boundary
-        @pl.when((pos == REC_CHUNK - 1) | (idx == 0))
+        @pl.when((pos == DREC_CHUNK - 1) | (idx == 0))
         def _load_chunk():
             cp = pltpu.make_async_copy(
-                ddata_in.at[i, :, pl.ds(k * REC_CHUNK, REC_CHUNK), :],
+                ddata_in.at[i, :, pl.ds(k * DREC_CHUNK, DREC_CHUNK), :],
                 drec_buf, sems.at[2])
             cp.start()
             cp.wait()
@@ -586,7 +590,8 @@ def _run_backward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
             + [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13   # adjoint fields+psi
             + [pltpu.VMEM((_pad8(cfg.nz), LANE), f32),
                pltpu.VMEM((TB_ROWS, _pad128(cfg.nx)), f32),
-               pltpu.VMEM((4, REC_CHUNK, R_pad), f32),
+               pltpu.VMEM((4, DREC_CHUNK, R_pad), f32),
+               pltpu.VMEM((N_FIELDS, _pad8(cfg.nz), _pad128(cfg.nx)), f32),
                pltpu.SemaphoreType.DMA((3,))]),
     )
     out_shape = [
