@@ -31,8 +31,12 @@ from sep2023_tpu import models, optimize, parallel
 from sep2023_tpu.config import Survey
 
 
+WAVELETS = {"ricker": st.ricker, "ricker_int": st.ricker_integrated,
+            "klauder": st.klauder}
+
+
 def benchmark_problem(nz=101, nx=201, dz=20.0, dx=20.0, nt=1501, dt=0.002,
-                      f0=10.0, npml=32, dtype=jnp.float32):
+                      f0=10.0, npml=32, dtype=jnp.float32, wavelet="ricker"):
     """The reference GPU benchmark workload (Main-000/001: 101x201 grid,
     19 shots at z=1, 181 receivers at z=95, nt=1501)."""
     cfg = st.SimConfig(nz=nz + 2 * npml, nx=nx + 2 * npml, dz=dz, dx=dx,
@@ -42,7 +46,8 @@ def benchmark_problem(nz=101, nx=201, dz=20.0, dx=20.0, nt=1501, dt=0.002,
                     rec_z=np.full(nx - 20, 95), rec_x=np.arange(10, nx - 10))
     geoms = parallel.survey_to_geoms(survey, npml, dtype=dtype)
     stf = jnp.broadcast_to(
-        jnp.asarray(st.ricker(f0, nt, dt), dtype), (survey.n_shots, nt))
+        jnp.asarray(WAVELETS[wavelet](f0, nt, dt), dtype),
+        (survey.n_shots, nt))
     return cfg, survey, geoms, stf
 
 
@@ -50,12 +55,35 @@ def cmd_forward(args):
     dtype = jnp.float32
     cfg, survey, geoms, stf = benchmark_problem(
         nz=args.nz, nx=args.nx, dz=args.dz, dx=args.dx, nt=args.nt,
-        dt=args.dt, f0=args.f0, npml=args.npml)
+        dt=args.dt, f0=args.f0, npml=args.npml, wavelet=args.wavelet)
     vp, vs, rho = models.anomaly_vp_vs_rho(args.nz, args.nx)
     med = st.Medium(jnp.asarray(st.medium.pad_model_np(vp, cfg.npml), dtype),
                     jnp.asarray(st.medium.pad_model_np(vs, cfg.npml), dtype),
                     jnp.asarray(st.medium.pad_model_np(rho, cfg.npml), dtype))
     cfg.check_stability(float(vp.max()))
+
+    if args.physics == "acoustic":
+        # the standalone CLI's acoustic branch (main.cu:180-197)
+        from sep2023_tpu.acoustic import AcGeom, propagate_acoustic
+        ac_geoms = AcGeom(src_z=geoms.src_z, src_x=geoms.src_x,
+                          rec_z=geoms.rec_z, rec_x=geoms.rec_x)
+        lam_ac = med.rho * med.vp ** 2
+        fwd = jax.jit(lambda lam, rho_, s, g: jax.vmap(
+            lambda si, gi: propagate_acoustic(cfg, lam, rho_, si, gi))(s, g))
+        t0 = time.perf_counter()
+        data3 = fwd(lam_ac, med.rho, stf, ac_geoms)
+        np.asarray(jax.device_get(data3.ravel()[0]))
+        t_run = time.perf_counter() - t0
+        print(f"acoustic forward: {survey.n_shots} shots in {t_run:.2f}s "
+              f"(incl. compile)")
+        if args.data_dir:
+            # keep the 4-channel Shot_* format; ett is zero in acoustic mode
+            d = np.zeros((survey.n_shots, 4, survey.n_rec, cfg.nt),
+                         np.float32)
+            d[:, :3] = np.asarray(data3)
+            sio.write_shots(args.data_dir, d)
+            print(f"wrote {survey.n_shots} shots to {args.data_dir}")
+        return
 
     fwd = jax.jit(lambda lam, mu, rho_, s, g: jax.vmap(
         lambda si, gi: st.propagate(cfg, lam, mu, rho_, si, gi))(s, g))
@@ -88,7 +116,8 @@ def cmd_invert(args):
         jax.config.update("jax_enable_x64", True)
     cfg, survey, geoms, stf = benchmark_problem(
         nz=args.nz, nx=args.nx, dz=args.dz, dx=args.dx, nt=args.nt,
-        dt=args.dt, f0=args.f0, npml=args.npml, dtype=dtype)
+        dt=args.dt, f0=args.f0, npml=args.npml, dtype=dtype,
+        wavelet=args.wavelet)
     grid = cfg.grid
     os.makedirs(args.exp_name, exist_ok=True)
 
@@ -167,9 +196,11 @@ def cmd_invert(args):
     if bad:
         raise SystemExit(f"unknown channel(s) {bad}; choose from {st.CHANNELS}")
 
+    from sep2023_tpu.ops import pallas_engine as pe
     use_pallas = args.engine == "pallas" or (
         args.engine == "auto" and not args.x64
-        and jax.default_backend() == "tpu")
+        and jax.default_backend() == "tpu"
+        and pe.grad_vmem_fits(cfg))
     if use_pallas:
         try:
             loss_data_p = parallel.make_pallas_misfit(
@@ -226,9 +257,13 @@ def main(argv=None):
     common.add_argument("--dt", type=float, default=0.002)
     common.add_argument("--f0", type=float, default=10.0)
     common.add_argument("--npml", type=int, default=32)
+    common.add_argument("--wavelet", default="ricker",
+                        choices=("ricker", "ricker_int", "klauder"))
 
     f = sub.add_parser("forward", parents=[common])
     f.add_argument("--data-dir", default="")
+    f.add_argument("--physics", default="elastic",
+                   choices=("elastic", "acoustic"))
     f.set_defaults(fn=cmd_forward)
 
     i = sub.add_parser("invert", parents=[common])

@@ -101,13 +101,21 @@ class Survey:
     All shots share the receiver spread (as in `fwi_utils.py:87-124`).
     src_rxz is the sxx/szz source moment ratio (default 1.0: isotropic
     explosive source, `utilities.cu:524-552`).
+
+    Optional per-trace metadata (the survey-JSON win_start/win_end/weights /
+    src_weight entries parsed by `Src_Rec.cu:145-200`): pass them to
+    `ops.misfit` as window bounds / multiplicative trace weights.
     """
 
     src_z: np.ndarray  # (S,) int
     src_x: np.ndarray  # (S,) int
     rec_z: np.ndarray  # (R,) int
     rec_x: np.ndarray  # (R,) int
-    src_rxz: Optional[np.ndarray] = None  # (S,) float
+    src_rxz: Optional[np.ndarray] = None   # (S,) float
+    win_start: Optional[np.ndarray] = None  # (S, R) samples
+    win_end: Optional[np.ndarray] = None    # (S, R) samples
+    trace_weights: Optional[np.ndarray] = None  # (S, R)
+    src_weights: Optional[np.ndarray] = None    # (S,)
 
     def __post_init__(self):
         self.src_z = np.asarray(self.src_z, dtype=np.int32)
@@ -131,7 +139,7 @@ class Survey:
     def to_json(self, fname: str) -> None:
         survey = {"nShots": self.n_shots}
         for i in range(self.n_shots):
-            survey[f"shot{i}"] = {
+            shot = {
                 "z_src": int(self.src_z[i]),
                 "x_src": int(self.src_x[i]),
                 "nrec": self.n_rec,
@@ -139,6 +147,14 @@ class Survey:
                 "x_rec": self.rec_x.tolist(),
                 "src_rxz": float(self.src_rxz[i]),
             }
+            if self.win_start is not None:
+                shot["win_start"] = np.asarray(self.win_start[i]).tolist()
+                shot["win_end"] = np.asarray(self.win_end[i]).tolist()
+            if self.trace_weights is not None:
+                shot["weights"] = np.asarray(self.trace_weights[i]).tolist()
+            if self.src_weights is not None:
+                shot["src_weight"] = float(self.src_weights[i])
+            survey[f"shot{i}"] = shot
         with open(fname, "w") as fp:
             json.dump(survey, fp)
 
@@ -148,12 +164,18 @@ class Survey:
             d = json.load(fp)
         n = d["nShots"]
         shots = [d[f"shot{i}"] for i in range(n)]
+        opt = lambda key: (np.array([s[key] for s in shots])
+                           if key in shots[0] else None)
         return cls(
             src_z=np.array([s["z_src"] for s in shots]),
             src_x=np.array([s["x_src"] for s in shots]),
             rec_z=np.array(shots[0]["z_rec"]),
             rec_x=np.array(shots[0]["x_rec"]),
             src_rxz=np.array([s.get("src_rxz", 1.0) for s in shots]),
+            win_start=opt("win_start"),
+            win_end=opt("win_end"),
+            trace_weights=opt("weights"),
+            src_weights=opt("src_weight"),
         )
 
 

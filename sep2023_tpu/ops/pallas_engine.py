@@ -117,6 +117,19 @@ class RowSurvey(NamedTuple):
     n_rec: int
 
 
+def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = 14 * 2 ** 20) -> bool:
+    """Rough VMEM estimate for the BACKWARD kernel (the tighter of the two):
+    23 full (nz, nx) arrays + staging buffers must fit under ~14 MB of the
+    16 MB scoped-VMEM budget (headroom for Mosaic's vjp temporaries)."""
+    grid = _pad8(cfg.nz) * _pad128(cfg.nx) * 4
+    total = (23 * grid                              # primal+adjoint+psi, gmat
+             + N_FIELDS * grid                      # ffin staging
+             + _pad8(cfg.nz) * LANE * 4             # lr strips
+             + TB_ROWS * _pad128(cfg.nx) * 4        # tb strips
+             + 4 * DREC_CHUNK * _pad128(cfg.nx) * 4)  # cotangent ring
+    return total < budget_bytes
+
+
 def check_row_survey(rec_z: np.ndarray, rec_x: np.ndarray) -> RowSurvey | None:
     rec_z = np.asarray(rec_z)
     rec_x = np.asarray(rec_x)
