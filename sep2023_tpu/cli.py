@@ -42,8 +42,12 @@ def benchmark_problem(nz=101, nx=201, dz=20.0, dx=20.0, nt=1501, dt=0.002,
     cfg = st.SimConfig(nz=nz + 2 * npml, nx=nx + 2 * npml, dz=dz, dx=dx,
                        nt=nt, dt=dt, f0=f0, npml=npml)
     src_x = np.arange(10, nx - 10, 10)
+    # receiver row: 95 on the reference's 101-row grid, scaled to smaller
+    # grids (out-of-range indices would be silently clamped by jnp gathers)
+    rec_z = min(95, nz - 6)
     survey = Survey(src_z=np.ones(len(src_x)), src_x=src_x,
-                    rec_z=np.full(nx - 20, 95), rec_x=np.arange(10, nx - 10))
+                    rec_z=np.full(nx - 20, rec_z),
+                    rec_x=np.arange(10, nx - 10))
     geoms = parallel.survey_to_geoms(survey, npml, dtype=dtype)
     stf = jnp.broadcast_to(
         jnp.asarray(WAVELETS[wavelet](f0, nt, dt), dtype),

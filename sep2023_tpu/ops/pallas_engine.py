@@ -59,6 +59,7 @@ DEBUG_SKIP_STRIP_PACK = False
 DEBUG_SKIP_STRIP_DMA = False
 REC_CHUNK = 128
 DREC_CHUNK = 64
+STRIP_CHUNK = 4      # steps of boundary strips per DMA (amortizes stalls)
 STRIP_L = 5          # boundary strip depth (Boundary.cu:19)
 N_FIELDS = 5
 TB_ROWS = 56         # 5 fields * 10 strip rows, padded to a sublane multiple
@@ -258,24 +259,33 @@ def _fwd_body(cfg, rs, save_strips,
         fields = tuple(s[:] for s in field_s)
 
         if save_strips and not DEBUG_SKIP_STRIP_PACK:
-            # pack strips of the PRE-update state (libCUFD.cu:272):
-            # left/right columns -> 10 lanes per field of lr_buf (nz, 128);
-            # top/bottom rows -> 10 sublanes per field of tb_buf (56, nx)
+            # pack strips of the PRE-update state (libCUFD.cu:272) into the
+            # current slot of a STRIP_CHUNK-step staging buffer:
+            # left/right columns -> 10 lanes per field of lr_buf slot;
+            # top/bottom rows -> 10 sublanes per field of tb_buf slot
+            sp = it % STRIP_CHUNK
+            sk = it // STRIP_CHUNK
             for f_idx, fld in enumerate(fields):
                 c = f_idx * 2 * L
-                lr_buf[0, :cfg.nz, c:c + L] = fld[:, x0:x0 + L]
-                lr_buf[0, :cfg.nz, c + L:c + 2 * L] = fld[:, x1:x1 + L]
-                tb_buf[0, c:c + L, :cfg.nx] = fld[z0:z0 + L, :]
-                tb_buf[0, c + L:c + 2 * L, :cfg.nx] = fld[z1:z1 + L, :]
+                lr_buf[sp, :cfg.nz, c:c + L] = fld[:, x0:x0 + L]
+                lr_buf[sp, :cfg.nz, c + L:c + 2 * L] = fld[:, x1:x1 + L]
+                tb_buf[sp, c:c + L, :cfg.nx] = fld[z0:z0 + L, :]
+                tb_buf[sp, c + L:c + 2 * L, :cfg.nx] = fld[z1:z1 + L, :]
             if not DEBUG_SKIP_STRIP_DMA:
-                cp1 = pltpu.make_async_copy(
-                    lr_buf, lr_out_ref.at[i, pl.ds(it, 1)], strip_sem.at[0])
-                cp2 = pltpu.make_async_copy(
-                    tb_buf, tb_out_ref.at[i, pl.ds(it, 1)], strip_sem.at[1])
-                cp1.start()
-                cp2.start()
-                cp1.wait()
-                cp2.wait()
+                @pl.when((sp == STRIP_CHUNK - 1) | (it == cfg.nt - 2))
+                def _flush_strips():
+                    cp1 = pltpu.make_async_copy(
+                        lr_buf,
+                        lr_out_ref.at[i, pl.ds(sk * STRIP_CHUNK, STRIP_CHUNK)],
+                        strip_sem.at[0])
+                    cp2 = pltpu.make_async_copy(
+                        tb_buf,
+                        tb_out_ref.at[i, pl.ds(sk * STRIP_CHUNK, STRIP_CHUNK)],
+                        strip_sem.at[1])
+                    cp1.start()
+                    cp2.start()
+                    cp1.wait()
+                    cp2.wait()
 
         psi = tuple(s[:] for s in psi_s)
         amp = stf_ref[i, it]
@@ -361,8 +371,8 @@ def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
                + [pltpu.VMEM((4, REC_CHUNK, R_pad), f32),
                   pltpu.SemaphoreType.DMA(())])
     if save_strips:
-        scratch += [pltpu.VMEM((1, _pad8(cfg.nz), LANE), f32),
-                    pltpu.VMEM((1, TB_ROWS, _pad128(cfg.nx)), f32),
+        scratch += [pltpu.VMEM((STRIP_CHUNK, _pad8(cfg.nz), LANE), f32),
+                    pltpu.VMEM((STRIP_CHUNK, TB_ROWS, _pad128(cfg.nx)), f32),
                     pltpu.SemaphoreType.DMA((2,))]
 
     def kernel(*args):
@@ -432,7 +442,7 @@ def forward_pallas(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _inject_strips_refs(field_refs, lr_buf, tb_buf, cfg, which):
+def _inject_strips_refs(field_refs, lr_buf, tb_buf, sp, cfg, which):
     """Overwrite the 5-deep edge strips of the selected field REFS from the
     staging buffers (field_to_bnd, Boundary.cu:78-101).  Ref stores with
     static slices lower cleanly in Mosaic (value-level dynamic_update_slice
@@ -444,10 +454,10 @@ def _inject_strips_refs(field_refs, lr_buf, tb_buf, cfg, which):
     for f_idx in which:
         ref = field_refs[f_idx]
         c = f_idx * 2 * L
-        ref[:, x0:x0 + L] = lr_buf[:nz, c:c + L]
-        ref[:, x1:x1 + L] = lr_buf[:nz, c + L:c + 2 * L]
-        ref[z0:z0 + L, :] = tb_buf[c:c + L, :nx]
-        ref[z1:z1 + L, :] = tb_buf[c + L:c + 2 * L, :nx]
+        ref[:, x0:x0 + L] = lr_buf[sp, :nz, c:c + L]
+        ref[:, x1:x1 + L] = lr_buf[sp, :nz, c + L:c + 2 * L]
+        ref[z0:z0 + L, :] = tb_buf[sp, c:c + L, :nx]
+        ref[z1:z1 + L, :] = tb_buf[sp, c + L:c + 2 * L, :nx]
 
 
 def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
@@ -514,13 +524,21 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
             cp.start()
             cp.wait()
 
-        # strips of state_t
-        cp1 = pltpu.make_async_copy(lr_in.at[i, it], lr_buf, sems.at[0])
-        cp2 = pltpu.make_async_copy(tb_in.at[i, it], tb_buf, sems.at[1])
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
+        # strips of state_t: load a STRIP_CHUNK-step block when entering it
+        sp = it % STRIP_CHUNK
+        sk = it // STRIP_CHUNK
+        @pl.when((sp == STRIP_CHUNK - 1) | (idx == 0))
+        def _load_strips():
+            cp1 = pltpu.make_async_copy(
+                lr_in.at[i, pl.ds(sk * STRIP_CHUNK, STRIP_CHUNK)],
+                lr_buf, sems.at[0])
+            cp2 = pltpu.make_async_copy(
+                tb_in.at[i, pl.ds(sk * STRIP_CHUNK, STRIP_CHUNK)],
+                tb_buf, sems.at[1])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
 
         # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) -------------
         (vz, vx, szz, sxx, sxz) = tuple(s[:] for s in field_s)
@@ -529,7 +547,7 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
         dvx = (_dz_minus(sxz) / dz + _dx_plus(sxx) / dx)
         field_s[0][:] = vz - interior * (dvz * byca * dt)
         field_s[1][:] = vx - interior * (dvx * bycb * dt)
-        _inject_strips_refs(field_s, lr_buf, tb_buf, cfg, which=(0, 1))
+        _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg, which=(0, 1))
         vz, vx = field_s[0][:], field_s[1][:]
         # subtract source
         amp = stf_ref[i, it]
@@ -544,7 +562,8 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
         dvx_dz = _dz_plus(vx) / dz
         dvz_dx = _dx_plus(vz) / dx
         field_s[4][:] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
-        _inject_strips_refs(field_s, lr_buf, tb_buf, cfg, which=(2, 3, 4))
+        _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg,
+                            which=(2, 3, 4))
         fields_t = tuple(s[:] for s in field_s)
 
         # ---- exact one-step adjoint via vjp of the step ---------------------
@@ -601,8 +620,8 @@ def _run_backward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
         scratch_shapes=(
             [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 5      # primal fields
             + [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13   # adjoint fields+psi
-            + [pltpu.VMEM((_pad8(cfg.nz), LANE), f32),
-               pltpu.VMEM((TB_ROWS, _pad128(cfg.nx)), f32),
+            + [pltpu.VMEM((STRIP_CHUNK, _pad8(cfg.nz), LANE), f32),
+               pltpu.VMEM((STRIP_CHUNK, TB_ROWS, _pad128(cfg.nx)), f32),
                pltpu.VMEM((4, DREC_CHUNK, R_pad), f32),
                pltpu.VMEM((N_FIELDS, _pad8(cfg.nz), _pad128(cfg.nx)), f32),
                pltpu.SemaphoreType.DMA((3,))]),
