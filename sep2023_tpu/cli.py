@@ -226,16 +226,65 @@ def cmd_invert(args):
             {k: jnp.asarray(v, dtype) for k, v in full.items()})
         return loss_data(lam, mu, rho, stf, geoms, obs, w)
 
-    obj = optimize.ScipyObjective(
-        loss, {k: init_params[k] for k in invert_names},
-        bounds={k: bounds[k] for k in invert_names} if bounds else None)
-    logger = optimize.InversionLogger(
-        os.path.join(args.exp_name, "Results"), obj)
-    print(f"L-BFGS-B: {args.niter} iterations, head={args.head}")
-    res = optimize.lbfgsb(obj, maxiter=args.niter, callback=logger,
-                          disp=True, iprint=args.iprint)
-    print(f"final misfit {res.fun:.6e} after {res.nit} iterations "
-          f"({obj.n_evals} evaluations)")
+    start_params = {k: init_params[k] for k in invert_names}
+    if args.resume:
+        # resume from the latest snapshot (the reference resumes manually
+        # from its per-iteration .mat dumps, Main-001:137-154)
+        import glob
+        snaps = sorted(glob.glob(os.path.join(args.exp_name, "Results",
+                                              "model_*.npz")))
+        if snaps:
+            with np.load(snaps[-1]) as z:
+                for k in invert_names:
+                    if k in z.files:
+                        start_params[k] = z[k]
+            print(f"resumed from {snaps[-1]}")
+
+    # multiscale frequency continuation: the reference's per-stage band-pass
+    # list (Main-001:46-51); each stage re-filters obs+syn with a wider band
+    stages = ([None] if not args.multiscale else
+              [(0.0, 1e-4, 2.0, hf) for hf in (2.5, 3.5, 4.5, 5.5, 6.5, 7.5)])
+    iters_per_stage = max(1, args.niter // len(stages))
+
+    from sep2023_tpu.ops import misfit as mfops
+    base_loss = loss
+    iter_offset = 0
+
+    for istage, corners in enumerate(stages):
+        if corners is None:
+            stage_loss = base_loss
+        else:
+            pre = mfops.make_preprocessed_l2(channels=tuple(args.channels),
+                                             dt=cfg.dt,
+                                             filter_corners=corners)
+
+            def stage_loss(params, _pre=pre):
+                full = dict(init_params)
+                full.update(params)
+                lam, mu, rho = head.apply(
+                    {k: jnp.asarray(v, dtype) for k, v in full.items()})
+                syn = jax.vmap(lambda s, g: st.propagate(
+                    cfg, lam, mu, rho, s, g))(stf, geoms)
+                per_shot = jax.vmap(_pre)(obs, syn)
+                return jnp.sum(w * per_shot)
+
+            print(f"multiscale stage {istage + 1}/{len(stages)}: "
+                  f"band {corners}")
+
+        obj = optimize.ScipyObjective(
+            stage_loss, start_params,
+            bounds={k: bounds[k] for k in invert_names} if bounds else None)
+        logger = optimize.InversionLogger(
+            os.path.join(args.exp_name, "Results"), obj,
+            start_iter=iter_offset)
+        print(f"L-BFGS-B: {iters_per_stage} iterations, head={args.head}")
+        res = optimize.lbfgsb(obj, maxiter=iters_per_stage, callback=logger,
+                              disp=True, iprint=args.iprint)
+        iter_offset = logger.it
+        start_params = {k: np.asarray(v)
+                        for k, v in obj.unpack(res.x).items()}
+        print(f"stage misfit {res.fun:.6e} after {res.nit} iterations "
+              f"({obj.n_evals} evaluations)")
 
 
 def cmd_bench(args):
@@ -282,6 +331,11 @@ def main(argv=None):
                    choices=("auto", "xla", "pallas"))
     i.add_argument("--src-update", action="store_true",
                    help="Wiener spectral source correction before inversion")
+    i.add_argument("--multiscale", action="store_true",
+                   help="frequency-continuation over the reference's "
+                        "band-pass stages (Main-001:46-51)")
+    i.add_argument("--resume", action="store_true",
+                   help="resume from the latest Results/model_*.npz")
     i.add_argument("--shot-chunk", type=int, default=10,
                    help="shots per Pallas gradient call (bounds strip memory)")
     i.set_defaults(fn=cmd_invert)

@@ -92,11 +92,11 @@ class InversionLogger:
     (`Main-001:137-154`); enables manual resume like the reference."""
 
     def __init__(self, result_dir: str, objective: ScipyObjective,
-                 save_every: int = 1):
+                 save_every: int = 1, start_iter: int = 0):
         self.dir = result_dir
         self.obj = objective
         self.save_every = save_every
-        self.it = 0
+        self.it = start_iter
         self.loss_history = []
         os.makedirs(result_dir, exist_ok=True)
 
