@@ -9,6 +9,7 @@ vs_baseline is measured throughput over the 1 GCell-updates/s/chip target
 from BASELINE.md (the reference publishes no numbers of its own).
 """
 import json
+import os
 import sys
 import time
 
@@ -52,6 +53,13 @@ def _time(fn, *args, repeats=3):
 def main():
     st, cfg, survey, geoms, stf, med = _build()
 
+    # structured tracing (replaces the reference's ad-hoc chrono timers,
+    # main.cu:122-125): SEP2023_TPU_PROFILE=<dir> writes a jax.profiler
+    # trace viewable in TensorBoard/Perfetto
+    prof_dir = os.environ.get("SEP2023_TPU_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+
     fwd = jax.jit(lambda lam, mu, rho, s, g: jax.vmap(
         lambda si, gi: st.propagate(cfg, lam, mu, rho, si, gi))(s, g))
     t_fwd, data = _time(fwd, med.lam, med.mu, med.rho, stf, geoms)
@@ -93,6 +101,9 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    if prof_dir:
+        jax.profiler.stop_trace()
+
     print(json.dumps(result))
     return result
 

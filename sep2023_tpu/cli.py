@@ -286,6 +286,23 @@ def cmd_invert(args):
         print(f"stage misfit {res.fun:.6e} after {res.nit} iterations "
               f"({obj.n_evals} evaluations)")
 
+    if args.scratch_dir:
+        # final synthetics / residuals / conditioned obs, the reference's
+        # if_save_scratch dumps (libCUFD.cu:732-752)
+        full = dict(init_params)
+        full.update(start_params)
+        lam, mu, rho = head.apply(
+            {k: jnp.asarray(v, dtype) for k, v in full.items()})
+        syn = np.asarray(fwd(lam, mu, rho, stf, geoms))
+        res_d = np.array(np.asarray(obs) - syn)
+        res_d[..., 0] = 0.0
+        os.makedirs(args.scratch_dir, exist_ok=True)
+        sio.write_shots(os.path.join(args.scratch_dir, "Syn"), syn)
+        sio.write_shots(os.path.join(args.scratch_dir, "Residual"), res_d)
+        sio.write_shots(os.path.join(args.scratch_dir, "CondObs"),
+                        np.asarray(obs))
+        print(f"scratch dumps written to {args.scratch_dir}")
+
 
 def cmd_bench(args):
     import importlib.util
@@ -336,6 +353,9 @@ def main(argv=None):
                         "band-pass stages (Main-001:46-51)")
     i.add_argument("--resume", action="store_true",
                    help="resume from the latest Results/model_*.npz")
+    i.add_argument("--scratch-dir", default="",
+                   help="write final syn/residual/obs shot dumps "
+                        "(if_save_scratch, libCUFD.cu:732-752)")
     i.add_argument("--shot-chunk", type=int, default=10,
                    help="shots per Pallas gradient call (bounds strip memory)")
     i.set_defaults(fn=cmd_invert)

@@ -118,16 +118,15 @@ class RowSurvey(NamedTuple):
     n_rec: int
 
 
-def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = 14 * 2 ** 20) -> bool:
+def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = 13 * 2 ** 20) -> bool:
     """Rough VMEM estimate for the BACKWARD kernel (the tighter of the two):
-    23 full (nz, nx) arrays + staging buffers must fit under ~14 MB of the
+    23 full (nz, nx) arrays + staging buffers must fit under ~13 MB of the
     16 MB scoped-VMEM budget (headroom for Mosaic's vjp temporaries)."""
     grid = _pad8(cfg.nz) * _pad128(cfg.nx) * 4
     total = (23 * grid                              # primal+adjoint+psi, gmat
-             + N_FIELDS * grid                      # ffin staging
-             + _pad8(cfg.nz) * LANE * 4             # lr strips
-             + TB_ROWS * _pad128(cfg.nx) * 4        # tb strips
-             + 4 * DREC_CHUNK * _pad128(cfg.nx) * 4)  # cotangent ring
+             + STRIP_CHUNK * _pad8(cfg.nz) * LANE * 4      # lr strips
+             + STRIP_CHUNK * TB_ROWS * _pad128(cfg.nx) * 4  # tb strips
+             + 4 * DREC_CHUNK * _pad128(cfg.nx) * 4)        # cotangent ring
     return total < budget_bytes
 
 
@@ -474,8 +473,8 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
     field_s = args[23:28]
     adj_f_s = args[28:33]
     adj_p_s = args[33:41]
-    lr_buf, tb_buf, drec_buf, ffin_stage = args[41:45]
-    sems = args[45]
+    lr_buf, tb_buf, drec_buf = args[41:44]
+    sems = args[44]
 
     i = pl.program_id(0)
     src_z = srcz_ref[i]
@@ -492,13 +491,20 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
     def _init_gmat():
         gmat_out[:] = jnp.zeros_like(gmat_out)
 
-    # start from the saved final fields: one tile-aligned DMA into the
-    # padded staging scratch, then unpad into the field scratch
-    cp = pltpu.make_async_copy(ffin_ref.at[i], ffin_stage, sems.at[0])
-    cp.start()
-    cp.wait()
-    for f_idx, s in enumerate(field_s):
-        s[:] = ffin_stage[f_idx, :cfg.nz, :cfg.nx]
+    # start from the saved final fields: one tile-aligned DMA into a SCOPED
+    # staging buffer (released before the time loop, so it does not count
+    # against the steady-state VMEM budget)
+    def _load_ffin(stage, sem):
+        cp = pltpu.make_async_copy(ffin_ref.at[i], stage, sem)
+        cp.start()
+        cp.wait()
+        for f_idx, s in enumerate(field_s):
+            s[:] = stage[f_idx, :cfg.nz, :cfg.nx]
+
+    pl.run_scoped(
+        _load_ffin,
+        pltpu.VMEM((N_FIELDS, _pad8(cfg.nz), _pad128(cfg.nx)), jnp.float32),
+        pltpu.SemaphoreType.DMA(()))
     for s in (*adj_f_s, *adj_p_s):
         s[:] = jnp.zeros_like(s)
 
@@ -623,7 +629,6 @@ def _run_backward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
             + [pltpu.VMEM((STRIP_CHUNK, _pad8(cfg.nz), LANE), f32),
                pltpu.VMEM((STRIP_CHUNK, TB_ROWS, _pad128(cfg.nx)), f32),
                pltpu.VMEM((4, DREC_CHUNK, R_pad), f32),
-               pltpu.VMEM((N_FIELDS, _pad8(cfg.nz), _pad128(cfg.nx)), f32),
                pltpu.SemaphoreType.DMA((3,))]),
     )
     out_shape = [
