@@ -96,6 +96,49 @@ def test_weighted_das_channel_differentiable():
     assert np.abs(np.asarray(g)).max() > 0
 
 
+def test_numerical_strain_channels_match_analytic():
+    """The weighted DAS channels (exx/ezz/exz strain rates from velocity
+    differences) must reproduce the analytic 2D strain waveforms — the
+    quantitative version of the reference's visual check
+    (000-Solver-Benchmark.ipynb cell 13, including its -1 sign convention)."""
+    from sep2023_tpu import analytic as an
+
+    npml = 24
+    cfg = st.SimConfig(nz=140 + 2 * npml, nx=200 + 2 * npml, dz=10.0,
+                       dx=10.0, nt=600, dt=0.001, f0=10.0, npml=npml,
+                       das_channel="weighted")
+    vp = jnp.full(cfg.grid.shape, 4000.0)
+    med = st.Medium(vp, vp / jnp.sqrt(3.0), jnp.full(cfg.grid.shape, 2500.0))
+    src_z, src_x = npml + 30, npml + 50
+    rec_z, rec_x = npml + 100, npml + 130  # 700 m down, 800 m across
+
+    # three co-located channels with pure exx / exz / ezz sensitivity
+    stf = jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt, amp=1.0))
+    geom = st.ShotGeom(
+        src_z=jnp.int32(src_z), src_x=jnp.int32(src_x), rxz=jnp.float64(1.0),
+        rec_z=jnp.full(3, rec_z, jnp.int32),
+        rec_x=jnp.full(3, rec_x, jnp.int32),
+        das_w=jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                           [0.0, 0.0, 1.0]]))
+    data = np.asarray(st.propagate(cfg, med.lam, med.mu, med.rho, stf, geom))
+
+    t = np.arange(cfg.nt) * cfg.dt
+    sol = an.solution(4000.0, 4000.0 / np.sqrt(3.0), 2500.0,
+                      (rec_x - src_x) * cfg.dx, 0.0, (rec_z - src_z) * cfg.dz,
+                      0.0, t[-1], cfg.dt, cfg.f0, 1e16, np.eye(3),
+                      dim="2D", comp="strain")
+
+    def corr(a, b):
+        a = (a - a.mean()) / (a.std() + 1e-30)
+        b = (b - b.mean()) / (b.std() + 1e-30)
+        return float(np.mean(a * b))
+
+    n = min(cfg.nt, len(sol["Exx"]))
+    for ch, name in ((0, "Exx"), (1, "Exz"), (2, "Ezz")):
+        c = corr(data[3, ch, :n], -sol[name][:n])
+        assert c > 0.96, (name, c)
+
+
 def test_gauge_matrix():
     A = das.gauge_matrix(2, 21, 10.0)
     assert A.shape == (2, 42)
