@@ -11,7 +11,7 @@ come back in (vp, vs, rho) space via the chain rule the reference hand-codes
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

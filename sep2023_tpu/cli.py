@@ -16,7 +16,6 @@ Models/*.txt grids.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 
@@ -271,20 +270,39 @@ def cmd_invert(args):
             print(f"multiscale stage {istage + 1}/{len(stages)}: "
                   f"band {corners}")
 
-        obj = optimize.ScipyObjective(
-            stage_loss, start_params,
-            bounds={k: bounds[k] for k in invert_names} if bounds else None)
-        logger = optimize.InversionLogger(
-            os.path.join(args.exp_name, "Results"), obj,
-            start_iter=iter_offset)
-        print(f"L-BFGS-B: {iters_per_stage} iterations, head={args.head}")
-        res = optimize.lbfgsb(obj, maxiter=iters_per_stage, callback=logger,
-                              disp=True, iprint=args.iprint)
-        iter_offset = logger.it
-        start_params = {k: np.asarray(v)
-                        for k, v in obj.unpack(res.x).items()}
-        print(f"stage misfit {res.fun:.6e} after {res.nit} iterations "
-              f"({obj.n_evals} evaluations)")
+        stage_bounds = ({k: bounds[k] for k in invert_names}
+                        if bounds else None)
+        if args.optimizer == "ondevice":
+            print(f"on-device L-BFGS: {iters_per_stage} iterations, "
+                  f"head={args.head}")
+            params_out, hist = optimize.lbfgs_on_device(
+                stage_loss, start_params, iters_per_stage,
+                bounds=stage_bounds)
+            rdir = os.path.join(args.exp_name, "Results")
+            os.makedirs(rdir, exist_ok=True)
+            with open(os.path.join(rdir, "loss.txt"), "a") as fp:
+                for j, v in enumerate(hist):
+                    fp.write(f"{iter_offset + j} {v}\n")
+            iter_offset += len(hist)
+            start_params = {k: np.asarray(v) for k, v in params_out.items()}
+            np.savez(os.path.join(rdir, f"model_{iter_offset:04d}.npz"),
+                     **start_params)
+            print(f"stage misfit {hist[-1]:.6e} after {len(hist)} iterations")
+        else:
+            obj = optimize.ScipyObjective(stage_loss, start_params,
+                                          bounds=stage_bounds)
+            logger = optimize.InversionLogger(
+                os.path.join(args.exp_name, "Results"), obj,
+                start_iter=iter_offset)
+            print(f"L-BFGS-B: {iters_per_stage} iterations, head={args.head}")
+            res = optimize.lbfgsb(obj, maxiter=iters_per_stage,
+                                  callback=logger, disp=True,
+                                  iprint=args.iprint)
+            iter_offset = logger.it
+            start_params = {k: np.asarray(v)
+                            for k, v in obj.unpack(res.x).items()}
+            print(f"stage misfit {res.fun:.6e} after {res.nit} iterations "
+                  f"({obj.n_evals} evaluations)")
 
     if args.scratch_dir:
         # final synthetics / residuals / conditioned obs, the reference's
@@ -353,6 +371,10 @@ def main(argv=None):
                         "band-pass stages (Main-001:46-51)")
     i.add_argument("--resume", action="store_true",
                    help="resume from the latest Results/model_*.npz")
+    i.add_argument("--optimizer", default="scipy",
+                   choices=("scipy", "ondevice"),
+                   help="scipy L-BFGS-B (host bridge) or on-device "
+                        "projected L-BFGS (optax, no host round-trips)")
     i.add_argument("--scratch-dir", default="",
                    help="write final syn/residual/obs shot dumps "
                         "(if_save_scratch, libCUFD.cu:732-752)")

@@ -114,6 +114,60 @@ class InversionLogger:
         self.it += 1
 
 
+def lbfgs_on_device(loss_fn, params0: Dict[str, jnp.ndarray], n_iter: int,
+                    bounds: Optional[Dict[str, tuple]] = None,
+                    memory_size: int = 5):
+    """On-device L-BFGS with box projection — a TPU-native alternative to
+    the scipy bridge: parameters never leave the device (the scipy path
+    round-trips a float64 copy of the full model through the host on every
+    evaluation, like the reference's numpy<->torch<->C++ chain).
+
+    Box bounds are enforced by projection after each update (projected
+    L-BFGS rather than scipy's true L-BFGS-B active-set method — adequate
+    for the velocity/porosity box constraints used here).
+
+    Returns (params, loss_history list of floats).
+    """
+    import optax
+
+    params = {k: jnp.asarray(v) for k, v in params0.items()}
+
+    if bounds:
+        lo = {k: (jnp.asarray(bounds[k][0]) if k in bounds and
+                  bounds[k] is not None else -jnp.inf) for k in params}
+        hi = {k: (jnp.asarray(bounds[k][1]) if k in bounds and
+                  bounds[k] is not None else jnp.inf) for k in params}
+        clip = lambda p: {k: jnp.clip(p[k], lo[k], hi[k]) for k in p}
+
+        # optimize loss(clip(p)) + pullback penalty: keeps L-BFGS curvature
+        # consistent (projecting the iterates directly corrupts the memory)
+        def obj(p):
+            pc = clip(p)
+            pen = sum(jnp.sum((p[k] - pc[k]) ** 2) for k in p)
+            return loss_fn(pc) + 0.5 * pen
+    else:
+        clip = lambda p: p
+        obj = loss_fn
+
+    opt = optax.lbfgs(memory_size=memory_size)
+    state = opt.init(params)
+    value_and_grad = optax.value_and_grad_from_state(obj)
+
+    @jax.jit
+    def step(params, state):
+        value, grad = value_and_grad(params, state=state)
+        updates, state = opt.update(grad, state, params, value=value,
+                                    grad=grad, value_fn=obj)
+        params = optax.apply_updates(params, updates)
+        return params, state, value
+
+    history = []
+    for _ in range(n_iter):
+        params, state, value = step(params, state)
+        history.append(float(value))
+    return clip(params), history
+
+
 # L-BFGS-B options matching the reference driver (Main-001:157-168)
 REFERENCE_LBFGSB_OPTIONS = dict(disp=True, iprint=101, gtol=1e-16, ftol=1e-12,
                                 maxcor=5, maxfun=1500, maxls=6)

@@ -53,6 +53,24 @@ def test_eval_caching():
     assert obj.n_evals == 2
 
 
+def test_on_device_lbfgs():
+    loss, target = _quad_problem()
+    params, hist = opt.lbfgs_on_device(
+        loss, {"a": np.zeros((2, 2)), "b": np.zeros(1)}, n_iter=40)
+    assert hist[-1] < 1e-8 * max(hist[0], 1.0)
+    assert np.allclose(np.asarray(params["a"]), target["a"], atol=1e-3)
+
+
+def test_on_device_lbfgs_bounds():
+    loss, _ = _quad_problem()
+    params, hist = opt.lbfgs_on_device(
+        loss, {"a": np.zeros((2, 2)), "b": np.zeros(1)}, n_iter=40,
+        bounds={"a": (0.0, 2.5), "b": None})
+    a = np.asarray(params["a"])
+    assert a.max() <= 2.5 + 1e-9
+    assert np.allclose(a.ravel()[:2], [1.0, 2.0], atol=1e-3)
+
+
 def test_preprocessed_l2_chain():
     rng = np.random.default_rng(0)
     obs = jnp.asarray(rng.normal(size=(4, 3, 256)))
