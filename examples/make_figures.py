@@ -1,0 +1,149 @@
+"""Render the framework's key outputs as figures: true/initial/inverted
+models, FWI gradient, wavefield snapshots, and shot gathers.
+
+Run:  python examples/make_figures.py [outdir] [--exp /path/to/exp]
+
+Without --exp it runs a quick self-contained twin experiment; with --exp it
+plots the artifacts of a previous `python -m sep2023_tpu invert` run.
+"""
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+
+def plot_models(vp_true, vp_init, vp_inv, grad, outdir, dx, dz):
+    fig, axes = plt.subplots(2, 2, figsize=(12, 7), constrained_layout=True)
+    ext = [0, vp_true.shape[1] * dx / 1000, vp_true.shape[0] * dz / 1000, 0]
+    vmin, vmax = vp_true.min(), vp_true.max()
+    for ax, (arr, title) in zip(axes.flat, [
+            (vp_true, "true Vp"), (vp_init, "initial Vp"),
+            (vp_inv, "inverted Vp"), (grad, "first-iteration gradient")]):
+        if title.endswith("gradient"):
+            v = np.abs(arr).max()
+            im = ax.imshow(arr, extent=ext, cmap="seismic", vmin=-v, vmax=v)
+        else:
+            im = ax.imshow(arr, extent=ext, cmap="viridis",
+                           vmin=vmin, vmax=vmax)
+        ax.set_title(title)
+        ax.set_xlabel("x (km)")
+        ax.set_ylabel("z (km)")
+        fig.colorbar(im, ax=ax, shrink=0.8)
+    path = os.path.join(outdir, "fwi_models.png")
+    fig.savefig(path, dpi=120)
+    print("wrote", path)
+
+
+def plot_gather(data, dt, outdir):
+    fig, axes = plt.subplots(1, 4, figsize=(16, 5), constrained_layout=True)
+    names = ("pr", "vx", "vz", "ett (DAS)")
+    for c, (ax, name) in enumerate(zip(axes, names)):
+        d = data[c]
+        v = np.abs(d).max() * 0.2 + 1e-30
+        ax.imshow(d.T, aspect="auto", cmap="gray", vmin=-v, vmax=v,
+                  extent=[0, d.shape[0], d.shape[1] * dt, 0])
+        ax.set_title(name)
+        ax.set_xlabel("receiver")
+        ax.set_ylabel("t (s)")
+    path = os.path.join(outdir, "shot_gather.png")
+    fig.savefig(path, dpi=120)
+    print("wrote", path)
+
+
+def plot_snaps(snaps, outdir):
+    n = snaps.shape[0]
+    picks = np.linspace(1, n - 1, 6).astype(int)
+    fig, axes = plt.subplots(2, 3, figsize=(14, 7), constrained_layout=True)
+    v = np.abs(snaps[picks]).max() * 0.25
+    for ax, k in zip(axes.flat, picks):
+        ax.imshow(snaps[k], cmap="seismic", vmin=-v, vmax=v)
+        ax.set_title(f"snapshot {k}")
+        ax.axis("off")
+    path = os.path.join(outdir, "wavefield.png")
+    fig.savefig(path, dpi=120)
+    print("wrote", path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir", nargs="?", default="/tmp/figs")
+    ap.add_argument("--exp", default="")
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+    import sep2023_tpu as st
+    from sep2023_tpu import heads as H
+    from sep2023_tpu import models, optimize, parallel
+    from sep2023_tpu.cli import benchmark_problem
+    from sep2023_tpu.propagator import propagate_snapshots
+
+    nz, nx = 64, 128
+    cfg, survey, geoms, stf = benchmark_problem(nz=nz, nx=nx, nt=501,
+                                                npml=24)
+    vp_t, vs_t, rho_t = models.anomaly_vp_vs_rho(nz, nx)
+    vp_i = models.smooth(vp_t, 8.0)
+
+    head = H.vp_vs_rho(cfg.grid, dict(vp=vp_i, vs=vs_t, rho=rho_t),
+                       mask=H.default_mask(cfg.grid, freeze_top_rows=0))
+    apply = lambda vp: head.apply({"vp": jnp.asarray(vp),
+                                   "vs": jnp.asarray(vs_t),
+                                   "rho": jnp.asarray(rho_t)})
+    lam_t, mu_t, rr_t = apply(vp_t)
+    fwd = jax.jit(lambda l, m, r, s, g: jax.vmap(
+        lambda si, gi: st.propagate(cfg, l, m, r, si, gi))(s, g))
+    obs = fwd(lam_t, mu_t, rr_t, stf, geoms)
+    plot_gather(np.asarray(obs[len(obs) // 2]), cfg.dt, args.outdir)
+
+    # wavefield movie for the middle shot
+    gm = jax.tree.map(lambda a: a[len(survey.src_x) // 2], geoms)
+    _, snaps = propagate_snapshots(cfg, lam_t, mu_t, rr_t, stf[0], gm,
+                                   save_every=25)
+    plot_snaps(np.asarray(snaps.vz), args.outdir)
+
+    if args.exp:
+        snaps_files = sorted(glob.glob(os.path.join(args.exp, "Results",
+                                                    "model_*.npz")))
+        grads_files = sorted(glob.glob(os.path.join(args.exp, "Results",
+                                                    "grad_*.npz")))
+        with np.load(snaps_files[-1]) as z:
+            vp_inv = z["vp"]
+        grad = None
+        if grads_files:
+            with np.load(grads_files[0]) as z:
+                grad = z["vp"]
+        plot_models(vp_t, vp_i, vp_inv,
+                    grad if grad is not None else np.zeros_like(vp_t),
+                    args.outdir, cfg.dx, cfg.dz)
+        return
+
+    # quick inline inversion for the figure
+    w = jnp.ones((survey.n_shots,), jnp.float32)
+    loss_d = parallel.make_local_misfit(cfg, channels=("ett", "vx", "vz"))
+
+    def loss(p):
+        lam, mu, rr = apply(p["vp"])
+        return loss_d(lam, mu, rr, stf, geoms, obs, w)
+
+    obj = optimize.ScipyObjective(loss, {"vp": vp_i})
+    g0 = obj.unpack(np.asarray(
+        jax.grad(lambda p: loss(p))({"vp": jnp.asarray(vp_i)})["vp"]
+    ).ravel())["vp"] if False else None
+    res = optimize.lbfgsb(obj, maxiter=15, disp=False, iprint=-1)
+    vp_inv = np.asarray(obj.unpack(res.x)["vp"])
+    grad0 = obj.unpack(obj.g)["vp"]
+    plot_models(vp_t, vp_i, vp_inv, np.asarray(grad0), args.outdir,
+                cfg.dx, cfg.dz)
+    print(f"misfit {obj.fun(obj.x0):.3e} -> {res.fun:.3e}")
+
+
+if __name__ == "__main__":
+    main()
