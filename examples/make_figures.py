@@ -134,9 +134,6 @@ def main():
         return loss_d(lam, mu, rr, stf, geoms, obs, w)
 
     obj = optimize.ScipyObjective(loss, {"vp": vp_i})
-    g0 = obj.unpack(np.asarray(
-        jax.grad(lambda p: loss(p))({"vp": jnp.asarray(vp_i)})["vp"]
-    ).ravel())["vp"] if False else None
     res = optimize.lbfgsb(obj, maxiter=15, disp=False, iprint=-1)
     vp_inv = np.asarray(obj.unpack(res.x)["vp"])
     grad0 = obj.unpack(obj.g)["vp"]

@@ -53,6 +53,35 @@ def test_pallas_matches_xla_engine():
         assert rel < 2e-5, (c, rel)
 
 
+def test_pallas_matches_xla_nontrivial_rxz():
+    """Anisotropic source moment ratio (rxz != 1, the crosswell borehole
+    source of utilities.cu:537) must agree across engines."""
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=120, dt=0.002, f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0)
+    med = st.Medium(vp, vp / jnp.sqrt(3.0), jnp.full(cfg.grid.shape, 2500.0))
+    lam = med.lam.astype(jnp.float32)
+    mu = med.mu.astype(jnp.float32)
+    rho = med.rho.astype(jnp.float32)
+    survey = Survey(src_z=np.array([12]), src_x=np.array([28]),
+                    rec_z=np.full(16, 30), rec_x=np.arange(14, 30),
+                    src_rxz=np.array([3.0]))
+    geoms = parallel.survey_to_geoms(survey, npml, dtype=jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (1, cfg.nt))
+    rs = pe.check_row_survey(survey.rec_z + npml, survey.rec_x + npml)
+    out = np.asarray(pe.forward_pallas(
+        cfg, rs, lam, mu, rho, stf, survey.src_z + npml,
+        survey.src_x + npml, survey.src_rxz))
+    ref = np.asarray(jax.vmap(lambda s, g: st.propagate(
+        cfg, lam, mu, rho, s, g))(stf, geoms)).astype(np.float32)
+    for c in range(4):
+        scale = np.abs(ref[:, c]).max()
+        assert np.abs(out[:, c] - ref[:, c]).max() / scale < 2e-5
+
+
 def test_pallas_gradient_matches_xla_engine():
     """The in-kernel boundary-saving adjoint (propagate_pallas) must match
     the XLA engine's custom_vjp gradients (both f32, interpret mode)."""
