@@ -151,6 +151,39 @@ def das_response(vp, vs, rho, gauge_length, cable, nquad, src_xyz,
 
 
 # ---------------------------------------------------------------------------
+# Cable -> solver acquisition (the 2D inversion path)
+# ---------------------------------------------------------------------------
+
+def cable_to_receivers(cable: np.ndarray, dx: float, dz: float,
+                       origin=(0.0, 0.0)):
+    """Map a cable array (from arc_fiber/spline_fiber/straight_fiber, built
+    in the MATLAB x-y plane) onto the 2D solver's (z, x) grid:
+
+      cable x -> solver x,  cable y -> solver z (depth), cable z ignored
+      (the same plane identification the reference uses when feeding
+      Cable*_quad_*.dat weights to elasticSolver.py:269-276)
+
+    Returns (rec_z, rec_x, das_w): integer grid indices (PHYSICAL grid,
+    nearest node) and (npts, 3) weights for the solver's (exx, exz, ezz)
+    strain channels — columns (TxTx, 2TxTy, TyTy) of the 6-weight set.
+    """
+    ox, oz = origin
+    rec_x = np.rint((cable[:, 0] - ox) / dx).astype(np.int32)
+    rec_z = np.rint((cable[:, 1] - oz) / dz).astype(np.int32)
+    das_w = cable[:, [3, 4, 6]].astype(np.float64)
+    return rec_z, rec_x, das_w
+
+
+def apply_gauge(ett_points, A):
+    """Gauge-average per-point fiber strains: ett_points (..., npts_total,
+    nt) x A (nchan, npts_total) -> (..., nchan, nt).  Constant linear map —
+    composes differentiably with any misfit."""
+    import jax.numpy as jnp
+    return jnp.einsum("cp,...pt->...ct", jnp.asarray(A, ett_points.dtype),
+                      ett_points)
+
+
+# ---------------------------------------------------------------------------
 # Differentiable gauge averaging for the inversion path
 # ---------------------------------------------------------------------------
 

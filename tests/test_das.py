@@ -144,3 +144,54 @@ def test_gauge_matrix():
     assert A.shape == (2, 42)
     # rows sum to 1 (average of a constant strain field is itself)
     assert np.allclose(A.sum(axis=1), 1.0)
+
+
+def test_cable_to_receivers_45deg():
+    """A 45-degree straight fiber maps to (exx, exz, ezz) weights
+    (0.5, 1.0, 0.5) — T=(1,1)/sqrt(2) projected through the 6-weight set."""
+    cable = das.straight_fiber(200.0, direction=(1, 1, 0),
+                               center=(500.0, 500.0, 0.0))
+    rec_z, rec_x, w = das.cable_to_receivers(cable, 10.0, 10.0)
+    assert np.allclose(w, [0.5, 1.0, 0.5], atol=1e-10)
+    # diagonal geometry on the grid
+    assert np.all(np.abs((rec_x - rec_x[0]) - (rec_z - rec_z[0])) <= 1)
+
+
+def test_curved_fiber_gauge_fwi_gradient():
+    """End-to-end DAS FWI machinery with a curved fiber: directional
+    weighted channels -> gauge-length averaging -> L2 misfit -> model
+    gradient.  The whole chain must be differentiable and the gradient
+    must be nonzero and finite."""
+    npml = 10
+    cfg = st.SimConfig(nz=50 + 2 * npml, nx=70 + 2 * npml, dz=10.0, dx=10.0,
+                       nt=160, dt=0.001, f0=15.0, npml=npml,
+                       das_channel="weighted")
+    vp = jnp.full(cfg.grid.shape, 3000.0)
+    med = st.Medium(vp, vp / jnp.sqrt(3.0), jnp.full(cfg.grid.shape, 2500.0))
+
+    # one gauge channel: a 21-point arc fiber buried at ~300 m depth
+    cable = das.arc_fiber(100.0, 2.0 / np.pi, center=(350.0, 300.0, 0.0))
+    rec_z, rec_x, das_w = das.cable_to_receivers(cable, cfg.dx, cfg.dz)
+    A = das.gauge_matrix(1, das.N_CABLE_PTS, 100.0)
+
+    stf = jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt))
+    geom = st.ShotGeom(src_z=jnp.int32(npml + 3), src_x=jnp.int32(npml + 12),
+                       rxz=jnp.float64(1.0),
+                       rec_z=jnp.asarray(rec_z + npml, jnp.int32),
+                       rec_x=jnp.asarray(rec_x + npml, jnp.int32),
+                       das_w=jnp.asarray(das_w))
+
+    lam_t = med.lam.at[npml + 25:npml + 35, npml + 20:npml + 50].mul(1.08)
+    obs = st.propagate(cfg, lam_t, med.mu, med.rho, stf, geom)
+    obs_g = das.apply_gauge(obs[3], A)
+
+    def loss(lam):
+        syn = st.propagate(cfg, lam, med.mu, med.rho, stf, geom)
+        r = obs_g - das.apply_gauge(syn[3], A)
+        return 0.5 * jnp.sum(r * r)
+
+    v, g = jax.value_and_grad(loss)(med.lam)
+    assert float(v) > 0
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g[npml + 2:cfg.nz - npml, npml + 2:cfg.nx - npml]).max() > 0
