@@ -55,6 +55,11 @@ class ElasticPropagator:
         stf = ricker(f0, model.nt, model.dt)
         self.stf = jnp.broadcast_to(jnp.asarray(stf, dtype),
                                     (survey.n_shots, model.nt))
+        # jitted once per propagator instance (re-jitting per call would
+        # retrace every apply_forward/apply_gradient invocation)
+        self._fwd = jax.jit(lambda l, u, r, s, g: jax.vmap(
+            lambda si, gi: st.propagate(self.cfg, l, u, r, si, gi))(s, g))
+        self._vg = None
 
     def _padded(self, vp, vs, rho):
         # differentiable replicate-pad (gradient flows back to the physical
@@ -77,9 +82,7 @@ class ElasticPropagator:
         lam, mu, rr = self._padded(vp if vp is not None else m.vp,
                                    vs if vs is not None else m.vs,
                                    rho if rho is not None else m.rho)
-        fwd = jax.jit(lambda l, u, r, s, g: jax.vmap(
-            lambda si, gi: st.propagate(self.cfg, l, u, r, si, gi))(s, g))
-        return np.asarray(fwd(lam, mu, rr, self.stf, self.geoms))
+        return np.asarray(self._fwd(lam, mu, rr, self.stf, self.geoms))
 
     def apply_gradient(self, model_init: Model, obs: np.ndarray,
                        channels: Sequence[str] = ("ett",)):

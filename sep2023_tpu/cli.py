@@ -125,43 +125,8 @@ def cmd_invert(args):
     os.makedirs(args.exp_name, exist_ok=True)
 
     # --- true and initial parameter sets per head -----------------------
-    vp_t, vs_t, rho_t = models.anomaly_vp_vs_rho(args.nz, args.nx)
-    if args.head in ("rock_vrh", "rock_gassmann"):
-        phi, cc, sw = models.reservoir_pcs(args.nz, args.nx)
-        true_params = dict(phi=phi, cc=cc, sw=sw)
-        init_params = {k: models.smooth(v, 8.0) for k, v in
-                       true_params.items()}
-        bounds = dict(phi=(0.05, 0.4), cc=(0.05, 0.6), sw=(0.2, 1.0))
-        invert_names = ("phi", "cc", "sw")
-    elif args.head == "lame_rho":
-        lam_t = (vp_t ** 2 - 2 * vs_t ** 2) * rho_t
-        mu_t = vs_t ** 2 * rho_t
-        true_params = dict(lam=lam_t, mu=mu_t, rho=rho_t)
-        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
-        bounds = None
-        invert_names = ("lam", "mu", "rho")
-    elif args.head == "ip_is_rho":
-        true_params = {"ip": rho_t * vp_t, "is": rho_t * vs_t, "rho": rho_t}
-        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
-        bounds = None
-        invert_names = ("ip", "is", "rho")
-    elif args.head == "vp_vs_ip":
-        true_params = dict(vp=vp_t, vs=vs_t, ip=rho_t * vp_t)
-        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
-        bounds = None
-        invert_names = ("vp", "vs", "ip")
-    elif args.head == "vp_vs_is":
-        true_params = {"vp": vp_t, "vs": vs_t, "is": rho_t * vs_t}
-        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
-        bounds = None
-        invert_names = ("vp", "vs", "is")
-    else:  # vp_vs_rho
-        true_params = dict(vp=vp_t, vs=vs_t, rho=rho_t)
-        init_params = {k: models.smooth(v, 8.0) for k, v in true_params.items()}
-        bounds = dict(vp=(vp_t.min() - 500, vp_t.max() + 500),
-                      vs=(vs_t.min() - 300, vs_t.max() + 300),
-                      rho=(rho_t.min() - 300, rho_t.max() + 300))
-        invert_names = ("vp", "vs", "rho")
+    true_params, init_params, bounds, invert_names = \
+        models.twin_experiment_setup(args.head, args.nz, args.nx)
 
     mask = H.default_mask(grid, freeze_top_rows=4)
     head = H.HEADS[args.head](grid, init_params, mask=mask, bounds=bounds)

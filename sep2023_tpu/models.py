@@ -66,6 +66,37 @@ def anomaly_vp_vs_rho(nz: int = 101, nx: int = 201,
     return vp, vs, rho
 
 
+def twin_experiment_setup(head: str, nz: int, nx: int):
+    """True/initial parameter sets (+ bounds and invertible names) for the
+    twin experiments of the reference drivers Main-001..005, per head."""
+    vp, vs, rho = anomaly_vp_vs_rho(nz, nx)
+    sm = lambda d: {k: smooth(v, 8.0) for k, v in d.items()}
+    if head in ("rock_vrh", "rock_gassmann"):
+        phi, cc, sw = reservoir_pcs(nz, nx)
+        true = dict(phi=phi, cc=cc, sw=sw)
+        return (true, sm(true),
+                dict(phi=(0.05, 0.4), cc=(0.05, 0.6), sw=(0.2, 1.0)),
+                ("phi", "cc", "sw"))
+    if head == "lame_rho":
+        true = dict(lam=(vp ** 2 - 2 * vs ** 2) * rho, mu=vs ** 2 * rho,
+                    rho=rho)
+        return true, sm(true), None, ("lam", "mu", "rho")
+    if head == "ip_is_rho":
+        true = {"ip": rho * vp, "is": rho * vs, "rho": rho}
+        return true, sm(true), None, ("ip", "is", "rho")
+    if head == "vp_vs_ip":
+        true = dict(vp=vp, vs=vs, ip=rho * vp)
+        return true, sm(true), None, ("vp", "vs", "ip")
+    if head == "vp_vs_is":
+        true = {"vp": vp, "vs": vs, "is": rho * vs}
+        return true, sm(true), None, ("vp", "vs", "is")
+    true = dict(vp=vp, vs=vs, rho=rho)
+    bounds = dict(vp=(vp.min() - 500, vp.max() + 500),
+                  vs=(vs.min() - 300, vs.max() + 300),
+                  rho=(rho.min() - 300, rho.max() + 300))
+    return true, sm(true), bounds, ("vp", "vs", "rho")
+
+
 def reservoir_pcs(nz: int = 201, nx: int = 321
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """PCS reservoir model for the rock-physics experiments (Main-004/005):

@@ -30,6 +30,17 @@ def vs_bounds_from_cloud(vp_img: np.ndarray, cloud: np.ndarray):
     return lo, hi
 
 
+def energy_trace_weights(obs: np.ndarray, floor: float = 1e-3) -> np.ndarray:
+    """Per-trace weights that equalize trace amplitudes, 1/max|trace|
+    normalized to unit mean — the capability of the legacy
+    `weightObsTraces` (fwi_util.jl:196+).  obs: (..., n_rec, nt); returns
+    weights shaped (..., n_rec)."""
+    amax = np.abs(obs).max(axis=-1)
+    amax = np.maximum(amax, floor * amax.max() + 1e-30)
+    w = 1.0 / amax
+    return w / w.mean()
+
+
 def compute_rxz(vp: np.ndarray, vs: np.ndarray, src_z: np.ndarray,
                 src_x: np.ndarray) -> np.ndarray:
     """sxx/szz moment ratio per source from the 9x9 neighborhood average of

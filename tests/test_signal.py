@@ -89,6 +89,16 @@ def test_vs_bounds_from_cloud():
     assert np.all(hi <= vp_img / np.sqrt(2.0) - 1.0 + 1e-9)
 
 
+def test_energy_trace_weights():
+    rng = np.random.default_rng(0)
+    obs = rng.normal(size=(3, 8, 50))
+    obs[:, 2] *= 100.0  # one hot trace per shot
+    w = survey_tools.energy_trace_weights(obs)
+    assert w.shape == (3, 8)
+    assert np.allclose(w.mean(), 1.0)
+    assert (w[:, 2] < w[:, 0]).all()  # loud traces downweighted
+
+
 def test_compute_rxz():
     vp = np.full((50, 60), 3000.0)
     vs = vp / np.sqrt(3.0)
