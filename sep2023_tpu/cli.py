@@ -126,7 +126,8 @@ def cmd_invert(args):
 
     # --- true and initial parameter sets per head -----------------------
     true_params, init_params, bounds, invert_names = \
-        models.twin_experiment_setup(args.head, args.nz, args.nx)
+        models.twin_experiment_setup(args.head, args.nz, args.nx,
+                                     model=args.model)
 
     mask = H.default_mask(grid, freeze_top_rows=4)
     head = H.HEADS[args.head](grid, init_params, mask=mask, bounds=bounds)
@@ -336,6 +337,9 @@ def main(argv=None):
                         "band-pass stages (Main-001:46-51)")
     i.add_argument("--resume", action="store_true",
                    help="resume from the latest Results/model_*.npz")
+    i.add_argument("--model", default="anomaly",
+                   choices=("anomaly", "rock"),
+                   help="'rock' + a velocity head = Main-005 (NO-PCS) flow")
     i.add_argument("--optimizer", default="scipy",
                    choices=("scipy", "ondevice"),
                    help="scipy L-BFGS-B (host bridge) or on-device "

@@ -66,10 +66,23 @@ def anomaly_vp_vs_rho(nz: int = 101, nx: int = 201,
     return vp, vs, rho
 
 
-def twin_experiment_setup(head: str, nz: int, nx: int):
+def twin_experiment_setup(head: str, nz: int, nx: int,
+                          model: str = "anomaly"):
     """True/initial parameter sets (+ bounds and invertible names) for the
-    twin experiments of the reference drivers Main-001..005, per head."""
-    vp, vs, rho = anomaly_vp_vs_rho(nz, nx)
+    twin experiments of the reference drivers Main-001..005, per head.
+
+    model='rock' with a velocity head is the Main-005 flow (NO-PCS):
+    invert vp/vs/rho directly on data from the Gassmann reservoir model.
+    """
+    if model == "rock" and head not in ("rock_vrh", "rock_gassmann"):
+        from sep2023_tpu import rock_physics as rp
+        phi, cc, sw = reservoir_pcs(nz, nx)
+        lam, mu, rho = (np.asarray(a) for a in
+                        rp.pcs_to_lame_gassmann(phi, cc, sw))
+        vp = np.sqrt((lam + 2 * mu) / rho)
+        vs = np.sqrt(mu / rho)
+    else:
+        vp, vs, rho = anomaly_vp_vs_rho(nz, nx)
     sm = lambda d: {k: smooth(v, 8.0) for k, v in d.items()}
     if head in ("rock_vrh", "rock_gassmann"):
         phi, cc, sw = reservoir_pcs(nz, nx)
