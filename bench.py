@@ -108,5 +108,24 @@ def main():
     return result
 
 
+def main_with_retries(attempts: int = 3):
+    """The remote TPU relay occasionally throws transient ABORTED /
+    FAILED_PRECONDITION errors; retry before giving up."""
+    last = None
+    for i in range(attempts):
+        try:
+            return main()
+        except Exception as e:  # noqa: BLE001 - deliberate catch-all retry
+            last = e
+            try:  # close a dangling profiler trace so a retry can restart it
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+            print(f"bench attempt {i + 1}/{attempts} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            time.sleep(10)
+    raise last
+
+
 if __name__ == "__main__":
-    sys.exit(0 if main() else 1)
+    sys.exit(0 if main_with_retries() else 1)

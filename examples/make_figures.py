@@ -120,8 +120,12 @@ def main():
         if grads_files:
             with np.load(grads_files[0]) as z:
                 grad = z["vp"]
-        plot_models(vp_t, vp_i, vp_inv,
-                    grad if grad is not None else np.zeros_like(vp_t),
+        # rebuild true/init at the experiment's grid size
+        ez, ex = vp_inv.shape
+        vp_te, _, _ = models.anomaly_vp_vs_rho(ez, ex)
+        vp_ie = models.smooth(vp_te, 8.0)
+        plot_models(vp_te, vp_ie, vp_inv,
+                    grad if grad is not None else np.zeros_like(vp_inv),
                     args.outdir, cfg.dx, cfg.dz)
         return
 
