@@ -53,6 +53,39 @@ def test_pallas_matches_xla_engine():
         assert rel < 2e-5, (c, rel)
 
 
+def test_pallas_misfit_shot_chunking():
+    """make_pallas_misfit must give identical loss/grads regardless of
+    shot_chunk (the strip-memory bound)."""
+    from sep2023_tpu import parallel as par
+
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=100, dt=0.002, f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0)
+    med = st.Medium(vp, vp / jnp.sqrt(3.0), jnp.full(cfg.grid.shape, 2500.0))
+    lam = med.lam.astype(jnp.float32)
+    mu = med.mu.astype(jnp.float32)
+    rho = med.rho.astype(jnp.float32)
+    survey = Survey(src_z=np.full(4, 2), src_x=np.array([10, 20, 30, 40]),
+                    rec_z=np.full(12, 30), rec_x=np.arange(14, 26))
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (4, cfg.nt))
+    rs = pe.check_row_survey(survey.rec_z + npml, survey.rec_x + npml)
+    obs = pe.forward_pallas(cfg, rs, lam * 1.02, mu, rho, stf,
+                            survey.src_z + npml, survey.src_x + npml,
+                            survey.src_rxz)
+    w = jnp.ones((4,), jnp.float32)
+    l_all = par.make_pallas_misfit(cfg, survey)
+    l_chk = par.make_pallas_misfit(cfg, survey, shot_chunk=2)
+    args = (lam, mu, rho, stf, obs, w)
+    assert np.isclose(float(l_all(*args)), float(l_chk(*args)), rtol=1e-6)
+    g1 = jax.grad(l_all)(*args)
+    g2 = jax.grad(l_chk)(*args)
+    scale = np.abs(np.asarray(g1)).max()
+    assert np.abs(np.asarray(g1 - g2)).max() / scale < 1e-6
+
+
 def test_pallas_matches_xla_nontrivial_rxz():
     """Anisotropic source moment ratio (rxz != 1, the crosswell borehole
     source of utilities.cu:537) must agree across engines."""
