@@ -350,10 +350,13 @@ def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
     out_shape = [jax.ShapeDtypeStruct((S, 4, nt_pad, R_pad), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if save_strips:
+        # strip buffers padded to whole STRIP_CHUNK blocks: the final flush
+        # writes a full chunk starting at ((nt-2)//CHUNK)*CHUNK
+        nt_sc = -(-(cfg.nt - 1) // STRIP_CHUNK) * STRIP_CHUNK
         out_shape += [
-            jax.ShapeDtypeStruct((S, cfg.nt, _pad8(cfg.nz), LANE),
+            jax.ShapeDtypeStruct((S, nt_sc, _pad8(cfg.nz), LANE),
                                  f32),                                 # lr
-            jax.ShapeDtypeStruct((S, cfg.nt, TB_ROWS, _pad128(cfg.nx)),
+            jax.ShapeDtypeStruct((S, nt_sc, TB_ROWS, _pad128(cfg.nx)),
                                  f32),                                 # tb
             jax.ShapeDtypeStruct((S, N_FIELDS, _pad8(cfg.nz),
                                   _pad128(cfg.nx)), f32),              # final

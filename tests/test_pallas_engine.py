@@ -121,8 +121,10 @@ def test_pallas_gradient_matches_xla_engine():
     from sep2023_tpu.ops import misfit as mf
 
     npml = 10
+    # nt=141: (nt-1) % STRIP_CHUNK != 0 — regression for the strip-buffer
+    # sizing (a partial final chunk once wrote past the buffer)
     cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
-                       nt=140, dt=0.002, f0=10.0, npml=npml)
+                       nt=141, dt=0.002, f0=10.0, npml=npml)
     vp_a = jnp.full(cfg.grid.shape, 3000.0).at[28:34, 36:48].add(250.0)
     med = st.Medium(vp_a, vp_a / jnp.sqrt(3.0),
                     jnp.full(cfg.grid.shape, 2500.0))
