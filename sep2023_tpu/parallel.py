@@ -101,12 +101,16 @@ def make_sharded_misfit(cfg: SimConfig, mesh: Mesh,
 
 def make_pallas_misfit(cfg: SimConfig, survey: Survey,
                        channels: Sequence[str] = ("ett",),
-                       shot_chunk: int = 0):
+                       shot_chunk: int = 0, misfit_fn=None):
     """Fused-Pallas engine loss: loss(lam, mu, rho, stf, obs, weights).
 
     Requires the fast-path survey layout (receivers on one row, contiguous
     x — the reference's surveyGen geometry).  shot_chunk > 0 bounds the
     boundary-strip residual memory by processing shots in groups.
+
+    misfit_fn(obs_shot, syn_shot) overrides the per-shot objective (e.g.
+    ops.misfit.make_preprocessed_l2 for windowed/filtered data); the adjoint
+    source flows into the kernel as the data cotangent either way.
     """
     from sep2023_tpu.ops import pallas_engine as pe
 
@@ -120,6 +124,8 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
     rz = jnp.asarray(survey.src_rxz, jnp.float32)
     S = survey.n_shots
     chunk = shot_chunk if shot_chunk and shot_chunk < S else S
+    if misfit_fn is None:
+        misfit_fn = lambda o, s_: mf.l2_misfit(o, s_, channels=channels)
 
     def loss(lam, mu, rho, stf, obs, weights):
         total = jnp.float32(0.0)
@@ -128,8 +134,7 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
             syn = pe.propagate_pallas(cfg, rs, lam, mu, rho,
                                       stf[c0:c1], sz[c0:c1], sx[c0:c1],
                                       rz[c0:c1])
-            per_shot = jax.vmap(lambda o, s_: mf.l2_misfit(
-                o, s_, channels=channels))(obs[c0:c1], syn)
+            per_shot = jax.vmap(misfit_fn)(obs[c0:c1], syn)
             total = total + jnp.sum(weights[c0:c1] * per_shot)
         return total
 
