@@ -184,12 +184,16 @@ def cmd_invert(args):
         loss_data = parallel.make_local_misfit(cfg, channels=tuple(args.channels))
         print("engine: XLA")
 
-    def loss(params):
+    # observed data and wavelets are threaded as ARGUMENTS (aux), not
+    # closures: closed-over device arrays become compiled-in constants
+    # (duplicated in HBM; at the rock-physics scale the ~600 MB constant
+    # also exceeded the remote compiler's request limit)
+    def loss(params, stf_, obs_):
         full = dict(init_params)
         full.update(params)
         lam, mu, rho = head.apply(
             {k: jnp.asarray(v, dtype) for k, v in full.items()})
-        return loss_data(lam, mu, rho, stf, geoms, obs, w)
+        return loss_data(lam, mu, rho, stf_, geoms, obs_, w)
 
     start_params = {k: init_params[k] for k in invert_names}
     if args.resume:
@@ -223,14 +227,14 @@ def cmd_invert(args):
                                              dt=cfg.dt,
                                              filter_corners=corners)
 
-            def stage_loss(params, _pre=pre):
+            def stage_loss(params, stf_, obs_, _pre=pre):
                 full = dict(init_params)
                 full.update(params)
                 lam, mu, rho = head.apply(
                     {k: jnp.asarray(v, dtype) for k, v in full.items()})
                 syn = jax.vmap(lambda s, g: st.propagate(
-                    cfg, lam, mu, rho, s, g))(stf, geoms)
-                per_shot = jax.vmap(_pre)(obs, syn)
+                    cfg, lam, mu, rho, s, g))(stf_, geoms)
+                per_shot = jax.vmap(_pre)(obs_, syn)
                 return jnp.sum(w * per_shot)
 
             print(f"multiscale stage {istage + 1}/{len(stages)}: "
@@ -243,7 +247,7 @@ def cmd_invert(args):
                   f"head={args.head}")
             params_out, hist = optimize.lbfgs_on_device(
                 stage_loss, start_params, iters_per_stage,
-                bounds=stage_bounds)
+                bounds=stage_bounds, aux=(stf, obs))
             rdir = os.path.join(args.exp_name, "Results")
             os.makedirs(rdir, exist_ok=True)
             with open(os.path.join(rdir, "loss.txt"), "a") as fp:
@@ -256,7 +260,8 @@ def cmd_invert(args):
             print(f"stage misfit {hist[-1]:.6e} after {len(hist)} iterations")
         else:
             obj = optimize.ScipyObjective(stage_loss, start_params,
-                                          bounds=stage_bounds)
+                                          bounds=stage_bounds,
+                                          aux=(stf, obs))
             logger = optimize.InversionLogger(
                 os.path.join(args.exp_name, "Results"), obj,
                 start_iter=iter_offset)

@@ -25,10 +25,14 @@ from scipy import optimize as sciopt
 class ScipyObjective:
     """Wrap a JAX scalar loss over a dict of arrays as a scipy objective."""
 
-    def __init__(self, loss_fn: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray],
+    def __init__(self, loss_fn: Callable[..., jnp.ndarray],
                  params0: Dict[str, np.ndarray],
                  bounds: Optional[Dict[str, tuple]] = None,
-                 jit: bool = True):
+                 jit: bool = True, aux: tuple = ()):
+        """loss_fn(params, *aux) -> scalar.  Pass large fixed arrays (observed
+        data, wavelets) through `aux`, NOT via closure: closed-over device
+        arrays are baked into the compiled program as constants (duplicated
+        in HBM and shipped with every remote compile)."""
         self.names = list(params0)
         self.shapes = {n: np.asarray(params0[n]).shape for n in self.names}
         self.sizes = {n: int(np.prod(self.shapes[n])) for n in self.names}
@@ -36,7 +40,8 @@ class ScipyObjective:
             [np.asarray(params0[n], dtype=np.float64).ravel()
              for n in self.names])
         self._dtype = jnp.asarray(params0[self.names[0]]).dtype
-        vg = jax.value_and_grad(lambda p: loss_fn(p))
+        self._aux = tuple(aux)
+        vg = jax.value_and_grad(loss_fn)
         self._vg = jax.jit(vg) if jit else vg
         self.bounds = self.pack_bounds(bounds) if bounds else None
         self._cached_x = None
@@ -70,7 +75,7 @@ class ScipyObjective:
     # -- evaluation ----------------------------------------------------------
     def _ensure(self, x: np.ndarray):
         if self._cached_x is None or not np.array_equal(x, self._cached_x):
-            f, g = self._vg(self.unpack(x))
+            f, g = self._vg(self.unpack(x), *self._aux)
             self.f = float(f)
             self.g = np.concatenate(
                 [np.asarray(g[n], dtype=np.float64).ravel()
@@ -116,7 +121,7 @@ class InversionLogger:
 
 def lbfgs_on_device(loss_fn, params0: Dict[str, jnp.ndarray], n_iter: int,
                     bounds: Optional[Dict[str, tuple]] = None,
-                    memory_size: int = 5):
+                    memory_size: int = 5, aux: tuple = ()):
     """On-device L-BFGS with box projection — a TPU-native alternative to
     the scipy bridge: parameters never leave the device (the scipy path
     round-trips a float64 copy of the full model through the host on every
@@ -141,29 +146,32 @@ def lbfgs_on_device(loss_fn, params0: Dict[str, jnp.ndarray], n_iter: int,
 
         # optimize loss(clip(p)) + pullback penalty: keeps L-BFGS curvature
         # consistent (projecting the iterates directly corrupts the memory)
-        def obj(p):
+        def obj(p, *a):
             pc = clip(p)
             pen = sum(jnp.sum((p[k] - pc[k]) ** 2) for k in p)
-            return loss_fn(pc) + 0.5 * pen
+            return loss_fn(pc, *a) + 0.5 * pen
     else:
         clip = lambda p: p
         obj = loss_fn
 
     opt = optax.lbfgs(memory_size=memory_size)
     state = opt.init(params)
-    value_and_grad = optax.value_and_grad_from_state(obj)
 
     @jax.jit
-    def step(params, state):
-        value, grad = value_and_grad(params, state=state)
+    def step(params, state, *a):
+        # bind aux inside the jit so the data stays an argument (a closure
+        # over device arrays would bake it into the program as a constant)
+        obj_a = lambda p: obj(p, *a)
+        value, grad = optax.value_and_grad_from_state(obj_a)(params,
+                                                             state=state)
         updates, state = opt.update(grad, state, params, value=value,
-                                    grad=grad, value_fn=obj)
+                                    grad=grad, value_fn=obj_a)
         params = optax.apply_updates(params, updates)
         return params, state, value
 
     history = []
     for _ in range(n_iter):
-        params, state, value = step(params, state)
+        params, state, value = step(params, state, *aux)
         history.append(float(value))
     return clip(params), history
 
