@@ -181,7 +181,8 @@ def cmd_invert(args):
         except ValueError:
             use_pallas = False
     if not use_pallas:
-        loss_data = parallel.make_local_misfit(cfg, channels=tuple(args.channels))
+        loss_data = parallel.make_local_misfit(
+            cfg, channels=tuple(args.channels), shot_chunk=args.shot_chunk)
         print("engine: XLA")
 
     # observed data and wavelets are threaded as ARGUMENTS (aux), not

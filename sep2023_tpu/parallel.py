@@ -141,15 +141,31 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
     return loss
 
 
-def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",)):
-    """Single-device (vmap only) variant with the same signature."""
+def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
+                      shot_chunk: int = 0):
+    """Single-device (vmap only) variant with the same signature.
+
+    shot_chunk > 0 processes shots in groups, bounding the boundary-strip
+    residual memory of the custom-vjp adjoint (~0.3 GB per shot on the
+    rock-physics workload) at the cost of sequentialized chunks."""
 
     def loss(lam, mu, rho, stf, geoms, obs, weights):
-        syn = jax.vmap(lambda s, g: propagate(cfg, lam, mu, rho, s, g))(
-            stf, geoms)
-        per_shot = jax.vmap(
-            lambda o, s: mf.l2_misfit(o, s, channels=channels))(obs, syn)
-        return jnp.sum(weights * per_shot)
+        S = stf.shape[0]
+        chunk = shot_chunk if shot_chunk and shot_chunk < S else S
+
+        def one_chunk(c0, c1):
+            sl = lambda a: a[c0:c1]
+            syn = jax.vmap(lambda s, g: propagate(cfg, lam, mu, rho, s, g))(
+                stf[c0:c1], jax.tree.map(sl, geoms))
+            per_shot = jax.vmap(
+                lambda o, s: mf.l2_misfit(o, s, channels=channels))(
+                obs[c0:c1], syn)
+            return jnp.sum(weights[c0:c1] * per_shot)
+
+        total = jnp.zeros((), stf.dtype)
+        for c0 in range(0, S, chunk):
+            total = total + one_chunk(c0, min(c0 + chunk, S))
+        return total
 
     return loss
 
