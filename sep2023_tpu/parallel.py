@@ -127,15 +127,24 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
     if misfit_fn is None:
         misfit_fn = lambda o, s_: mf.l2_misfit(o, s_, channels=channels)
 
+    def chunk_loss(lam, mu, rho, stf_c, sz_c, sx_c, rz_c, obs_c, w_c):
+        syn = pe.propagate_pallas(cfg, rs, lam, mu, rho, stf_c, sz_c,
+                                  sx_c, rz_c)
+        per_shot = jax.vmap(misfit_fn)(obs_c, syn)
+        return jnp.sum(w_c * per_shot)
+
+    if chunk < S:
+        # rematerialize per chunk so only one chunk's boundary-strip
+        # residuals are live during the backward pass
+        chunk_loss = jax.checkpoint(chunk_loss)
+
     def loss(lam, mu, rho, stf, obs, weights):
         total = jnp.float32(0.0)
         for c0 in range(0, S, chunk):
             c1 = min(c0 + chunk, S)
-            syn = pe.propagate_pallas(cfg, rs, lam, mu, rho,
-                                      stf[c0:c1], sz[c0:c1], sx[c0:c1],
-                                      rz[c0:c1])
-            per_shot = jax.vmap(misfit_fn)(obs[c0:c1], syn)
-            total = total + jnp.sum(weights[c0:c1] * per_shot)
+            total = total + chunk_loss(lam, mu, rho, stf[c0:c1],
+                                       sz[c0:c1], sx[c0:c1], rz[c0:c1],
+                                       obs[c0:c1], weights[c0:c1])
         return total
 
     return loss
@@ -145,26 +154,34 @@ def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
                       shot_chunk: int = 0):
     """Single-device (vmap only) variant with the same signature.
 
-    shot_chunk > 0 processes shots in groups, bounding the boundary-strip
-    residual memory of the custom-vjp adjoint (~0.3 GB per shot on the
-    rock-physics workload) at the cost of sequentialized chunks."""
+    shot_chunk > 0 processes shots in rematerialized groups: without it the
+    custom-vjp adjoint keeps EVERY shot's boundary-strip residuals live
+    through the whole backward pass (~0.5 GB/shot at Main-004 scale);
+    jax.checkpoint re-runs each chunk's forward during its own backward so
+    only one chunk's strips exist at a time (one extra forward per chunk)."""
 
     def loss(lam, mu, rho, stf, geoms, obs, weights):
         S = stf.shape[0]
         chunk = shot_chunk if shot_chunk and shot_chunk < S else S
 
-        def one_chunk(c0, c1):
-            sl = lambda a: a[c0:c1]
-            syn = jax.vmap(lambda s, g: propagate(cfg, lam, mu, rho, s, g))(
-                stf[c0:c1], jax.tree.map(sl, geoms))
+        def chunk_loss(lam_, mu_, rho_, stf_c, geoms_c, obs_c, w_c):
+            syn = jax.vmap(lambda s, g: propagate(cfg, lam_, mu_, rho_,
+                                                  s, g))(stf_c, geoms_c)
             per_shot = jax.vmap(
                 lambda o, s: mf.l2_misfit(o, s, channels=channels))(
-                obs[c0:c1], syn)
-            return jnp.sum(weights[c0:c1] * per_shot)
+                obs_c, syn)
+            return jnp.sum(w_c * per_shot)
+
+        if chunk < S:
+            chunk_loss = jax.checkpoint(chunk_loss)
 
         total = jnp.zeros((), stf.dtype)
         for c0 in range(0, S, chunk):
-            total = total + one_chunk(c0, min(c0 + chunk, S))
+            c1 = min(c0 + chunk, S)
+            sl = lambda a: a[c0:c1]
+            total = total + chunk_loss(lam, mu, rho, stf[c0:c1],
+                                       jax.tree.map(sl, geoms), obs[c0:c1],
+                                       weights[c0:c1])
         return total
 
     return loss
