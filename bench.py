@@ -80,7 +80,8 @@ def main():
     # through the fused-Pallas boundary-saving adjoint
     from sep2023_tpu import parallel
     w = jnp.ones((survey.n_shots,), med.lam.dtype)
-    loss_p = parallel.make_pallas_misfit(cfg, survey, shot_chunk=10)
+    # unchunked: all 19 shots' strips (~5 GB) fit HBM, no remat re-forward
+    loss_p = parallel.make_pallas_misfit(cfg, survey, shot_chunk=0)
     grad_p = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
     t_grad, _ = _time(grad_p, med.lam, med.mu, med.rho, stf,
                       data.astype(jnp.float32), w.astype(jnp.float32))
