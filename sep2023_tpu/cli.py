@@ -137,11 +137,22 @@ def cmd_invert(args):
         {k: jnp.asarray(v, dtype) for k, v in true_params.items()})
     fwd = jax.jit(lambda lam, mu, rho_, s, g: jax.vmap(
         lambda si, gi: st.propagate(cfg, lam, mu, rho_, si, gi))(s, g))
-    print("generating observed data ...")
-    obs = jax.block_until_ready(fwd(lam_t_pad, mu_t_pad, rho_t_pad, stf, geoms))
+    data_dir = args.data_dir or os.path.join(args.exp_name, "Data")
+    if (not args.generate_data
+            and os.path.exists(os.path.join(data_dir, "Shot_pr0.bin"))):
+        # the reference's two-invocation workflow: observed data produced by
+        # a prior --generate_data run (or by the reference engine itself —
+        # the Shot_*.bin format is identical), loaded via the native reader
+        print(f"loading observed data from {data_dir} ...")
+        obs = jnp.asarray(sio.read_shots(data_dir, survey.n_shots,
+                                         survey.n_rec, cfg.nt), dtype)
+    else:
+        print("generating observed data ...")
+        obs = jax.block_until_ready(
+            fwd(lam_t_pad, mu_t_pad, rho_t_pad, stf, geoms))
     if args.generate_data:
-        sio.write_shots(os.path.join(args.exp_name, "Data"), np.asarray(obs))
-        print("data written; exiting (--generate_data)")
+        sio.write_shots(data_dir, np.asarray(obs))
+        print(f"data written to {data_dir}; exiting (--generate_data)")
         return
 
     if args.src_update:
@@ -328,6 +339,9 @@ def main(argv=None):
 
     i = sub.add_parser("invert", parents=[common])
     i.add_argument("--head", default="vp_vs_rho", choices=sorted(H.HEADS))
+    i.add_argument("--data-dir", default="",
+                   help="observed-data directory (Shot_*.bin); generated "
+                        "in-process when absent")
     i.add_argument("--exp-name", default="scratch/exp")
     i.add_argument("--niter", type=int, default=20)
     i.add_argument("--channels", nargs="+", default=["ett"])
