@@ -238,16 +238,26 @@ def cmd_invert(args):
             pre = mfops.make_preprocessed_l2(channels=tuple(args.channels),
                                              dt=cfg.dt,
                                              filter_corners=corners)
+            if use_pallas:
+                lp_stage = parallel.make_pallas_misfit(
+                    cfg, survey, shot_chunk=args.shot_chunk, misfit_fn=pre)
 
-            def stage_loss(params, stf_, obs_, _pre=pre):
-                full = dict(init_params)
-                full.update(params)
-                lam, mu, rho = head.apply(
-                    {k: jnp.asarray(v, dtype) for k, v in full.items()})
-                syn = jax.vmap(lambda s, g: st.propagate(
-                    cfg, lam, mu, rho, s, g))(stf_, geoms)
-                per_shot = jax.vmap(_pre)(obs_, syn)
-                return jnp.sum(w * per_shot)
+                def stage_loss(params, stf_, obs_, _lp=lp_stage):
+                    full = dict(init_params)
+                    full.update(params)
+                    lam, mu, rho = head.apply(
+                        {k: jnp.asarray(v, dtype) for k, v in full.items()})
+                    return _lp(lam, mu, rho, stf_, obs_, w)
+            else:
+                def stage_loss(params, stf_, obs_, _pre=pre):
+                    full = dict(init_params)
+                    full.update(params)
+                    lam, mu, rho = head.apply(
+                        {k: jnp.asarray(v, dtype) for k, v in full.items()})
+                    syn = jax.vmap(lambda s, g: st.propagate(
+                        cfg, lam, mu, rho, s, g))(stf_, geoms)
+                    per_shot = jax.vmap(_pre)(obs_, syn)
+                    return jnp.sum(w * per_shot)
 
             print(f"multiscale stage {istage + 1}/{len(stages)}: "
                   f"band {corners}")
