@@ -176,15 +176,19 @@ def lbfgs_on_device(loss_fn, params0: Dict[str, jnp.ndarray], n_iter: int,
     return clip(params), history
 
 
-# L-BFGS-B options matching the reference driver (Main-001:157-168)
-REFERENCE_LBFGSB_OPTIONS = dict(disp=True, iprint=101, gtol=1e-16, ftol=1e-12,
-                                maxcor=5, maxfun=1500, maxls=6)
+# L-BFGS-B options matching the reference driver (Main-001:157-168).
+# The reference also sets disp/iprint; scipy deprecated those (1.18), so
+# progress reporting lives in InversionLogger instead.
+REFERENCE_LBFGSB_OPTIONS = dict(gtol=1e-16, ftol=1e-12, maxcor=5,
+                                maxfun=1500, maxls=6)
 
 
 def lbfgsb(objective: ScipyObjective, maxiter: int,
            callback: Optional[Callable] = None, **options):
     opts = dict(REFERENCE_LBFGSB_OPTIONS)
     opts.update(options)
+    opts.pop("disp", None)   # deprecated scipy options, accepted and
+    opts.pop("iprint", None)  # ignored for backward compatibility
     opts["maxiter"] = maxiter
     return sciopt.minimize(objective.fun, objective.x0, method="L-BFGS-B",
                            jac=objective.jac, bounds=objective.bounds,
