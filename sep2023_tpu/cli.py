@@ -289,8 +289,7 @@ def cmd_invert(args):
                 start_iter=iter_offset)
             print(f"L-BFGS-B: {iters_per_stage} iterations, head={args.head}")
             res = optimize.lbfgsb(obj, maxiter=iters_per_stage,
-                                  callback=logger, disp=True,
-                                  iprint=args.iprint)
+                                  callback=logger)
             iter_offset = logger.it
             start_params = {k: np.asarray(v)
                             for k, v in obj.unpack(res.x).items()}
@@ -357,7 +356,6 @@ def main(argv=None):
     i.add_argument("--channels", nargs="+", default=["ett"])
     i.add_argument("--generate_data", action="store_true")
     i.add_argument("--x64", action="store_true")
-    i.add_argument("--iprint", type=int, default=-1)
     i.add_argument("--engine", default="auto",
                    choices=("auto", "xla", "pallas"))
     i.add_argument("--src-update", action="store_true",
