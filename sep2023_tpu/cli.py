@@ -88,8 +88,21 @@ def cmd_forward(args):
             print(f"wrote {survey.n_shots} shots to {args.data_dir}")
         return
 
-    fwd = jax.jit(lambda lam, mu, rho_, s, g: jax.vmap(
-        lambda si, gi: st.propagate(cfg, lam, mu, rho_, si, gi))(s, g))
+    from sep2023_tpu.ops import pallas_engine as pe
+    rs = (pe.check_row_survey(survey.rec_z + cfg.npml,
+                              survey.rec_x + cfg.npml)
+          if jax.default_backend() == "tpu" else None)
+    if rs is not None:
+        engine = "fused Pallas"
+        fwd = lambda lam, mu, rho_, s, g: pe.forward_pallas(
+            cfg, rs, lam, mu, rho_, s,
+            jnp.asarray(survey.src_z + cfg.npml),
+            jnp.asarray(survey.src_x + cfg.npml),
+            jnp.asarray(survey.src_rxz))
+    else:
+        engine = "XLA"
+        fwd = jax.jit(lambda lam, mu, rho_, s, g: jax.vmap(
+            lambda si, gi: st.propagate(cfg, lam, mu, rho_, si, gi))(s, g))
 
     def fence(out):
         # block_until_ready can return early on remote-relay platforms;
@@ -105,9 +118,9 @@ def cmd_forward(args):
     t_run = time.perf_counter() - t0
 
     cells = cfg.nz * cfg.nx * (cfg.nt - 1) * survey.n_shots
-    print(f"forward: {survey.n_shots} shots, grid {cfg.nz}x{cfg.nx}, "
-          f"nt={cfg.nt}; compile {t_compile:.1f}s, run {t_run:.3f}s, "
-          f"{cells / t_run / 1e9:.2f} GCell/s")
+    print(f"forward ({engine}): {survey.n_shots} shots, grid "
+          f"{cfg.nz}x{cfg.nx}, nt={cfg.nt}; compile {t_compile:.1f}s, "
+          f"run {t_run:.3f}s, {cells / t_run / 1e9:.2f} GCell/s")
     if args.data_dir:
         sio.write_shots(args.data_dir, np.asarray(data))
         print(f"wrote {survey.n_shots} shots to {args.data_dir}")
