@@ -12,6 +12,11 @@ Main-000..005 scripts (`DAS_Waveform_Inversion/notebooks/Main-*.py`), as a
 
 Models are synthesized (models.py) because the reference git-ignores its
 Models/*.txt grids.
+
+Multi-chip: when more than one device is visible (a TPU pod slice, or the
+CPU test mesh), `invert` shards shots over a 1-D mesh by default — the
+production path of the reference's `--ngpu` OpenMP scheduler
+(`Torch_Fwi.cpp:71-101`) — with `--n-devices 1` forcing single-chip.
 """
 from __future__ import annotations
 
@@ -37,13 +42,19 @@ WAVELETS = {"ricker": st.ricker, "ricker_int": st.ricker_integrated,
 def benchmark_problem(nz=101, nx=201, dz=20.0, dx=20.0, nt=1501, dt=0.002,
                       f0=10.0, npml=32, dtype=jnp.float32, wavelet="ricker"):
     """The reference GPU benchmark workload (Main-000/001: 101x201 grid,
-    19 shots at z=1, 181 receivers at z=95, nt=1501)."""
+    19 shots at z=1, 181 receivers at z=95, nt=1501).
+
+    For non-default nz the receiver row scales PROPORTIONALLY (z = 95/101 of
+    the grid) so sweeps over grid size keep a geometrically comparable
+    survey; jnp gathers would silently clamp out-of-range indices otherwise.
+    """
     cfg = st.SimConfig(nz=nz + 2 * npml, nx=nx + 2 * npml, dz=dz, dx=dx,
                        nt=nt, dt=dt, f0=f0, npml=npml)
     src_x = np.arange(10, nx - 10, 10)
-    # receiver row: 95 on the reference's 101-row grid, scaled to smaller
-    # grids (out-of-range indices would be silently clamped by jnp gathers)
-    rec_z = min(95, nz - 6)
+    rec_z = min(int(round(95 * nz / 101)), nz - 6)
+    if nz != 101:
+        print(f"note: receiver row scaled to z={rec_z} for nz={nz} "
+              f"(reference survey is z=95 of 101)")
     survey = Survey(src_z=np.ones(len(src_x)), src_x=src_x,
                     rec_z=np.full(nx - 20, rec_z),
                     rec_x=np.arange(10, nx - 10))
@@ -126,6 +137,59 @@ def cmd_forward(args):
         print(f"wrote {survey.n_shots} shots to {args.data_dir}")
 
 
+def _resolve_mesh(args, n_shots):
+    """Default-on multi-chip: a 1-D shot mesh over all visible devices
+    (capped by --n-devices and the shot count), None for a single device."""
+    n_dev = args.n_devices or jax.device_count()
+    n_dev = min(n_dev, jax.device_count(), n_shots)
+    if n_dev <= 1:
+        return None
+    return parallel.shot_mesh(n_dev)
+
+
+def build_stage_loss(cfg, survey, geoms, *, use_pallas, mesh, shot_chunk,
+                     channels, objective="l2", filter_corners=None,
+                     per_trace=False):
+    """One loss builder for every (engine x sharding x misfit x conditioning)
+    combination — the per-stage closures of the multiscale loop all route
+    through here (a regression in one path breaks all stages, loudly).
+
+    Returns data_loss(lam, mu, rho, stf, obs, weights, *trace_aux).
+    """
+    from sep2023_tpu.ops import misfit as mfops
+
+    if per_trace or objective != "l2" or filter_corners is not None:
+        fn = mfops.make_preprocessed_l2(
+            channels=tuple(channels), dt=cfg.dt,
+            filter_corners=filter_corners, per_trace=per_trace,
+            objective=objective)
+    else:
+        fn = None
+    n_aux = 3 if per_trace else 0
+
+    if use_pallas:
+        if mesh is not None:
+            return parallel.make_pallas_sharded_misfit(
+                cfg, survey, mesh, channels=tuple(channels), misfit_fn=fn,
+                n_trace_aux=n_aux, shot_chunk=shot_chunk)
+        return parallel.make_pallas_misfit(
+            cfg, survey, channels=tuple(channels), misfit_fn=fn,
+            shot_chunk=shot_chunk)
+
+    if mesh is not None:
+        base = parallel.make_sharded_misfit(
+            cfg, mesh, channels=tuple(channels), misfit_fn=fn,
+            n_trace_aux=n_aux, shot_chunk=shot_chunk)
+    else:
+        base = parallel.make_local_misfit(
+            cfg, channels=tuple(channels), misfit_fn=fn,
+            shot_chunk=shot_chunk)
+    # close over the (small, int) geometry so every engine shares the
+    # (lam, mu, rho, stf, obs, weights, *aux) signature
+    return lambda lam, mu, rho, stf, obs, w_, *aux: base(
+        lam, mu, rho, stf, geoms, obs, w_, *aux)
+
+
 def cmd_invert(args):
     dtype = jnp.float64 if args.x64 else jnp.float32
     if args.x64:
@@ -134,6 +198,16 @@ def cmd_invert(args):
         nz=args.nz, nx=args.nx, dz=args.dz, dx=args.dx, nt=args.nt,
         dt=args.dt, f0=args.f0, npml=args.npml, dtype=dtype,
         wavelet=args.wavelet)
+    if args.survey_json:
+        # acquisition (incl. per-trace windows/weights/src_weights) from a
+        # reference-schema survey_file.json (Src_Rec.cu:20-282)
+        survey = Survey.from_json(args.survey_json)
+        geoms = parallel.survey_to_geoms(survey, cfg.npml, dtype=dtype)
+        stf = jnp.broadcast_to(
+            jnp.asarray(WAVELETS[args.wavelet](cfg.f0, cfg.nt, cfg.dt),
+                        dtype), (survey.n_shots, cfg.nt))
+        print(f"survey loaded from {args.survey_json}: "
+              f"{survey.n_shots} shots, {survey.n_rec} receivers")
     grid = cfg.grid
     os.makedirs(args.exp_name, exist_ok=True)
 
@@ -168,59 +242,83 @@ def cmd_invert(args):
         print(f"data written to {data_dir}; exiting (--generate_data)")
         return
 
-    if args.src_update:
-        # spectral (Wiener) source correction from the initial model's
-        # synthetics — the reference's if_src_update capability
-        # (source_update, utilities.cu:905-978)
-        from sep2023_tpu.ops import signal as sg
-        lam_i, mu_i, rho_i = head.apply(
-            {k: jnp.asarray(v, dtype) for k, v in init_params.items()})
-        syn0 = fwd(lam_i, mu_i, rho_i, stf, geoms)
+    # --- per-trace conditioning + per-shot weights (Src_Rec.cu:145-200) --
+    if args.energy_weights and survey.trace_weights is None:
+        from sep2023_tpu import survey_tools
+        survey.trace_weights = survey_tools.energy_trace_weights(
+            np.asarray(obs[:, 3]))  # balance on the DAS channel
+        print("per-trace energy weights computed from observed data "
+              "(weightObsTraces, fwi_util.jl:196+)")
+    per_trace = (survey.win_start is not None
+                 or survey.trace_weights is not None)
+    S, R = survey.n_shots, survey.n_rec
+    if per_trace:
+        ws = (survey.win_start if survey.win_start is not None
+              else np.zeros((S, R)))
+        we = (survey.win_end if survey.win_end is not None
+              else np.full((S, R), cfg.nt - 1))
+        tw = (survey.trace_weights if survey.trace_weights is not None
+              else np.ones((S, R)))
+        trace_aux = (jnp.asarray(ws, dtype), jnp.asarray(we, dtype),
+                     jnp.asarray(tw, dtype))
+        print("per-trace windows/weights active")
+    else:
+        trace_aux = ()
+    w = (jnp.asarray(survey.src_weights, dtype)
+         if survey.src_weights is not None
+         else jnp.ones((survey.n_shots,), dtype))
 
-        def upd(o, s_, w_):
-            W = sg.source_update_filter(o[3], s_[3])
-            return sg.apply_source_filter(w_, W)
-
-        stf = jax.vmap(upd)(obs, syn0, stf)
-        print("source wavelets updated (Wiener spectral correction)")
-
-    w = jnp.ones((survey.n_shots,), dtype)
     bad = [c for c in args.channels if c not in st.CHANNELS]
     if bad:
         raise SystemExit(f"unknown channel(s) {bad}; choose from {st.CHANNELS}")
+
+    # --- engine + mesh selection ----------------------------------------
+    mesh = _resolve_mesh(args, survey.n_shots)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        stf, geoms, obs, w, trace_aux = parallel.pad_shots(
+            stf, geoms, obs, w, n_dev, trace_aux)
+        print(f"multi-chip: {n_dev}-device shot mesh "
+              f"({stf.shape[0]} shots incl. padding)")
 
     from sep2023_tpu.ops import pallas_engine as pe
     use_pallas = args.engine == "pallas" or (
         args.engine == "auto" and not args.x64
         and jax.default_backend() == "tpu"
         and pe.grad_vmem_fits(cfg))
-    if use_pallas:
-        try:
-            loss_data_p = parallel.make_pallas_misfit(
-                cfg, survey, channels=tuple(args.channels),
-                shot_chunk=args.shot_chunk)
-            loss_data = lambda lam, mu, rho, s, g, o, w_: loss_data_p(
-                lam, mu, rho, s, o, w_)
-            print("engine: fused Pallas")
-        except ValueError:
-            use_pallas = False
-    if not use_pallas:
-        loss_data = parallel.make_local_misfit(
-            cfg, channels=tuple(args.channels), shot_chunk=args.shot_chunk)
-        print("engine: XLA")
+    if use_pallas and pe.check_row_survey(survey.rec_z + cfg.npml,
+                                          survey.rec_x + cfg.npml) is None:
+        use_pallas = False
+    print(f"engine: {'fused Pallas' if use_pallas else 'XLA'}")
+
+    def make_data_loss(corners):
+        return build_stage_loss(
+            cfg, survey, geoms, use_pallas=use_pallas, mesh=mesh,
+            shot_chunk=args.shot_chunk, channels=args.channels,
+            objective=args.misfit, filter_corners=corners,
+            per_trace=per_trace)
 
     # observed data and wavelets are threaded as ARGUMENTS (aux), not
     # closures: closed-over device arrays become compiled-in constants
     # (duplicated in HBM; at the rock-physics scale the ~600 MB constant
     # also exceeded the remote compiler's request limit)
-    def loss(params, stf_, obs_):
-        full = dict(init_params)
-        full.update(params)
-        lam, mu, rho = head.apply(
-            {k: jnp.asarray(v, dtype) for k, v in full.items()})
-        return loss_data(lam, mu, rho, stf_, geoms, obs_, w)
+    def make_param_loss(data_loss):
+        def loss(params, stf_, obs_):
+            stf_used = params["stf"] if "stf" in params else stf_
+            full = dict(init_params)
+            full.update({k: v for k, v in params.items() if k != "stf"})
+            lam, mu, rho = head.apply(
+                {k: jnp.asarray(v, dtype) for k, v in full.items()})
+            return data_loss(lam, mu, rho, stf_used, obs_, w, *trace_aux)
+        return loss
 
     start_params = {k: init_params[k] for k in invert_names}
+    if args.invert_stf:
+        # joint source-model inversion: the d_stf gradients the reference
+        # computes but never optimizes over (Torch_Fwi.cpp:102 returns
+        # grad_stf; no driver uses it) become first-class parameters
+        start_params["stf"] = np.asarray(stf)
+        print("joint source inversion: stf added to the parameter set")
     if args.resume:
         # resume from the latest snapshot (the reference resumes manually
         # from its per-iteration .mat dumps, Main-001:137-154)
@@ -229,7 +327,7 @@ def cmd_invert(args):
                                               "model_*.npz")))
         if snaps:
             with np.load(snaps[-1]) as z:
-                for k in invert_names:
+                for k in list(start_params):
                     if k in z.files:
                         start_params[k] = z[k]
             print(f"resumed from {snaps[-1]}")
@@ -239,39 +337,36 @@ def cmd_invert(args):
     stages = ([None] if not args.multiscale else
               [(0.0, 1e-4, 2.0, hf) for hf in (2.5, 3.5, 4.5, 5.5, 6.5, 7.5)])
     iters_per_stage = max(1, args.niter // len(stages))
-
-    from sep2023_tpu.ops import misfit as mfops
-    base_loss = loss
     iter_offset = 0
 
+    def current_stf():
+        return (jnp.asarray(start_params["stf"], dtype)
+                if "stf" in start_params else stf)
+
     for istage, corners in enumerate(stages):
-        if corners is None:
-            stage_loss = base_loss
-        else:
-            pre = mfops.make_preprocessed_l2(channels=tuple(args.channels),
-                                             dt=cfg.dt,
-                                             filter_corners=corners)
-            if use_pallas:
-                lp_stage = parallel.make_pallas_misfit(
-                    cfg, survey, shot_chunk=args.shot_chunk, misfit_fn=pre)
+        if args.src_update and not args.invert_stf:
+            # in-loop spectral (Wiener) source re-estimation from the
+            # CURRENT model's synthetics at the start of every stage — the
+            # reference's if_src_update workflow (source_update,
+            # utilities.cu:905-978), not a one-shot pre-correction
+            from sep2023_tpu.ops import signal as sg
+            full = dict(init_params)
+            full.update({k: v for k, v in start_params.items()
+                         if k != "stf"})
+            lam_c, mu_c, rho_c = head.apply(
+                {k: jnp.asarray(v, dtype) for k, v in full.items()})
+            syn_c = fwd(lam_c, mu_c, rho_c, stf, geoms)
 
-                def stage_loss(params, stf_, obs_, _lp=lp_stage):
-                    full = dict(init_params)
-                    full.update(params)
-                    lam, mu, rho = head.apply(
-                        {k: jnp.asarray(v, dtype) for k, v in full.items()})
-                    return _lp(lam, mu, rho, stf_, obs_, w)
-            else:
-                def stage_loss(params, stf_, obs_, _pre=pre):
-                    full = dict(init_params)
-                    full.update(params)
-                    lam, mu, rho = head.apply(
-                        {k: jnp.asarray(v, dtype) for k, v in full.items()})
-                    syn = jax.vmap(lambda s, g: st.propagate(
-                        cfg, lam, mu, rho, s, g))(stf_, geoms)
-                    per_shot = jax.vmap(_pre)(obs_, syn)
-                    return jnp.sum(w * per_shot)
+            def upd(o, s_, w_):
+                W = sg.source_update_filter(o[3], s_[3])
+                return sg.apply_source_filter(w_, W)
 
+            stf = jax.vmap(upd)(obs, syn_c, stf)
+            print(f"stage {istage + 1}: source wavelets re-estimated "
+                  "(Wiener spectral correction)")
+
+        stage_loss = make_param_loss(make_data_loss(corners))
+        if corners is not None:
             print(f"multiscale stage {istage + 1}/{len(stages)}: "
                   f"band {corners}")
 
@@ -313,10 +408,10 @@ def cmd_invert(args):
         # final synthetics / residuals / conditioned obs, the reference's
         # if_save_scratch dumps (libCUFD.cu:732-752)
         full = dict(init_params)
-        full.update(start_params)
+        full.update({k: v for k, v in start_params.items() if k != "stf"})
         lam, mu, rho = head.apply(
             {k: jnp.asarray(v, dtype) for k, v in full.items()})
-        syn = np.asarray(fwd(lam, mu, rho, stf, geoms))
+        syn = np.asarray(fwd(lam, mu, rho, current_stf(), geoms))
         res_d = np.array(np.asarray(obs) - syn)
         res_d[..., 0] = 0.0
         os.makedirs(args.scratch_dir, exist_ok=True)
@@ -371,8 +466,26 @@ def main(argv=None):
     i.add_argument("--x64", action="store_true")
     i.add_argument("--engine", default="auto",
                    choices=("auto", "xla", "pallas"))
+    i.add_argument("--n-devices", type=int, default=0,
+                   help="devices for shot sharding (0 = all visible; the "
+                        "reference's --ngpu, Torch_Fwi.cpp:71-95)")
+    i.add_argument("--misfit", default="l2", choices=("l2", "xcorr"),
+                   help="objective: L2 (libCUFD.cu:427) or normalized "
+                        "cross-correlation (if_cross_misfit, "
+                        "utilities.cu:1011-1113)")
     i.add_argument("--src-update", action="store_true",
-                   help="Wiener spectral source correction before inversion")
+                   help="re-estimate source wavelets (Wiener spectral "
+                        "correction) from the current model at every stage "
+                        "(if_src_update, utilities.cu:905-978)")
+    i.add_argument("--invert-stf", action="store_true",
+                   help="joint source-model inversion: optimize the source "
+                        "wavelets via their adjoint gradient")
+    i.add_argument("--survey-json", default="",
+                   help="load acquisition (incl. per-trace win/weights) "
+                        "from a reference-schema survey_file.json")
+    i.add_argument("--energy-weights", action="store_true",
+                   help="balance traces by 1/energy computed from the "
+                        "observed data (weightObsTraces, fwi_util.jl:196+)")
     i.add_argument("--multiscale", action="store_true",
                    help="frequency-continuation over the reference's "
                         "band-pass stages (Main-001:46-51)")
@@ -389,7 +502,8 @@ def main(argv=None):
                    help="write final syn/residual/obs shot dumps "
                         "(if_save_scratch, libCUFD.cu:732-752)")
     i.add_argument("--shot-chunk", type=int, default=10,
-                   help="shots per Pallas gradient call (bounds strip memory)")
+                   help="shots per gradient chunk per device (bounds "
+                        "boundary-strip memory)")
     i.set_defaults(fn=cmd_invert)
 
     b = sub.add_parser("bench")

@@ -36,8 +36,9 @@ def l2_misfit(obs, syn, channels: Sequence[str] = ("ett",), weights=None):
 
 
 def make_preprocessed_l2(channels=("ett",), dt=None, filter_corners=None,
-                         window=None, win_ratio=0.005):
-    """L2 misfit with the reference's optional data preconditioning chain
+                         window=None, win_ratio=0.005, per_trace=False,
+                         objective="l2"):
+    """Misfit with the reference's optional data preconditioning chain
     applied identically to observed and synthetic data: taper window
     (`cuda_window`, utilities.cu:790-884; para flag if_win) and trapezoid
     band-pass (`bp_filter1d`, utilities.cu:733-763; para flag filter).
@@ -45,21 +46,47 @@ def make_preprocessed_l2(channels=("ett",), dt=None, filter_corners=None,
     Because the chain is differentiable, the adjoint source automatically
     includes the re-filter/re-window steps the reference applies to the
     residual (`libCUFD.cu:444-457`).
+
+    per_trace=True returns a loss with the extended per-shot signature
+        loss(obs, syn, win_start, win_end, trace_weights)
+    where win_start / win_end are (R,) sample bounds and trace_weights is
+    (R,) — the survey-JSON per-trace conditioning the reference parses in
+    `Src_Rec.cu:145-200` and applies in `cuda_window` / the weighted
+    residual (`utilities.cu:790-884`).  Loss builders vmap these alongside
+    obs/syn (`trace_aux` in parallel.py).
+
+    objective: 'l2' (default) or 'xcorr' (normalized cross-correlation,
+    the if_cross_misfit capability, utilities.cu:1011-1113).
     """
     from sep2023_tpu.ops import signal as sg
 
-    def loss(obs, syn):
-        if window is not None or filter_corners is not None:
-            nt = obs.shape[-1]
-            if window is not None:
-                w = sg.taper_window(nt, dt, window[0], window[1],
-                                    ratio=win_ratio, dtype=obs.dtype)
-                obs = obs * w
-                syn = syn * w
-            if filter_corners is not None:
-                obs = sg.bandpass(obs, dt, filter_corners)
-                syn = sg.bandpass(syn, dt, filter_corners)
-        return l2_misfit(obs, syn, channels=channels)
+    def condition(obs, syn, win=None, tw=None):
+        nt = obs.shape[-1]
+        if win is not None:
+            w = sg.taper_window(nt, dt, win[0], win[1], ratio=win_ratio,
+                                dtype=obs.dtype)
+            obs = obs * w
+            syn = syn * w
+        if filter_corners is not None:
+            obs = sg.bandpass(obs, dt, filter_corners)
+            syn = sg.bandpass(syn, dt, filter_corners)
+        if tw is not None:
+            obs = obs * tw[:, None]
+            syn = syn * tw[:, None]
+        return obs, syn
+
+    final = (l2_misfit if objective == "l2"
+             else normalized_crosscorr_misfit)
+
+    if per_trace:
+        def loss(obs, syn, win_start, win_end, trace_weights):
+            obs, syn = condition(obs, syn, win=(win_start, win_end),
+                                 tw=trace_weights)
+            return final(obs, syn, channels=channels)
+    else:
+        def loss(obs, syn):
+            obs, syn = condition(obs, syn, win=window)
+            return final(obs, syn, channels=channels)
 
     return loss
 

@@ -41,15 +41,25 @@ def taper_window(nt: int, dt: float, win_start=None, win_end=None,
                  ratio: float = 0.005, dtype=jnp.float32):
     """Per-sample taper: 1 inside [win_start, win_end] (in samples) with
     sin^2 ramps of width ratio*nt on both sides (cuda_window,
-    utilities.cu:790-884).  Returns a (nt,) weight vector."""
+    utilities.cu:790-884).
+
+    win_start / win_end may be scalars (one window for all traces, the
+    reference's if_win default) or (R,) arrays (the per-trace win_start /
+    win_end entries of the survey JSON, Src_Rec.cu:145-200).  Returns (nt,)
+    for scalars, (R, nt) for per-trace bounds."""
     if win_start is None:
         win_start = 0
     if win_end is None:
         win_end = nt - 1
+    ws = jnp.asarray(win_start)
+    we = jnp.asarray(win_end)
+    if ws.ndim or we.ndim:
+        ws = jnp.atleast_1d(ws)[..., None]   # (R, 1)
+        we = jnp.atleast_1d(we)[..., None]
     ramp = jnp.maximum(ratio * nt, 1.0)
     t = jnp.arange(nt)
-    up = jnp.clip((t - win_start) / ramp, 0.0, 1.0)
-    down = jnp.clip((win_end - t) / ramp, 0.0, 1.0)
+    up = jnp.clip((t - ws) / ramp, 0.0, 1.0)
+    down = jnp.clip((we - t) / ramp, 0.0, 1.0)
     w = jnp.sin(0.5 * jnp.pi * up) ** 2 * jnp.sin(0.5 * jnp.pi * down) ** 2
     return w.astype(dtype)
 

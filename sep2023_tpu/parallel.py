@@ -16,6 +16,14 @@ performs on the host.
 
 If the shot count does not divide the mesh, pad with dummy shots carrying
 shot_weight = 0 (`pad_shots`).
+
+All loss builders share the signature
+    loss(lam, mu, rho, stf, [geoms,] obs, weights, *trace_aux)
+where `trace_aux` are optional per-shot arrays (leading S axis) vmapped
+alongside obs/syn and passed positionally to `misfit_fn` — the vehicle for
+the reference's per-trace win_start/win_end/trace-weight conditioning
+(`Src_Rec.cu:145-200`).  `weights` is the per-shot weight vector (the
+survey's src_weight entries; ones by default).
 """
 from __future__ import annotations
 
@@ -59,42 +67,76 @@ def survey_to_geoms(survey: Survey, npml: int, dtype=jnp.float32) -> ShotGeom:
     )
 
 
-def pad_shots(stf, geoms: ShotGeom, obs, weights, n_devices: int):
+def pad_shots(stf, geoms: ShotGeom, obs, weights, n_devices: int,
+              trace_aux=()):
     """Pad the shot axis to a multiple of n_devices with zero-weight shots."""
     S = stf.shape[0]
     rem = (-S) % n_devices
     if rem == 0:
-        return stf, geoms, obs, weights
+        return stf, geoms, obs, weights, trace_aux
     pad = lambda a: jnp.concatenate(
         [a, jnp.repeat(a[-1:], rem, axis=0)], axis=0)
     w = jnp.concatenate([weights, jnp.zeros((rem,), weights.dtype)])
-    return pad(stf), jax.tree.map(pad, geoms), pad(obs), w
+    return (pad(stf), jax.tree.map(pad, geoms), pad(obs), w,
+            jax.tree.map(pad, trace_aux))
 
 
-def make_sharded_misfit(cfg: SimConfig, mesh: Mesh,
-                        channels: Sequence[str] = ("ett",), axis: str = "shot"):
-    """Build  loss(lam, mu, rho, stf, geoms, obs, weights) -> scalar  with the
-    shot axis sharded over `mesh` and the misfit psum-reduced over ICI.
+def default_shot_misfit(channels: Sequence[str] = ("ett",)):
+    return lambda o, s: mf.l2_misfit(o, s, channels=channels)
 
-    Differentiable: jax.grad(loss) yields replicated (all-reduced) model
-    gradients — the TPU-native `Torch_Fwi.cpp:96-101`.
-    """
-    geom_spec = ShotGeom(src_z=P(axis), src_x=P(axis), rxz=P(axis),
-                         rec_z=P(axis), rec_x=P(axis))
 
-    # check_vma=False: the propagator's scan starts from a constant zero
-    # state that only becomes shot-varying after the first source injection,
-    # which the varying-manual-axes checker would reject.
-    @functools.partial(
-        _shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), geom_spec, P(axis), P(axis)),
-        out_specs=P(), check_vma=False)
-    def loss(lam, mu, rho, stf, geoms, obs, weights):
-        syn = jax.vmap(lambda s, g: propagate(cfg, lam, mu, rho, s, g))(
-            stf, geoms)
-        per_shot = jax.vmap(
-            lambda o, s: mf.l2_misfit(o, s, channels=channels))(obs, syn)
-        return jax.lax.psum(jnp.sum(weights * per_shot), axis)
+def _chunked_sum(chunk_loss, shot_args, weights, shot_chunk: int):
+    """Sum chunk_loss(shot_args_chunk, w_chunk) over contiguous shot chunks
+    via `lax.map` (jaxpr size stays flat in S — the reference's OpenMP chunk
+    loop, Torch_Fwi.cpp:59-95, without the unrolled-Python compile blowup).
+
+    With more than one chunk the chunk loss is rematerialized
+    (jax.checkpoint): only one chunk's boundary-strip residuals are live
+    during the backward pass (~0.5 GB/shot at Main-004 scale), at the price
+    of one extra forward per chunk.  Ragged tails are padded with
+    zero-weight replicas of the last shot."""
+    S = weights.shape[0]
+    chunk = shot_chunk if shot_chunk and shot_chunk < S else S
+    n = -(-S // chunk)
+    if n == 1:
+        return chunk_loss(shot_args, weights)
+    remat_loss = jax.checkpoint(chunk_loss)
+    pad = n * chunk - S
+    if pad:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        shot_args = jax.tree.map(rep, shot_args)
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((pad,), weights.dtype)])
+    resh = lambda a: a.reshape(n, chunk, *a.shape[1:])
+    shot_args = jax.tree.map(resh, shot_args)
+    w = weights.reshape(n, chunk)
+    totals = jax.lax.map(lambda xs: remat_loss(xs[0], xs[1]),
+                         (shot_args, w))
+    return jnp.sum(totals)
+
+
+def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
+                      shot_chunk: int = 0, misfit_fn=None):
+    """Single-device (vmap only) loss:
+    loss(lam, mu, rho, stf, geoms, obs, weights, *trace_aux).
+
+    misfit_fn(obs_shot, syn_shot, *trace_aux_shot) overrides the per-shot
+    objective (e.g. ops.misfit.make_preprocessed_l2 for windowed / filtered /
+    per-trace-conditioned data); the adjoint source flows back into the
+    propagator as the data cotangent either way."""
+    fn = misfit_fn or default_shot_misfit(channels)
+
+    def loss(lam, mu, rho, stf, geoms, obs, weights, *trace_aux):
+        def chunk_loss(shot_args, w_c):
+            stf_c, geoms_c, obs_c, aux_c = shot_args
+            syn = jax.vmap(lambda s, g: propagate(cfg, lam, mu, rho,
+                                                  s, g))(stf_c, geoms_c)
+            per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
+            return jnp.sum(w_c * per_shot)
+
+        return _chunked_sum(chunk_loss, (stf, geoms, obs, tuple(trace_aux)),
+                            weights, shot_chunk)
 
     return loss
 
@@ -102,16 +144,13 @@ def make_sharded_misfit(cfg: SimConfig, mesh: Mesh,
 def make_pallas_misfit(cfg: SimConfig, survey: Survey,
                        channels: Sequence[str] = ("ett",),
                        shot_chunk: int = 0, misfit_fn=None):
-    """Fused-Pallas engine loss: loss(lam, mu, rho, stf, obs, weights).
+    """Fused-Pallas engine loss: loss(lam, mu, rho, stf, obs, weights,
+    *trace_aux).
 
     Requires the fast-path survey layout (receivers on one row, contiguous
     x — the reference's surveyGen geometry).  shot_chunk > 0 bounds the
-    boundary-strip residual memory by processing shots in groups.
-
-    misfit_fn(obs_shot, syn_shot) overrides the per-shot objective (e.g.
-    ops.misfit.make_preprocessed_l2 for windowed/filtered data); the adjoint
-    source flows into the kernel as the data cotangent either way.
-    """
+    boundary-strip residual memory by processing shots in rematerialized
+    `lax.map` chunks."""
     from sep2023_tpu.ops import pallas_engine as pe
 
     rs = pe.check_row_survey(survey.rec_z + cfg.npml,
@@ -122,67 +161,99 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
     sz = jnp.asarray(survey.src_z + cfg.npml, jnp.int32)
     sx = jnp.asarray(survey.src_x + cfg.npml, jnp.int32)
     rz = jnp.asarray(survey.src_rxz, jnp.float32)
-    S = survey.n_shots
-    chunk = shot_chunk if shot_chunk and shot_chunk < S else S
-    if misfit_fn is None:
-        misfit_fn = lambda o, s_: mf.l2_misfit(o, s_, channels=channels)
+    fn = misfit_fn or default_shot_misfit(channels)
 
-    def chunk_loss(lam, mu, rho, stf_c, sz_c, sx_c, rz_c, obs_c, w_c):
-        syn = pe.propagate_pallas(cfg, rs, lam, mu, rho, stf_c, sz_c,
-                                  sx_c, rz_c)
-        per_shot = jax.vmap(misfit_fn)(obs_c, syn)
-        return jnp.sum(w_c * per_shot)
+    def loss(lam, mu, rho, stf, obs, weights, *trace_aux):
+        def chunk_loss(shot_args, w_c):
+            stf_c, sz_c, sx_c, rz_c, obs_c, aux_c = shot_args
+            syn = pe.propagate_pallas(cfg, rs, lam, mu, rho, stf_c, sz_c,
+                                      sx_c, rz_c)
+            per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
+            return jnp.sum(w_c * per_shot)
 
-    if chunk < S:
-        # rematerialize per chunk so only one chunk's boundary-strip
-        # residuals are live during the backward pass
-        chunk_loss = jax.checkpoint(chunk_loss)
-
-    def loss(lam, mu, rho, stf, obs, weights):
-        total = jnp.float32(0.0)
-        for c0 in range(0, S, chunk):
-            c1 = min(c0 + chunk, S)
-            total = total + chunk_loss(lam, mu, rho, stf[c0:c1],
-                                       sz[c0:c1], sx[c0:c1], rz[c0:c1],
-                                       obs[c0:c1], weights[c0:c1])
-        return total
+        return _chunked_sum(chunk_loss,
+                            (stf, sz, sx, rz, obs, tuple(trace_aux)),
+                            weights, shot_chunk)
 
     return loss
 
 
-def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
-                      shot_chunk: int = 0):
-    """Single-device (vmap only) variant with the same signature.
+def make_sharded_misfit(cfg: SimConfig, mesh: Mesh,
+                        channels: Sequence[str] = ("ett",), axis: str = "shot",
+                        misfit_fn=None, n_trace_aux: int = 0,
+                        shot_chunk: int = 0):
+    """Build  loss(lam, mu, rho, stf, geoms, obs, weights, *trace_aux) ->
+    scalar  with the shot axis sharded over `mesh` and the misfit
+    psum-reduced over ICI.
 
-    shot_chunk > 0 processes shots in rematerialized groups: without it the
-    custom-vjp adjoint keeps EVERY shot's boundary-strip residuals live
-    through the whole backward pass (~0.5 GB/shot at Main-004 scale);
-    jax.checkpoint re-runs each chunk's forward during its own backward so
-    only one chunk's strips exist at a time (one extra forward per chunk)."""
+    Differentiable: jax.grad(loss) yields replicated (all-reduced) model
+    gradients — the TPU-native `Torch_Fwi.cpp:96-101`.  The shot count must
+    be a multiple of the mesh size (use `pad_shots`)."""
+    geom_spec = ShotGeom(src_z=P(axis), src_x=P(axis), rxz=P(axis),
+                         rec_z=P(axis), rec_x=P(axis))
+    local = make_local_misfit(cfg, channels=channels, shot_chunk=shot_chunk,
+                              misfit_fn=misfit_fn)
 
-    def loss(lam, mu, rho, stf, geoms, obs, weights):
-        S = stf.shape[0]
-        chunk = shot_chunk if shot_chunk and shot_chunk < S else S
+    # check_vma=False: the propagator's scan starts from a constant zero
+    # state that only becomes shot-varying after the first source injection,
+    # which the varying-manual-axes checker would reject.
+    @functools.partial(
+        _shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), geom_spec, P(axis), P(axis))
+        + (P(axis),) * n_trace_aux,
+        out_specs=P(), check_vma=False)
+    def loss(lam, mu, rho, stf, geoms, obs, weights, *trace_aux):
+        return jax.lax.psum(
+            local(lam, mu, rho, stf, geoms, obs, weights, *trace_aux), axis)
 
-        def chunk_loss(lam_, mu_, rho_, stf_c, geoms_c, obs_c, w_c):
-            syn = jax.vmap(lambda s, g: propagate(cfg, lam_, mu_, rho_,
-                                                  s, g))(stf_c, geoms_c)
-            per_shot = jax.vmap(
-                lambda o, s: mf.l2_misfit(o, s, channels=channels))(
-                obs_c, syn)
+    return loss
+
+
+def make_pallas_sharded_misfit(cfg: SimConfig, survey: Survey, mesh: Mesh,
+                               channels: Sequence[str] = ("ett",),
+                               axis: str = "shot", misfit_fn=None,
+                               n_trace_aux: int = 0, shot_chunk: int = 0):
+    """Sharded loss with the fused Pallas engine inside each shard — the
+    reference's multi-GPU scheduler (`Torch_Fwi.cpp:71-101`) with the fast
+    kernel per device: shots shard over the mesh, each device runs its chunk
+    through `propagate_pallas`, misfit and (via AD) model gradients
+    psum-reduce over ICI.
+
+    Signature: loss(lam, mu, rho, stf, obs, weights, *trace_aux).
+    The shot count must be a multiple of the mesh size (use `pad_shots`)."""
+    from sep2023_tpu.ops import pallas_engine as pe
+
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
+                             survey.rec_x + cfg.npml)
+    if rs is None:
+        raise ValueError("survey does not satisfy the Pallas fast path "
+                         "(single receiver row, contiguous x)")
+    sz = jnp.asarray(survey.src_z + cfg.npml, jnp.int32)
+    sx = jnp.asarray(survey.src_x + cfg.npml, jnp.int32)
+    rz = jnp.asarray(survey.src_rxz, jnp.float32)
+    fn = misfit_fn or default_shot_misfit(channels)
+
+    @functools.partial(
+        _shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis)) + (P(axis),) * n_trace_aux,
+        out_specs=P(), check_vma=False)
+    def sharded(lam, mu, rho, stf, sz_, sx_, rz_, obs, weights, *trace_aux):
+        def chunk_loss(shot_args, w_c):
+            stf_c, sz_c, sx_c, rz_c, obs_c, aux_c = shot_args
+            syn = pe.propagate_pallas(cfg, rs, lam, mu, rho, stf_c, sz_c,
+                                      sx_c, rz_c)
+            per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
             return jnp.sum(w_c * per_shot)
 
-        if chunk < S:
-            chunk_loss = jax.checkpoint(chunk_loss)
+        total = _chunked_sum(chunk_loss,
+                             (stf, sz_, sx_, rz_, obs, tuple(trace_aux)),
+                             weights, shot_chunk)
+        return jax.lax.psum(total, axis)
 
-        total = jnp.zeros((), stf.dtype)
-        for c0 in range(0, S, chunk):
-            c1 = min(c0 + chunk, S)
-            sl = lambda a: a[c0:c1]
-            total = total + chunk_loss(lam, mu, rho, stf[c0:c1],
-                                       jax.tree.map(sl, geoms), obs[c0:c1],
-                                       weights[c0:c1])
-        return total
+    def loss(lam, mu, rho, stf, obs, weights, *trace_aux):
+        return sharded(lam, mu, rho, stf, sz, sx, rz, obs, weights,
+                       *trace_aux)
 
     return loss
 

@@ -27,3 +27,114 @@ def test_benchmark_problem_reference_shape():
     assert int(survey.rec_z[0]) == 95
     assert (cfg.nz, cfg.nx) == (165, 265)
     assert cfg.nt == 1501
+
+
+import os
+
+import jax
+import numpy as np
+
+from sep2023_tpu import cli
+from sep2023_tpu.config import Survey
+
+# tiny twin-experiment workload: 3 shots, 28 receivers, 80 steps
+TINY = ["--nz", "28", "--nx", "48", "--nt", "80", "--npml", "8",
+        "--niter", "2", "--x64"]
+
+
+def _hist(exp):
+    h = np.loadtxt(os.path.join(exp, "Results", "loss.txt"), ndmin=2)
+    return h[:, 1]
+
+
+def test_invert_sharded_trajectory_matches_single(tmp_path):
+    """The production `invert` path sharded over the CPU mesh must produce
+    the same L-BFGS-B loss trajectory as single-device — the reference's
+    --ngpu invariance (Torch_Fwi.cpp:71-101), now default-on."""
+    e1 = str(tmp_path / "one")
+    em = str(tmp_path / "mesh")
+    cli.main(["invert", *TINY, "--exp-name", e1, "--n-devices", "1"])
+    assert jax.device_count() >= 3
+    cli.main(["invert", *TINY, "--exp-name", em])  # auto: 3-device mesh
+    h1, hm = _hist(e1), _hist(em)
+    assert len(h1) == len(hm) >= 2
+    np.testing.assert_allclose(h1, hm, rtol=1e-6)
+    assert hm[-1] < hm[0]  # and the twin experiment converges
+
+
+def test_invert_xcorr_with_energy_weights(tmp_path):
+    """Twin experiment under the normalized cross-correlation misfit
+    (if_cross_misfit) with 1/energy trace balancing converges."""
+    e = str(tmp_path / "xc")
+    cli.main(["invert", *TINY, "--exp-name", e, "--n-devices", "1",
+              "--misfit", "xcorr", "--energy-weights"])
+    h = _hist(e)
+    assert h[-1] < h[0]
+
+
+def test_generate_data_roundtrip_and_resume(tmp_path):
+    """--generate_data -> Shot_*.bin -> invert loads them (the reference's
+    two-invocation workflow); --resume continues from the last snapshot."""
+    e = str(tmp_path / "rt")
+    d = str(tmp_path / "data")
+    cli.main(["invert", *TINY, "--exp-name", e, "--data-dir", d,
+              "--generate_data"])
+    assert os.path.exists(os.path.join(d, "Shot_pr0.bin"))
+    cli.main(["invert", *TINY, "--exp-name", e, "--data-dir", d,
+              "--n-devices", "1"])
+    n0 = len(_hist(e))
+    cli.main(["invert", *TINY, "--exp-name", e, "--data-dir", d,
+              "--n-devices", "1", "--resume"])
+    h = _hist(e)
+    assert len(h) > n0                 # appended iterations
+    assert h[n0] <= h[0] * (1 + 1e-9)  # resumed from the optimized model
+
+
+def test_invert_stf_joint_source_inversion(tmp_path):
+    """--invert-stf adds the wavelets to the parameter set (via the d_stf
+    adjoint gradient) and still reduces the misfit."""
+    e = str(tmp_path / "stf")
+    cli.main(["invert", *TINY, "--exp-name", e, "--n-devices", "1",
+              "--invert-stf"])
+    h = _hist(e)
+    assert h[-1] < h[0]
+    snaps = sorted(os.listdir(os.path.join(e, "Results")))
+    latest = [s for s in snaps if s.startswith("model_")][-1]
+    with np.load(os.path.join(e, "Results", latest)) as z:
+        assert "stf" in z.files and z["stf"].shape == (3, 80)
+
+
+def test_survey_json_per_trace_conditioning(tmp_path, capsys):
+    """A reference-schema survey_file.json with per-trace windows/weights and
+    per-shot src_weights drives invert through the per-trace loss path
+    (Src_Rec.cu:145-200)."""
+    S, R = 3, 28
+    survey = Survey(src_z=np.ones(S), src_x=np.array([10, 20, 30]),
+                    rec_z=np.full(R, 22), rec_x=np.arange(10, 38),
+                    win_start=np.zeros((S, R)),
+                    win_end=np.full((S, R), 79.0),
+                    trace_weights=np.ones((S, R)),
+                    src_weights=np.array([1.0, 0.5, 1.0]))
+    sj = str(tmp_path / "survey.json")
+    survey.to_json(sj)
+    e = str(tmp_path / "pt")
+    cli.main(["invert", *TINY, "--exp-name", e, "--n-devices", "1",
+              "--survey-json", sj])
+    out = capsys.readouterr().out
+    assert "per-trace windows/weights active" in out
+    assert _hist(e)[-1] < _hist(e)[0]
+
+
+def test_invert_multiscale_with_src_update(tmp_path, capsys):
+    """Frequency-continuation stages with in-loop Wiener source
+    re-estimation at each stage (if_src_update) run end-to-end."""
+    e = str(tmp_path / "ms")
+    cli.main(["invert", *TINY[:-3], "--niter", "6", "--x64",
+              "--exp-name", e, "--n-devices", "1", "--multiscale",
+              "--src-update"])
+    out = capsys.readouterr().out
+    assert "multiscale stage 6/6" in out
+    assert out.count("source wavelets re-estimated") == 6
+    # stages that converge in 0 iterations skip the scipy callback, so the
+    # history can be shorter than the stage count — but never empty
+    assert len(_hist(e)) >= 1

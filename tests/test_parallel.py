@@ -77,9 +77,142 @@ def test_pad_shots_zero_weight(problem):
     # drop to 5 shots, pad back to 8: padded loss must equal the 5-shot loss
     sl = lambda a: a[:5]
     stf5, geoms5, obs5, w5 = sl(stf), jax.tree.map(sl, geoms), sl(obs), sl(w)
-    stf_p, geoms_p, obs_p, w_p = par.pad_shots(stf5, geoms5, obs5, w5, 8)
+    stf_p, geoms_p, obs_p, w_p, _ = par.pad_shots(stf5, geoms5, obs5, w5, 8)
     assert stf_p.shape[0] == 8 and float(jnp.sum(w_p)) == 5.0
     loss = par.make_local_misfit(cfg)
     f5 = float(loss(lam, mu, rho, stf5, geoms5, obs5, w5))
     fp = float(loss(lam, mu, rho, stf_p, geoms_p, obs_p, w_p))
     assert np.isclose(f5, fp, rtol=1e-12)
+
+
+def test_pallas_sharded_matches_pallas_local(problem):
+    """The sharded fused-Pallas loss (Torch_Fwi.cpp:71-101 with the fast
+    kernel inside each shard) must match the local Pallas loss, value and
+    model gradients (interpret mode on the CPU mesh)."""
+    cfg, lam, mu, rho, stf, geoms, obs, w = problem
+    survey = Survey(src_z=np.full(8, 4), src_x=np.arange(4, 36, 4),
+                    rec_z=np.full(12, 24), rec_x=np.arange(8, 20))
+    f32 = jnp.float32
+    lam, mu, rho = lam.astype(f32), mu.astype(f32), rho.astype(f32)
+    stf = stf.astype(f32)
+    from sep2023_tpu.ops import pallas_engine as pe
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
+                             survey.rec_x + cfg.npml)
+    obs_r = pe.propagate_pallas(cfg, rs, lam * 1.03, mu, rho, stf,
+                                jnp.asarray(survey.src_z + cfg.npml),
+                                jnp.asarray(survey.src_x + cfg.npml),
+                                jnp.asarray(survey.src_rxz, f32))
+    w = w.astype(f32)
+    mesh = par.shot_mesh(8)
+    loss_sh = par.make_pallas_sharded_misfit(cfg, survey, mesh)
+    loss_lo = par.make_pallas_misfit(cfg, survey)
+    args = (lam, mu, rho, stf, obs_r, w)
+    f_sh = float(jax.jit(loss_sh)(*args))
+    f_lo = float(jax.jit(loss_lo)(*args))
+    assert np.isclose(f_sh, f_lo, rtol=1e-5)
+    g_sh = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(*args)
+    g_lo = jax.jit(jax.grad(loss_lo, argnums=(0, 1, 2)))(*args)
+    for a, b in zip(g_sh, g_lo):
+        scale = np.abs(np.asarray(b)).max() + 1e-30
+        assert np.abs(np.asarray(a - b)).max() / scale < 1e-5
+
+
+def test_chunked_lax_map_matches_unchunked(problem):
+    """lax.map shot chunking (incl. a ragged tail) must not change the loss
+    or gradients of the XLA path."""
+    cfg, lam, mu, rho, stf, geoms, obs, w = problem
+    l_all = par.make_local_misfit(cfg)
+    l_chk = par.make_local_misfit(cfg, shot_chunk=3)  # 8 shots -> 3+3+2
+    args = (lam, mu, rho, stf, geoms, obs, w)
+    assert np.isclose(float(l_all(*args)), float(l_chk(*args)), rtol=1e-12)
+    g1 = jax.grad(l_all)(*args)
+    g2 = jax.grad(l_chk)(*args)
+    scale = np.abs(np.asarray(g1)).max()
+    assert np.abs(np.asarray(g1 - g2)).max() / scale < 1e-10
+
+
+def test_per_trace_window_and_weights(problem):
+    """(S, R) per-trace windows must zero late arrivals out of the misfit
+    and change the gradient; per-trace weights must rescale trace
+    contributions (Src_Rec.cu:145-200, cuda_window utilities.cu:790-884)."""
+    from sep2023_tpu.ops import misfit as mfops
+
+    cfg, lam, mu, rho, stf, geoms, obs, w = problem
+    S, R = obs.shape[0], obs.shape[2]
+    fn = mfops.make_preprocessed_l2(dt=cfg.dt, per_trace=True)
+    loss = par.make_local_misfit(cfg, misfit_fn=fn)
+
+    full_ws = jnp.zeros((S, R))
+    full_we = jnp.full((S, R), cfg.nt - 1.0)
+    tw1 = jnp.ones((S, R))
+    args0 = (lam, mu, rho, stf, geoms, obs, w)
+
+    # full window + unit weights == plain L2
+    f_full = float(loss(*args0, full_ws, full_we, tw1))
+    f_ref = float(par.make_local_misfit(cfg)(*args0))
+    assert np.isclose(f_full, f_ref, rtol=1e-10)
+
+    # a window ending before any arrival zeroes the misfit
+    early_we = jnp.full((S, R), 1.0)
+    f_early = float(loss(*args0, full_ws, early_we, tw1))
+    assert f_early < 1e-12 * max(f_ref, 1.0)
+
+    # half-time window changes misfit AND gradient
+    half_we = jnp.full((S, R), (cfg.nt - 1) / 2.0)
+    f_half = float(loss(*args0, full_ws, half_we, tw1))
+    assert 0 < f_half < f_ref
+    g_full = np.asarray(jax.grad(loss)(*args0, full_ws, full_we, tw1))
+    g_half = np.asarray(jax.grad(loss)(*args0, full_ws, half_we, tw1))
+    assert np.abs(g_full - g_half).max() > 0.01 * np.abs(g_full).max() > 0
+
+    # doubling one trace's weight quadruples its squared-residual term
+    tw2 = tw1.at[:, 0].set(2.0)
+    f_w = float(loss(*args0, full_ws, full_we, tw2))
+    per_trace_ref = np.asarray(
+        0.5 * jnp.sum(mfops.residual(obs, jax.vmap(
+            lambda s, g: propagate_ad(cfg, lam, mu, rho, s, g))(
+                stf, geoms))[:, 3] ** 2, axis=-1))
+    extra = 3.0 * per_trace_ref[:, 0].sum()
+    assert np.isclose(f_w - f_ref, extra, rtol=1e-6)
+
+
+def test_xcorr_misfit_through_propagator(problem):
+    """Normalized cross-correlation misfit driven through the propagator:
+    gradient must match the plain-AD oracle (if_cross_misfit,
+    utilities.cu:1011-1113)."""
+    from sep2023_tpu.ops import misfit as mfops
+
+    cfg, lam, mu, rho, stf, geoms, _, w = problem
+    fn = lambda o, s: mfops.normalized_crosscorr_misfit(o, s)
+    loss = par.make_local_misfit(cfg, misfit_fn=fn)
+
+    # phase-perturbed observed data (time-shifted wavelet): xcorr is
+    # amplitude-blind, so an amplitude-only perturbation would make its
+    # gradient a tiny residue of cancelling terms (roundoff-dominated)
+    stf_sh = jnp.roll(stf, 3, axis=-1)
+    obs = jax.vmap(lambda s, g: propagate_ad(cfg, lam, mu, rho, s, g))(
+        stf_sh, geoms)
+
+    def loss_ad(lam_):
+        syn = jax.vmap(lambda s, g: propagate_ad(cfg, lam_, mu, rho, s, g))(
+            stf, geoms)
+        return jnp.sum(w * jax.vmap(fn)(obs, syn))
+
+    f = float(loss(lam, mu, rho, stf, geoms, obs, w))
+    f_ad = float(loss_ad(lam))
+    assert np.isclose(f, f_ad, rtol=1e-10)
+    assert f > 1e-3  # obs from a perturbed model: misfit is nonzero
+
+    # the boundary-saving gradient is interior-masked (el_stress.cu:92);
+    # compare where it is defined.  The xcorr gradient J^T c cancels heavily
+    # (the misfit projects out the amplitude direction), so both f64
+    # implementations are roundoff-limited at ~kappa*eps ~ 1e-3 relative;
+    # cosine similarity is the sharp implementation check (a wrong adjoint
+    # would deviate at O(1)).
+    sl = cfg.grid.interior_slices()
+    g = np.asarray(jax.grad(loss)(lam, mu, rho, stf, geoms, obs, w))[sl]
+    g_ad = np.asarray(jax.grad(loss_ad)(lam))[sl]
+    scale = np.abs(g_ad).max()
+    assert np.abs(g - g_ad).max() / scale < 5e-3
+    cos = (g * g_ad).sum() / (np.linalg.norm(g) * np.linalg.norm(g_ad))
+    assert cos > 0.99999
