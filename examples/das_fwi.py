@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import sep2023_tpu as st
-from sep2023_tpu import das, models, optimize
+from sep2023_tpu import das, models, optimize, parallel
+from sep2023_tpu.config import Survey
 
 
 def main():
@@ -78,16 +79,39 @@ def main():
 
     lam_t, mu_t, rr_t = to_lame(vp_t)
     obs = fwd(lam_t, mu_t, rr_t, stf_all, geoms)
-    obs_g = das.apply_gauge(obs[:, 3], jnp.asarray(A, jnp.float32))
+    A32 = jnp.asarray(A, jnp.float32)
+    obs_g = das.apply_gauge(obs[:, 3], A32)
     print(f"{len(src_x)} shots x {len(cables)} gauge channels "
           f"({len(rec_z)} fiber points)")
 
-    def loss(params, stf_a, obs_gauge):
-        lam, mu, rho = to_lame(params["vp"])
-        syn = jax.vmap(lambda si, gi: st.propagate(cfg, lam, mu, rho,
-                                                   si, gi))(stf_a, geoms)
-        r = obs_gauge - das.apply_gauge(syn[:, 3], jnp.asarray(A, jnp.float32))
+    def gauge_l2(obs_g1, syn1):
+        r = obs_g1 - das.apply_gauge(syn1[3], A32)
         return 0.5 * jnp.sum(r * r)
+
+    # the fused Pallas engine handles this curved-fiber weighted acquisition
+    # as a K-layer fiber survey (pallas_engine.FiberSurvey); on CPU the
+    # interpret-mode kernel is slower than XLA, so fall back there
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        survey = Survey(src_z=np.full(len(src_x), 2), src_x=src_x,
+                        rec_z=rec_z, rec_x=rec_x)
+        loss_d = parallel.make_pallas_misfit(cfg, survey,
+                                             misfit_fn=gauge_l2, das_w=das_w)
+        w1 = jnp.ones((len(src_x),), jnp.float32)
+        print("engine: fused Pallas (fiber survey)")
+
+        def loss(params, stf_a, obs_gauge):
+            lam, mu, rho = to_lame(params["vp"])
+            return loss_d(lam, mu, rho, stf_a, obs_gauge, w1)
+    else:
+        print("engine: XLA")
+
+        def loss(params, stf_a, obs_gauge):
+            lam, mu, rho = to_lame(params["vp"])
+            syn = jax.vmap(lambda si, gi: st.propagate(cfg, lam, mu, rho,
+                                                       si, gi))(stf_a, geoms)
+            per = jax.vmap(gauge_l2)(obs_gauge, syn)
+            return jnp.sum(per)
 
     obj = optimize.ScipyObjective(loss, {"vp": vp_i}, aux=(stf_all, obs_g))
     f0 = obj.fun(obj.x0)

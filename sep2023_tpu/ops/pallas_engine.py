@@ -111,14 +111,59 @@ def _dx_plus(f):
 
 
 class RowSurvey(NamedTuple):
-    """Static fast-path acquisition: receivers on one row, contiguous x."""
+    """Static fast-path acquisition: receivers on one row, contiguous x
+    (the reference's surveyGen layout, fwi_utils.py:87-124)."""
 
     rec_row: int
     rec_x0: int
     n_rec: int
 
 
-def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = 13 * 2 ** 20) -> bool:
+class FiberSurvey(NamedTuple):
+    """Static generalized fast-path acquisition: receivers at arbitrary
+    (z, x) grid points, partitioned into K *layers* such that every layer
+    has at most one receiver per x-lane.  Each layer carries a per-lane row
+    map; the kernel records full-width rows by masked sublane reduction
+    against the row map (the Mosaic-lowerable generalization of the
+    single-row reduction), and the per-receiver samples are gathered from
+    the (channel, layer) row planes OUTSIDE the kernel.
+
+    Covers the DAS acquisitions of the paper: curved / dipping fibers
+    (z = f(x) per layer, elasticSolver.py:269-276) with the directional
+    sensitivity weights, and — through `transpose_plan` — vertical-fiber /
+    borehole column layouts (utilities.cu:620-641).
+
+    All fields are hashable (tuples), so a FiberSurvey is a static
+    `pallas_call` parameter and its row maps / weights become trace-time
+    kernel constants.
+
+    rowmaps:   (K, nx) per-lane receiver rows (row 0 padding on idle lanes)
+    rec_layer: (R,) layer index per receiver
+    rec_x:     (R,) lane per receiver
+    weights:   (R, 3) per-receiver (exx, exz, ezz) sensitivity weights,
+               required iff the config's das_channel == 'weighted'
+    """
+
+    rowmaps: tuple
+    rec_layer: tuple
+    rec_x: tuple
+    weights: tuple | None = None
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.rowmaps)
+
+    @property
+    def n_rec(self) -> int:
+        return len(self.rec_x)
+
+
+def _n_layers(rs) -> int:
+    return rs.n_layers if isinstance(rs, FiberSurvey) else 1
+
+
+def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = 13 * 2 ** 20,
+                   n_layers: int = 1) -> bool:
     """Rough VMEM estimate for the BACKWARD kernel (the tighter of the two):
     23 full (nz, nx) arrays + staging buffers must fit under ~13 MB of the
     16 MB scoped-VMEM budget (headroom for Mosaic's vjp temporaries)."""
@@ -126,7 +171,7 @@ def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = 13 * 2 ** 20) -> bool:
     total = (23 * grid                              # primal+adjoint+psi, gmat
              + STRIP_CHUNK * _pad8(cfg.nz) * LANE * 4      # lr strips
              + STRIP_CHUNK * TB_ROWS * _pad128(cfg.nx) * 4  # tb strips
-             + 4 * DREC_CHUNK * _pad128(cfg.nx) * 4)        # cotangent ring
+             + 4 * n_layers * DREC_CHUNK * _pad128(cfg.nx) * 4)  # cotangents
     return total < budget_bytes
 
 
@@ -138,12 +183,139 @@ def check_row_survey(rec_z: np.ndarray, rec_x: np.ndarray) -> RowSurvey | None:
     return None
 
 
+def make_fiber_survey(rec_z, rec_x, nx: int, das_w=None,
+                      max_layers: int = 4) -> FiberSurvey | None:
+    """Greedy layer assignment of receivers at padded-grid (rec_z, rec_x):
+    a receiver goes to the first layer whose lane rec_x is still free.
+    Returns None if more than `max_layers` layers would be needed (recording
+    cost scales with K; e.g. a borehole column needs K = R — transpose it
+    instead, `transpose_plan`)."""
+    rec_z = np.asarray(rec_z, np.int64)
+    rec_x = np.asarray(rec_x, np.int64)
+    if rec_z.min() < 1 or rec_x.min() < 0 or rec_x.max() >= nx:
+        return None
+    layers = []        # list of dict lane -> row
+    rec_layer = np.zeros(len(rec_x), np.int64)
+    for r, (z, x) in enumerate(zip(rec_z, rec_x)):
+        for k, lanes in enumerate(layers):
+            if x not in lanes:
+                lanes[x] = z
+                rec_layer[r] = k
+                break
+        else:
+            if len(layers) >= max_layers:
+                return None
+            layers.append({x: z})
+            rec_layer[r] = len(layers) - 1
+    rowmaps = np.zeros((len(layers), nx), np.int64)
+    for k, lanes in enumerate(layers):
+        for x, z in lanes.items():
+            rowmaps[k, x] = z
+    w = (tuple(map(tuple, np.asarray(das_w, np.float64)))
+         if das_w is not None else None)
+    return FiberSurvey(rowmaps=tuple(map(tuple, rowmaps)),
+                       rec_layer=tuple(map(int, rec_layer)),
+                       rec_x=tuple(map(int, rec_x)), weights=w)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel recording (masked sublane reductions against per-lane row maps)
+# ---------------------------------------------------------------------------
+
+def _rowmaps_np(cfg, rs) -> np.ndarray:
+    if isinstance(rs, FiberSurvey):
+        return np.asarray(rs.rowmaps, np.int32)
+    return np.full((1, cfg.nx), rs.rec_row, np.int32)
+
+
+def _weight_rows_np(cfg, fs: FiberSurvey) -> np.ndarray:
+    """(K, 3, nx) per-lane (exx, exz, ezz) sensitivity weights."""
+    w = np.zeros((fs.n_layers, 3, cfg.nx), np.float32)
+    for r, (k, x) in enumerate(zip(fs.rec_layer, fs.rec_x)):
+        w[k, :, x] = fs.weights[r]
+    return w
+
+
+def _uniform_layers(cfg, rs):
+    """Static per-layer flag: constant receiver row (cheap lane-roll path)."""
+    rm = _rowmaps_np(cfg, rs)
+    return tuple(bool(r.min() == r.max()) for r in rm)
+
+
+def _record_rows(cfg: SimConfig, rs, recw, vz, vx, szz, sxx):
+    """Record 4 channels x K layers as FULL-WIDTH (1, nx) rows: a masked
+    sublane reduction against the layer's per-lane row map (its transpose is
+    a sublane broadcast, Mosaic-lowerable; a row gather or 1-D slice would
+    transpose to scatter / 1-D pad, which Mosaic rejects).  Per-receiver
+    samples are gathered from the row planes OUTSIDE the kernel; cotangents
+    arrive pre-placed on the (channel, layer) planes.
+
+    recw = (rowmaps, wrow): the (K, nx) int32 row maps and, for the
+    'weighted' channel, the (3K, nx) per-lane sensitivity weights — kernel
+    INPUTS read into values at kernel start (Pallas forbids captured array
+    constants).
+
+    Channels per layer, keyed by cfg.das_channel for the 'ett' plane:
+      'exx'     : vx[r, x] - vx[r, x-1]       (recording_exx, not /dx,
+                                               utilities.cu:593-615)
+      'ezz'     : vz[r, x] - vz[r-1, x]       (recording_ezz, utilities.cu:620-641)
+      'weighted': w0*exx/dx + w1*exz + w2*ezz/dz  (directional fiber
+                   sampling, elasticSolver.py:269-276)
+    Output order: index c * K + k  (channel-major).
+    """
+    rowmaps, wrow = recw
+    zi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 0)
+    K = _n_layers(rs)
+    ch = cfg.das_channel
+    uniform_l = _uniform_layers(cfg, rs)
+
+    pr_l, vx_l, vz_l, ett_l = [], [], [], []
+    prsum = szz + sxx
+    for k in range(K):
+        rm = rowmaps[k:k + 1, :]  # (1, nx) int32
+        uniform = uniform_l[k]
+        hot = (zi == rm).astype(jnp.float32)
+        samp = lambda f, h=hot: jnp.sum(f * h, axis=0, keepdims=True)
+        vxr = samp(vx)
+        vzr = samp(vz)
+        pr_l.append(samp(prsum))
+        vx_l.append(vxr)
+        vz_l.append(vzr)
+
+        # x-shifted samples: on a uniform row, shift the sampled row (cheap
+        # lane roll); on a curved fiber, shift the field first so the sample
+        # stays on the receiver's OWN row (f[rm(x), x-1], not f[rm(x-1), x-1])
+        def samp_xm1(f, fr):
+            return (_roll(fr, 1, 1) if uniform
+                    else samp(_roll(f, 1, 1)))
+
+        if ch == "exx":
+            ett_l.append(vxr - samp_xm1(vx, vxr))
+        elif ch == "ezz":
+            hot_m1 = (zi == rm - 1).astype(jnp.float32)
+            ett_l.append(vzr - samp(vz, hot_m1))
+        elif ch == "weighted":
+            hot_m1 = (zi == rm - 1).astype(jnp.float32)
+            hot_p1 = (zi == rm + 1).astype(jnp.float32)
+            exx = (vxr - samp_xm1(vx, vxr)) / cfg.dx
+            ezz = (vzr - samp(vz, hot_m1)) / cfg.dz
+            vz_xp1 = (_roll(vzr, -1, 1) if uniform
+                      else samp(_roll(vz, -1, 1)))
+            exz = 0.5 * ((samp(vx, hot_p1) - vxr) / cfg.dz
+                         + (vz_xp1 - vzr) / cfg.dx)
+            w = wrow[3 * k:3 * k + 3, :]  # (3, nx)
+            ett_l.append(w[0:1] * exx + w[1:2] * exz + w[2:3] * ezz)
+        else:  # pragma: no cover
+            raise ValueError(f"das_channel {ch!r}")
+    return tuple(pr_l + vx_l + vz_l + ett_l)
+
+
 # ---------------------------------------------------------------------------
 # Pure one-step physics on VALUES (shared by forward and vjp-adjoint kernels)
 # ---------------------------------------------------------------------------
 
-def _step_values(cfg: SimConfig, rs: RowSurvey, prof, mask, src_hot, rxz,
-                 fields, psi, mats, amp):
+def _step_values(cfg: SimConfig, rs, prof, mask, src_hot, rxz,
+                 fields, psi, mats, amp, recw):
     """One leapfrog step (el_stress.cu:50-87 + el_velocity.cu:45-82 + source
     + recording), as a pure function so `jax.vjp` of it yields the exact
     one-step adjoint inside the backward kernel."""
@@ -188,19 +360,7 @@ def _step_values(cfg: SimConfig, rs: RowSurvey, prof, mask, src_hot, rxz,
     dsxx = d / kxh + p_sxxdx
     vx = vx + mask * ((dsxzz + dsxx) * bycb * dt)
 
-    # Recording as a masked sublane reduction producing FULL-WIDTH (1, nx)
-    # rows: its transpose is a sublane broadcast (Mosaic-lowerable), whereas
-    # a row gather or a 1-D slice would transpose to scatter / 1-D pad,
-    # which Mosaic rejects.  The receiver window is sliced OUTSIDE the
-    # kernel; the cotangent arrives pre-placed at lanes [rec_x0, rec_x0+R).
-    rr = rs.rec_row
-    zi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 0)
-    row_hot = (zi == rr).astype(jnp.float32)
-    row = lambda f: jnp.sum(f * row_hot, axis=0, keepdims=True)  # (1, nx)
-    przr = row(szz) + row(sxx)
-    vxr = row(vx)
-    vzr = row(vz)
-    recs = (przr, vxr, vzr, vxr - _roll(vxr, 1, 1))
+    recs = _record_rows(cfg, rs, recw, vz, vx, szz, sxx)
     new_fields = (vz, vx, szz, sxx, sxz)
     new_psi = (p_vzdz, p_vxdx, p_vxdz, p_vzdx, p_szzdz, p_sxzdx, p_sxzdz,
                p_sxxdx)
@@ -231,13 +391,33 @@ def _read_consts(refs):
     return tuple(r[:] for r in refs)
 
 
+def _read_recw(recw_refs):
+    """(rowmaps, wrow-or-None) values from the recording-input refs."""
+    rowmaps = recw_refs[0][:]
+    wrow = recw_refs[1][:] if len(recw_refs) > 1 else None
+    return rowmaps, wrow
+
+
+def _recw_inputs(cfg: SimConfig, rs):
+    """Recording inputs for both kernels: the (K, nx) int32 row maps and,
+    for the weighted channel, the (3K, nx) per-lane sensitivity weights."""
+    ins = [jnp.asarray(_rowmaps_np(cfg, rs))]
+    if cfg.das_channel == "weighted":
+        if not (isinstance(rs, FiberSurvey) and rs.weights is not None):
+            raise ValueError("das_channel='weighted' needs a FiberSurvey "
+                             "with sensitivity weights")
+        w = _weight_rows_np(cfg, rs)
+        ins.append(jnp.asarray(w.reshape(-1, cfg.nx)))
+    return ins
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel (shared body; optionally saves boundary strips)
 # ---------------------------------------------------------------------------
 
 def _fwd_body(cfg, rs, save_strips,
               srcz_ref, srcx_ref, rxz_ref, stf_ref,
-              mat_refs, prof_refs,
+              mat_refs, prof_refs, recw_refs,
               data_out_ref, lr_out_ref, tb_out_ref, ffin_out_ref,
               field_s, psi_s, rec_buf, rec_sem, lr_buf, tb_buf, strip_sem):
     i = pl.program_id(0)
@@ -247,9 +427,10 @@ def _fwd_body(cfg, rs, save_strips,
     mask, src_hot, _ = _masks(cfg, src_z, src_x)
     mats = _read_consts(mat_refs)
     prof = _read_consts(prof_refs)
+    recw = _read_recw(recw_refs)
     z0, z1, x0, x1 = _strip_bounds(cfg)
     L = STRIP_L
-    n_rec = rs.n_rec
+    NC = 4 * _n_layers(rs)
 
     for s in (*field_s, *psi_s, rec_buf):
         s[:] = jnp.zeros_like(s)
@@ -289,7 +470,7 @@ def _fwd_body(cfg, rs, save_strips,
         psi = tuple(s[:] for s in psi_s)
         amp = stf_ref[i, it]
         new_fields, new_psi, recs = _step_values(
-            cfg, rs, prof, mask, src_hot, rxz, fields, psi, mats, amp)
+            cfg, rs, prof, mask, src_hot, rxz, fields, psi, mats, amp, recw)
         for s, v in zip(field_s, new_fields):
             s[:] = v
         for s, v in zip(psi_s, new_psi):
@@ -299,7 +480,7 @@ def _fwd_body(cfg, rs, save_strips,
         r = it + 1
         k = r // REC_CHUNK
         pos = r % REC_CHUNK
-        for c in range(4):
+        for c in range(NC):
             rec_buf[c, pos, :cfg.nx] = recs[c][0]
 
         @pl.when((pos == REC_CHUNK - 1) | (r == cfg.nt - 1))
@@ -338,7 +519,37 @@ def _nt_pad(cfg):
     return ((cfg.nt + REC_CHUNK - 1) // REC_CHUNK) * REC_CHUNK
 
 
-def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
+def _extract_data(cfg: SimConfig, rs, out):
+    """(S, 4K, nt_pad, nx_pad) recorded row planes -> (S, 4, R, nt)."""
+    if not isinstance(rs, FiberSurvey):
+        return jnp.swapaxes(
+            out[:, :, :cfg.nt, rs.rec_x0:rs.rec_x0 + rs.n_rec], 2, 3)
+    K = rs.n_layers
+    lx = np.asarray(rs.rec_x)
+    cols = out[:, :, :cfg.nt, :][..., lx]          # (S, 4K, nt, R)
+    idx = (np.arange(4)[None, :] * K
+           + np.asarray(rs.rec_layer)[:, None])    # (R, 4)
+    cols = jnp.moveaxis(cols, 1, -1)               # (S, nt, R, 4K)
+    picked = jnp.take_along_axis(cols, jnp.asarray(idx)[None, None],
+                                 axis=-1)          # (S, nt, R, 4)
+    return jnp.transpose(picked, (0, 3, 2, 1))
+
+
+def _place_cotangent(cfg: SimConfig, rs, d_data, nt_pad, R_pad):
+    """Adjoint of `_extract_data`: (S, 4, R, nt) seismogram cotangents onto
+    the (S, 4K, nt_pad, nx_pad) row planes the backward kernel consumes."""
+    S = d_data.shape[0]
+    f32 = jnp.float32
+    if not isinstance(rs, FiberSurvey):
+        dd = jnp.zeros((S, 4, nt_pad, R_pad), f32)
+        return dd.at[:, :, :cfg.nt, rs.rec_x0:rs.rec_x0 + rs.n_rec].set(
+            jnp.swapaxes(d_data.astype(f32), 2, 3))
+    out0 = jnp.zeros((S, 4 * rs.n_layers, nt_pad, R_pad), f32)
+    _, vjp = jax.vjp(lambda o: _extract_data(cfg, rs, o), out0)
+    return vjp(d_data.astype(f32))[0]
+
+
+def _run_forward(cfg: SimConfig, rs, lam, mu, rho, stf,
                  src_z, src_x, rxz, save_strips: bool):
     S = stf.shape[0]
     f32 = jnp.float32
@@ -346,8 +557,9 @@ def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
     prof = _profiles(cfg)
     nt_pad = _nt_pad(cfg)
     R_pad = _pad128(cfg.nx)
+    NC = 4 * _n_layers(rs)
 
-    out_shape = [jax.ShapeDtypeStruct((S, 4, nt_pad, R_pad), f32)]
+    out_shape = [jax.ShapeDtypeStruct((S, NC, nt_pad, R_pad), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if save_strips:
         # strip buffers padded to whole STRIP_CHUNK blocks: the final flush
@@ -370,18 +582,22 @@ def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
         ]
 
     scratch = ([pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13
-               + [pltpu.VMEM((4, REC_CHUNK, R_pad), f32),
+               + [pltpu.VMEM((NC, REC_CHUNK, R_pad), f32),
                   pltpu.SemaphoreType.DMA(())])
     if save_strips:
         scratch += [pltpu.VMEM((STRIP_CHUNK, _pad8(cfg.nz), LANE), f32),
                     pltpu.VMEM((STRIP_CHUNK, TB_ROWS, _pad128(cfg.nx)), f32),
                     pltpu.SemaphoreType.DMA((2,))]
 
+    recw_in = _recw_inputs(cfg, rs)
+    n_recw = len(recw_in)
+
     def kernel(*args):
         srcz, srcx, rxz_r, stf_r = args[:4]
         mat_refs = args[4:9]
         prof_refs = args[9:21]
-        pos = 21
+        recw_refs = args[21:21 + n_recw]
+        pos = 21 + n_recw
         data_out = args[pos]
         pos += 1
         if save_strips:
@@ -397,18 +613,20 @@ def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
         else:
             lr_buf = tb_buf = strip_sem = None
         _fwd_body(cfg, rs, save_strips, srcz, srcx, rxz_r, stf_r,
-                  mat_refs, prof_refs, data_out, lr_out, tb_out, ffin,
-                  field_s, psi_s, rec_buf, rec_sem, lr_buf, tb_buf, strip_sem)
+                  mat_refs, prof_refs, recw_refs, data_out, lr_out, tb_out,
+                  ffin, field_s, psi_s, rec_buf, rec_sem, lr_buf, tb_buf,
+                  strip_sem)
 
     # distinct kernel names per variant (avoids any name-keyed compile-cache
     # collision in remote-compile setups)
-    kernel.__name__ = f"elastic_fwd_kernel_save{int(save_strips)}"
+    kernel.__name__ = (f"elastic_fwd_kernel_save{int(save_strips)}"
+                       f"_k{_n_layers(rs)}_{cfg.das_channel}")
     kernel.__qualname__ = kernel.__name__
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(S,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (17 + n_recw),
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -422,10 +640,9 @@ def _run_forward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
             dimension_semantics=("arbitrary",)),
     )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
       jnp.asarray(rxz, f32), stf.astype(f32),
-      mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b, *prof)
+      mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b, *prof, *recw_in)
 
-    data = jnp.swapaxes(
-        outs[0][:, :, :cfg.nt, rs.rec_x0:rs.rec_x0 + rs.n_rec], 2, 3)
+    data = _extract_data(cfg, rs, outs[0])
     if save_strips:
         return data, outs[1], outs[2], outs[3]
     return data
@@ -462,22 +679,24 @@ def _inject_strips_refs(field_refs, lr_buf, tb_buf, sp, cfg, which):
         ref[z1:z1 + L, :] = tb_buf[sp, c + L:c + 2 * L, :nx]
 
 
-def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
+def _bwd_kernel(cfg: SimConfig, rs, n_recw: int,
                 srcz_ref, srcx_ref, rxz_ref, stf_ref,
                 *args):
     mat_refs = args[0:5]
     prof_refs = args[5:17]
-    ffin_ref = args[17]
-    lr_in = args[18]
-    tb_in = args[19]
-    ddata_in = args[20]
-    gmat_out = args[21]
-    dstf_out = args[22]
-    field_s = args[23:28]
-    adj_f_s = args[28:33]
-    adj_p_s = args[33:41]
-    lr_buf, tb_buf, drec_buf = args[41:44]
-    sems = args[44]
+    recw_refs = args[17:17 + n_recw]
+    p = 17 + n_recw
+    ffin_ref = args[p]
+    lr_in = args[p + 1]
+    tb_in = args[p + 2]
+    ddata_in = args[p + 3]
+    gmat_out = args[p + 4]
+    dstf_out = args[p + 5]
+    field_s = args[p + 6:p + 11]
+    adj_f_s = args[p + 11:p + 16]
+    adj_p_s = args[p + 16:p + 24]
+    lr_buf, tb_buf, drec_buf = args[p + 24:p + 27]
+    sems = args[p + 27]
 
     i = pl.program_id(0)
     src_z = srcz_ref[i]
@@ -486,9 +705,10 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
     mask, src_hot, interior = _masks(cfg, src_z, src_x)
     mats = _read_consts(mat_refs)
     prof = _read_consts(prof_refs)
+    recw = _read_recw(recw_refs)
     (lam, lp2m, avemu, byca, bycb) = mats
     dt, dz, dx = cfg.dt, cfg.dz, cfg.dx
-    n_rec = rs.n_rec
+    NC = 4 * _n_layers(rs)
 
     @pl.when(i == 0)
     def _init_gmat():
@@ -516,7 +736,7 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
 
     def step_fn(fields, psi, mats_, amp):
         return _step_values(cfg, rs, prof, mask, src_hot, rxz, fields, psi,
-                            mats_, amp)
+                            mats_, amp, recw)
 
     def body(idx, _):
         it = cfg.nt - 2 - idx
@@ -580,7 +800,7 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
         adj_f = tuple(s[:] for s in adj_f_s)
         adj_p = tuple(s[:] for s in adj_p_s)
         d_rec = tuple(drec_buf[c, pl.ds(pos, 1), :cfg.nx]
-                      for c in range(4))
+                      for c in range(NC))
         d_fields, d_psi, d_mats, d_amp = vjp_fn((adj_f, adj_p, d_rec))
         for s, v in zip(adj_f_s, d_fields):
             s[:] = v
@@ -595,7 +815,7 @@ def _bwd_kernel(cfg: SimConfig, rs: RowSurvey,
     jax.lax.fori_loop(0, cfg.nt - 1, body, 0)
 
 
-def _run_backward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
+def _run_backward(cfg: SimConfig, rs, lam, mu, rho, stf,
                   src_z, src_x, rxz, ffin, lr, tb, d_data):
     S = stf.shape[0]
     f32 = jnp.float32
@@ -603,18 +823,18 @@ def _run_backward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
     prof = _profiles(cfg)
     nt_pad = _nt_pad(cfg)
     R_pad = _pad128(cfg.nx)
+    NC = 4 * _n_layers(rs)
 
-    # cotangent (S, 4, R, nt) -> (S, 4, nt_pad, nx_pad) with the receiver
-    # samples placed at lanes [rec_x0, rec_x0 + R) of full-width rows
-    dd = jnp.zeros((S, 4, nt_pad, R_pad), f32)
-    dd = dd.at[:, :, :cfg.nt, rs.rec_x0:rs.rec_x0 + rs.n_rec].set(
-        jnp.swapaxes(d_data.astype(f32), 2, 3))
+    # cotangent (S, 4, R, nt) -> (S, 4K, nt_pad, nx_pad) row planes
+    dd = _place_cotangent(cfg, rs, d_data, nt_pad, R_pad)
 
+    recw_in = _recw_inputs(cfg, rs)
+    n_recw = len(recw_in)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(S,),
         in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 17
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (17 + n_recw)
             + [pl.BlockSpec(memory_space=pltpu.HBM),
                pl.BlockSpec(memory_space=pltpu.HBM),
                pl.BlockSpec(memory_space=pltpu.HBM),
@@ -631,14 +851,14 @@ def _run_backward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
             + [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13   # adjoint fields+psi
             + [pltpu.VMEM((STRIP_CHUNK, _pad8(cfg.nz), LANE), f32),
                pltpu.VMEM((STRIP_CHUNK, TB_ROWS, _pad128(cfg.nx)), f32),
-               pltpu.VMEM((4, DREC_CHUNK, R_pad), f32),
+               pltpu.VMEM((NC, DREC_CHUNK, R_pad), f32),
                pltpu.SemaphoreType.DMA((3,))]),
     )
     out_shape = [
         jax.ShapeDtypeStruct((N_FIELDS, cfg.nz, cfg.nx), f32),  # gmat
         jax.ShapeDtypeStruct((S, nt_pad), f32),                 # d_stf
     ]
-    kernel = functools.partial(_bwd_kernel, cfg, rs)
+    kernel = functools.partial(_bwd_kernel, cfg, rs, n_recw)
     interp = _interpret()
     gmat, d_stf = pl.pallas_call(
         kernel,
@@ -649,7 +869,7 @@ def _run_backward(cfg: SimConfig, rs: RowSurvey, lam, mu, rho, stf,
             dimension_semantics=("arbitrary",)),
     )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
       jnp.asarray(rxz, f32), stf.astype(f32),
-      mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b, *prof,
+      mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b, *prof, *recw_in,
       ffin, lr, tb, dd)
 
     # restrict to the interior (the reconstruction is only exact there) and
@@ -699,3 +919,81 @@ def _pp_bwd(cfg, rs, res, d_data):
 
 
 propagate_pallas.defvjp(_pp_fwd, _pp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Acquisition planning: row / fiber / transposed dispatch
+# ---------------------------------------------------------------------------
+
+class FastPlan(NamedTuple):
+    """How to run an acquisition on the fused engine.
+
+    cfg: the config the kernel executes with (grid swapped if transposed);
+    rs:  RowSurvey | FiberSurvey on that grid;
+    transposed: run on the (x, z)-swapped grid — the borehole / vertical-
+    fiber case (utilities.cu:620-641 recording_ezz with column receivers):
+    the elastic system is invariant under (z<->x, vz<->vx, szz<->sxx), so a
+    column survey is a row survey of the transposed problem.
+    """
+
+    cfg: SimConfig
+    rs: object
+    transposed: bool
+
+
+def _transpose_cfg(cfg: SimConfig) -> SimConfig:
+    import dataclasses
+    ch = {"exx": "ezz", "ezz": "exx", "weighted": "weighted"}[cfg.das_channel]
+    return dataclasses.replace(cfg, nz=cfg.nx, nx=cfg.nz, dz=cfg.dx,
+                               dx=cfg.dz, das_channel=ch)
+
+
+def plan_fast_path(cfg: SimConfig, rec_z, rec_x, das_w=None,
+                   max_layers: int = 4,
+                   allow_transpose: bool = True) -> FastPlan | None:
+    """Plan the fused-engine execution of an acquisition (PADDED-grid
+    indices), or None if it needs the general XLA engine.
+
+    Tries, in order: single-row window (the benchmark layout), K-layer fiber
+    (curved/dipping fibers, multi-row spreads, duplicate-lane cables), then
+    both again on the transposed grid (boreholes / vertical fibers).
+    das_w: (R, 3) per-receiver (exx, exz, ezz) sensitivity weights for
+    das_channel='weighted' (they become static kernel constants).
+    allow_transpose=False when any src_rxz is zero (the transposed source
+    rescaling divides by rxz)."""
+    rec_z = np.asarray(rec_z)
+    rec_x = np.asarray(rec_x)
+    for transposed in ((False, True) if allow_transpose else (False,)):
+        c = _transpose_cfg(cfg) if transposed else cfg
+        rz, rx = (rec_x, rec_z) if transposed else (rec_z, rec_x)
+        w = None
+        if das_w is not None:
+            w = np.asarray(das_w)[:, ::-1] if transposed else das_w
+        if rz.min() < 1 or rz.max() > c.nz - 2:
+            continue
+        if w is None:
+            rs = check_row_survey(rz, rx)
+            if rs is not None:
+                return FastPlan(c, rs, transposed)
+        fs = make_fiber_survey(rz, rx, c.nx, das_w=w, max_layers=max_layers)
+        if fs is not None:
+            return FastPlan(c, fs, transposed)
+    return None
+
+
+def propagate_pallas_plan(plan: FastPlan, lam, mu, rho, stf,
+                          src_z, src_x, rxz):
+    """Differentiable fused-engine propagation under a FastPlan.  Arguments
+    are on the ORIGINAL grid; transposition (model swapaxes, src index swap,
+    source rescaling stf*rxz with moment ratio 1/rxz, vx/vz channel swap) is
+    plain JAX around the custom-vjp kernel, so AD routes the cotangents
+    through it automatically."""
+    if not plan.transposed:
+        return propagate_pallas(plan.cfg, plan.rs, lam, mu, rho, stf,
+                                src_z, src_x, rxz)
+    T = lambda a: jnp.swapaxes(a, 0, 1)
+    rxz = jnp.asarray(rxz, stf.dtype)
+    data = propagate_pallas(plan.cfg, plan.rs, T(lam), T(mu), T(rho),
+                            stf * rxz[:, None], src_x, src_z, 1.0 / rxz)
+    # transposed channels (pr, vx', vz', ett') = (pr, vz, vx, ett)
+    return data[:, jnp.asarray([0, 2, 1, 3])]

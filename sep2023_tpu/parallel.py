@@ -141,23 +141,32 @@ def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
     return loss
 
 
+def _pallas_plan(cfg: SimConfig, survey: Survey, das_w=None):
+    from sep2023_tpu.ops import pallas_engine as pe
+
+    plan = pe.plan_fast_path(
+        cfg, survey.rec_z + cfg.npml, survey.rec_x + cfg.npml, das_w=das_w,
+        allow_transpose=bool(np.all(survey.src_rxz != 0)))
+    if plan is None:
+        raise ValueError("survey does not satisfy any Pallas fast path "
+                         "(row / fiber / transposed layouts)")
+    return plan
+
+
 def make_pallas_misfit(cfg: SimConfig, survey: Survey,
                        channels: Sequence[str] = ("ett",),
-                       shot_chunk: int = 0, misfit_fn=None):
+                       shot_chunk: int = 0, misfit_fn=None, das_w=None):
     """Fused-Pallas engine loss: loss(lam, mu, rho, stf, obs, weights,
     *trace_aux).
 
-    Requires the fast-path survey layout (receivers on one row, contiguous
-    x — the reference's surveyGen geometry).  shot_chunk > 0 bounds the
-    boundary-strip residual memory by processing shots in rematerialized
-    `lax.map` chunks."""
+    The acquisition must fit a fast-path plan (single-row window, K-layer
+    fiber, or either on the transposed grid — pallas_engine.plan_fast_path);
+    das_w carries (R, 3) fiber sensitivity weights when
+    cfg.das_channel == 'weighted'.  shot_chunk > 0 bounds the boundary-strip
+    residual memory by processing shots in rematerialized `lax.map` chunks."""
     from sep2023_tpu.ops import pallas_engine as pe
 
-    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
-                             survey.rec_x + cfg.npml)
-    if rs is None:
-        raise ValueError("survey does not satisfy the Pallas fast path "
-                         "(single receiver row, contiguous x)")
+    plan = _pallas_plan(cfg, survey, das_w)
     sz = jnp.asarray(survey.src_z + cfg.npml, jnp.int32)
     sx = jnp.asarray(survey.src_x + cfg.npml, jnp.int32)
     rz = jnp.asarray(survey.src_rxz, jnp.float32)
@@ -166,8 +175,8 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
     def loss(lam, mu, rho, stf, obs, weights, *trace_aux):
         def chunk_loss(shot_args, w_c):
             stf_c, sz_c, sx_c, rz_c, obs_c, aux_c = shot_args
-            syn = pe.propagate_pallas(cfg, rs, lam, mu, rho, stf_c, sz_c,
-                                      sx_c, rz_c)
+            syn = pe.propagate_pallas_plan(plan, lam, mu, rho, stf_c, sz_c,
+                                           sx_c, rz_c)
             per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
             return jnp.sum(w_c * per_shot)
 
@@ -212,7 +221,8 @@ def make_sharded_misfit(cfg: SimConfig, mesh: Mesh,
 def make_pallas_sharded_misfit(cfg: SimConfig, survey: Survey, mesh: Mesh,
                                channels: Sequence[str] = ("ett",),
                                axis: str = "shot", misfit_fn=None,
-                               n_trace_aux: int = 0, shot_chunk: int = 0):
+                               n_trace_aux: int = 0, shot_chunk: int = 0,
+                               das_w=None):
     """Sharded loss with the fused Pallas engine inside each shard — the
     reference's multi-GPU scheduler (`Torch_Fwi.cpp:71-101`) with the fast
     kernel per device: shots shard over the mesh, each device runs its chunk
@@ -223,11 +233,7 @@ def make_pallas_sharded_misfit(cfg: SimConfig, survey: Survey, mesh: Mesh,
     The shot count must be a multiple of the mesh size (use `pad_shots`)."""
     from sep2023_tpu.ops import pallas_engine as pe
 
-    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
-                             survey.rec_x + cfg.npml)
-    if rs is None:
-        raise ValueError("survey does not satisfy the Pallas fast path "
-                         "(single receiver row, contiguous x)")
+    plan = _pallas_plan(cfg, survey, das_w)
     sz = jnp.asarray(survey.src_z + cfg.npml, jnp.int32)
     sx = jnp.asarray(survey.src_x + cfg.npml, jnp.int32)
     rz = jnp.asarray(survey.src_rxz, jnp.float32)
@@ -241,8 +247,8 @@ def make_pallas_sharded_misfit(cfg: SimConfig, survey: Survey, mesh: Mesh,
     def sharded(lam, mu, rho, stf, sz_, sx_, rz_, obs, weights, *trace_aux):
         def chunk_loss(shot_args, w_c):
             stf_c, sz_c, sx_c, rz_c, obs_c, aux_c = shot_args
-            syn = pe.propagate_pallas(cfg, rs, lam, mu, rho, stf_c, sz_c,
-                                      sx_c, rz_c)
+            syn = pe.propagate_pallas_plan(plan, lam, mu, rho, stf_c, sz_c,
+                                           sx_c, rz_c)
             per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
             return jnp.sum(w_c * per_shot)
 

@@ -164,3 +164,141 @@ def test_pallas_gradient_matches_xla_engine():
         scale = np.abs(np.asarray(b)).max() + 1e-30
         rel = np.abs(np.asarray(a - b)).max() / scale
         assert rel < 5e-4, (name, rel)
+
+
+def _mini_medium(cfg, dtype=jnp.float32):
+    vp_a = jnp.full(cfg.grid.shape, 3000.0).at[26:32, 30:44].add(220.0)
+    med = st.Medium(vp_a, vp_a / jnp.sqrt(3.0),
+                    jnp.full(cfg.grid.shape, 2500.0))
+    return (med.lam.astype(dtype), med.mu.astype(dtype),
+            med.rho.astype(dtype))
+
+
+def _xla_fwd(cfg, lam, mu, rho, stf, geoms):
+    f = jax.jit(lambda *a: jax.vmap(
+        lambda s, g: st.propagate(cfg, a[0], a[1], a[2], s, g))(a[3], a[4]))
+    return np.asarray(f(lam, mu, rho, stf, geoms)).astype(np.float32)
+
+
+def _assert_close(out, ref, tol, grad=False):
+    for c in range(4):
+        scale = np.abs(ref[:, c]).max()
+        if scale == 0:
+            continue
+        rel = np.abs(out[:, c] - ref[:, c]).max() / scale
+        assert rel < tol, (c, rel)
+
+
+def test_pallas_ezz_channel_matches_xla():
+    """Vertical-fiber strain recording (recording_ezz, utilities.cu:620-641)
+    on the fused engine."""
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=120, dt=0.002, f0=10.0, npml=npml,
+                       das_channel="ezz")
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([2, 2]), src_x=np.array([14, 40]),
+                    rec_z=np.full(20, 32), rec_x=np.arange(16, 36))
+    geoms = parallel.survey_to_geoms(survey, npml, dtype=jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    plan = pe.plan_fast_path(cfg, survey.rec_z + npml, survey.rec_x + npml)
+    assert plan is not None and not plan.transposed
+    out = np.asarray(pe.propagate_pallas_plan(
+        plan, lam, mu, rho, stf, jnp.asarray(survey.src_z + npml),
+        jnp.asarray(survey.src_x + npml), jnp.asarray(survey.src_rxz)))
+    ref = _xla_fwd(cfg, lam, mu, rho, stf, geoms)
+    _assert_close(out, ref, 2e-5)
+
+
+def test_pallas_column_survey_transposed_matches_xla():
+    """Borehole / crosswell column receivers (constant x, contiguous z) run
+    on the transposed grid — incl. a nontrivial source moment ratio, whose
+    transposed source is stf*rxz with ratio 1/rxz."""
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=10.0,
+                       nt=120, dt=0.002, f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([6, 20]), src_x=np.array([6, 6]),
+                    rec_z=np.arange(8, 34), rec_x=np.full(26, 48),
+                    src_rxz=np.array([1.0, 3.0]))
+    geoms = parallel.survey_to_geoms(survey, npml, dtype=jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    plan = pe.plan_fast_path(cfg, survey.rec_z + npml, survey.rec_x + npml)
+    assert plan is not None and plan.transposed
+    out = np.asarray(pe.propagate_pallas_plan(
+        plan, lam, mu, rho, stf, jnp.asarray(survey.src_z + npml),
+        jnp.asarray(survey.src_x + npml), jnp.asarray(survey.src_rxz)))
+    ref = _xla_fwd(cfg, lam, mu, rho, stf, geoms)
+    _assert_close(out, ref, 2e-5)
+
+
+def _arc_fiber_problem():
+    from sep2023_tpu import das
+
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=10.0, dx=10.0,
+                       nt=120, dt=0.001, f0=15.0, npml=npml,
+                       das_channel="weighted")
+    cable = das.arc_fiber(80.0, 2.0 / np.pi, center=(260.0, 200.0, 0.0))
+    rec_z, rec_x, das_w = das.cable_to_receivers(cable, cfg.dx, cfg.dz)
+    survey = Survey(src_z=np.array([2, 2]), src_x=np.array([14, 40]),
+                    rec_z=rec_z, rec_x=rec_x)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    return cfg, survey, das_w, stf, npml
+
+
+def test_pallas_weighted_curved_fiber_matches_xla():
+    """The paper's DAS acquisition: a curved fiber with per-point (exx, exz,
+    ezz) directional sensitivity weights (elasticSolver.py:269-276) — runs on
+    the fused engine as a K-layer fiber survey (duplicate x-lanes along the
+    arc) and must match the XLA engine, forward and gradient."""
+    cfg, survey, das_w, stf, npml = _arc_fiber_problem()
+    lam, mu, rho = _mini_medium(cfg)
+    geoms = st.ShotGeom(
+        src_z=jnp.asarray(survey.src_z + npml, jnp.int32),
+        src_x=jnp.asarray(survey.src_x + npml, jnp.int32),
+        rxz=jnp.asarray(survey.src_rxz, jnp.float32),
+        rec_z=jnp.broadcast_to(jnp.asarray(survey.rec_z + npml, jnp.int32),
+                               (2, survey.n_rec)),
+        rec_x=jnp.broadcast_to(jnp.asarray(survey.rec_x + npml, jnp.int32),
+                               (2, survey.n_rec)),
+        das_w=jnp.broadcast_to(jnp.asarray(das_w, jnp.float32),
+                               (2, *das_w.shape)))
+
+    plan = pe.plan_fast_path(cfg, survey.rec_z + npml, survey.rec_x + npml,
+                             das_w=das_w)
+    assert plan is not None
+    assert isinstance(plan.rs, pe.FiberSurvey) and plan.rs.n_layers >= 2
+
+    sz = jnp.asarray(survey.src_z + npml)
+    sx = jnp.asarray(survey.src_x + npml)
+    rz = jnp.asarray(survey.src_rxz, jnp.float32)
+    out = np.asarray(pe.propagate_pallas_plan(
+        plan, lam, mu, rho, stf, sz, sx, rz))
+    ref = _xla_fwd(cfg, lam, mu, rho, stf, geoms)
+    _assert_close(out, ref, 3e-5)
+
+    # gradient equality through an ett-channel L2 loss
+    obs = jnp.asarray(ref * 1.01)
+
+    def loss_p(lam_):
+        syn = pe.propagate_pallas_plan(plan, lam_, mu, rho, stf, sz, sx, rz)
+        r = (obs - syn)[:, 3]
+        return 0.5 * jnp.sum(r * r)
+
+    def loss_x(lam_):
+        syn = jax.vmap(lambda s, g: st.propagate(cfg, lam_, mu, rho, s, g))(
+            stf, geoms)
+        r = (obs - syn)[:, 3]
+        return 0.5 * jnp.sum(r * r)
+
+    g_p = np.asarray(jax.grad(loss_p)(lam))
+    g_x = np.asarray(jax.grad(loss_x)(lam))
+    scale = np.abs(g_x).max()
+    assert np.abs(g_p - g_x).max() / scale < 5e-4
