@@ -87,6 +87,28 @@ def main():
                       data.astype(jnp.float32), w.astype(jnp.float32))
     gcell_grad = cells / t_grad / 1e9
 
+    # rock-physics-scale gradient (Main-004-FWI-Rock-Physics.py:28-33:
+    # 201x321 physical -> 265x385 padded, nt=4001): one shot through the
+    # fused backward — the largest reference workload on the fast engine
+    cfg_r = st.SimConfig(nz=265, nx=385, dz=10.0, dx=10.0, nt=4001,
+                         dt=0.001, f0=15.0, npml=32)
+    survey_r = st.Survey(src_z=np.array([1]), src_x=np.array([160]),
+                         rec_z=np.full(301, 190), rec_x=np.arange(10, 311))
+    vp_r = jnp.full(cfg_r.grid.shape, 3000.0, jnp.float32)
+    med_r = st.Medium(vp_r, vp_r / jnp.sqrt(3.0).astype(jnp.float32),
+                      jnp.full(cfg_r.grid.shape, 2200.0, jnp.float32))
+    stf_r = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg_r.f0, cfg_r.nt, cfg_r.dt), jnp.float32),
+        (1, cfg_r.nt))
+    loss_r = parallel.make_pallas_misfit(cfg_r, survey_r, shot_chunk=0)
+    obs_r = jnp.zeros((1, 4, survey_r.n_rec, cfg_r.nt), jnp.float32)
+    w_r = jnp.ones((1,), jnp.float32)
+    grad_r = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))
+    t_rock, _ = _time(grad_r, med_r.lam, med_r.mu, med_r.rho, stf_r,
+                      obs_r, w_r)
+    cells_rock = cfg_r.nz * cfg_r.nx * (cfg_r.nt - 1)
+    gcell_rock = cells_rock / t_rock / 1e9
+
     result = {
         "metric": "2D elastic forward GCell-updates/s/chip "
                   "(ref workload 165x265x1501x19, fused Pallas engine)",
@@ -99,6 +121,8 @@ def main():
             "xla_forward_GCell_per_s": round(gcell_xla, 3),
             "gradient_s": round(t_grad, 4),
             "gradient_GCell_per_s": round(gcell_grad, 3),
+            "rock_gradient_s_265x385x4001": round(t_rock, 4),
+            "rock_gradient_GCell_per_s": round(gcell_rock, 3),
             "device": str(jax.devices()[0]),
         },
     }

@@ -58,8 +58,6 @@ SUBLANE = 8
 DEBUG_SKIP_STRIP_PACK = False
 DEBUG_SKIP_STRIP_DMA = False
 REC_CHUNK = 128
-DREC_CHUNK = 64
-STRIP_CHUNK = 4      # steps of boundary strips per DMA (amortizes stalls)
 STRIP_L = 5          # boundary strip depth (Boundary.cu:19)
 N_FIELDS = 5
 TB_ROWS = 56         # 5 fields * 10 strip rows, padded to a sublane multiple
@@ -71,6 +69,31 @@ def _pad128(n):
 
 def _pad8(n):
     return ((n + SUBLANE - 1) // SUBLANE) * SUBLANE
+
+
+def _grid_bytes(cfg) -> int:
+    return _pad8(cfg.nz) * _pad128(cfg.nx) * 4
+
+
+def _strip_chunk(cfg) -> int:
+    """Steps of boundary strips per DMA (amortizes stalls).  Shrunk on large
+    grids where the staging buffers compete with the field state for VMEM.
+    Must agree between the forward (writer) and backward (reader) kernels —
+    both derive it from cfg."""
+    return 2 if _grid_bytes(cfg) > 300_000 else 4
+
+
+def _drec_chunk(cfg) -> int:
+    """Time-steps of data cotangents resident in the backward kernel."""
+    return 32 if _grid_bytes(cfg) > 300_000 else 64
+
+
+def _vmem_limit(cfg) -> int:
+    """Scoped-VMEM cap passed to Mosaic.  The compiler DEFAULT is 16 MiB —
+    a pipelining-headroom heuristic, not the physical size (v5e cores carry
+    128 MiB of VMEM) — so large grids raise it; small grids keep the default
+    (more room for XLA to overlap surrounding ops)."""
+    return (64 * 2 ** 20 if _grid_bytes(cfg) > 300_000 else 16 * 2 ** 20)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -108,6 +131,38 @@ def _dx_minus(f):
 
 def _dx_plus(f):
     return C1 * (_roll(f, -1, 1) - f) - C2 * (_roll(f, -2, 1) - _roll(f, 1, 1))
+
+
+def _shift_up_v(a):
+    """a[z+1, x] with edge replicate (medium._shift_up), roll-based so it
+    lowers in Mosaic and transposes through the in-kernel step vjp."""
+    zi = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    return jnp.where(zi == a.shape[0] - 1, a, _roll(a, -1, 0))
+
+
+def _shift_left_v(a):
+    xi = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    return jnp.where(xi == a.shape[1] - 1, a, _roll(a, -1, 1))
+
+
+def _material_fields_values(lam, mu, rho):
+    """In-kernel `medium.material_fields` on VALUES (same formulas: harmonic
+    4-point mu average, arithmetic staggered buoyancies — Model.cu:85-87,
+    utilities.cu:109-152).  Used by the compact backward variant, where the
+    vjp through it reproduces the reference's gradient sprays in-kernel."""
+    mu_b = _shift_up_v(mu)
+    mu_c = _shift_left_v(mu)
+    mu_d = _shift_left_v(mu_b)
+    nonzero = (mu != 0) & (mu_b != 0) & (mu_c != 0) & (mu_d != 0)
+    safe = jnp.where(nonzero, mu, 1.0)
+    safe_b = jnp.where(nonzero, mu_b, 1.0)
+    safe_c = jnp.where(nonzero, mu_c, 1.0)
+    safe_d = jnp.where(nonzero, mu_d, 1.0)
+    hm = 4.0 / (1.0 / safe + 1.0 / safe_b + 1.0 / safe_c + 1.0 / safe_d)
+    ave_mu = jnp.where(nonzero, hm, 0.0)
+    byc_a = 2.0 / (_shift_up_v(rho) + rho)
+    byc_b = 2.0 / (_shift_left_v(rho) + rho)
+    return (lam, lam + 2.0 * mu, ave_mu, byc_a, byc_b)
 
 
 class RowSurvey(NamedTuple):
@@ -162,17 +217,47 @@ def _n_layers(rs) -> int:
     return rs.n_layers if isinstance(rs, FiberSurvey) else 1
 
 
-def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = 13 * 2 ** 20,
+def _bwd_vmem_bytes(cfg: SimConfig, n_layers: int = 1,
+                    compact: bool = False) -> int:
+    """Rough steady-state VMEM estimate for the BACKWARD kernel (the tighter
+    of the two): full (nz, nx) residents — material inputs + 5 primal + 5
+    adjoint + 8 adjoint-psi scratch + gradient planes — plus the staging
+    buffers.  The compact variant passes raw (lam, mu, rho) and accumulates
+    3 gradient planes, trading 4 resident arrays for per-step recomputation
+    of the staggered averages."""
+    grid = _grid_bytes(cfg)
+    n_arrays = (3 + 18 + 3) if compact else (5 + 18 + 5)
+    return (n_arrays * grid
+            + _strip_chunk(cfg) * _pad8(cfg.nz) * LANE * 4       # lr strips
+            + _strip_chunk(cfg) * TB_ROWS * _pad128(cfg.nx) * 4  # tb strips
+            + 4 * n_layers * _drec_chunk(cfg) * _pad128(cfg.nx) * 4)  # d_rec
+
+
+# v5e cores carry 128 MiB of VMEM; the kernels raise the scoped limit to
+# 64 MiB on large grids (_vmem_limit).  Mosaic's stack for the vjp
+# temporaries runs ~1.5-2x past the resident estimate (measured 18.5 MiB
+# actual vs ~12 MiB estimated on the forward), so the budgets below leave
+# ~2.5x headroom under the 64 MiB limit.  Both variants are validated on a
+# v5e chip at the Main-004 rock-physics grid (272x512 padded, full variant
+# 2.73 GCell/s, compact 2.15); compact extends the reach ~1.3x further
+# before the XLA fallback takes over.
+FULL_BWD_BUDGET = 22 * 2 ** 20
+COMPACT_BWD_BUDGET = 30 * 2 ** 20
+
+
+def _use_compact(cfg: SimConfig, n_layers: int = 1) -> bool:
+    return _bwd_vmem_bytes(cfg, n_layers, compact=False) >= FULL_BWD_BUDGET
+
+
+def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = None,
                    n_layers: int = 1) -> bool:
-    """Rough VMEM estimate for the BACKWARD kernel (the tighter of the two):
-    23 full (nz, nx) arrays + staging buffers must fit under ~13 MB of the
-    16 MB scoped-VMEM budget (headroom for Mosaic's vjp temporaries)."""
-    grid = _pad8(cfg.nz) * _pad128(cfg.nx) * 4
-    total = (23 * grid                              # primal+adjoint+psi, gmat
-             + STRIP_CHUNK * _pad8(cfg.nz) * LANE * 4      # lr strips
-             + STRIP_CHUNK * TB_ROWS * _pad128(cfg.nx) * 4  # tb strips
-             + 4 * n_layers * DREC_CHUNK * _pad128(cfg.nx) * 4)  # cotangents
-    return total < budget_bytes
+    """True if SOME backward variant (full-speed or compact) fits VMEM —
+    the gate for choosing the fused engine over the XLA fallback."""
+    if budget_bytes is not None:  # explicit budget: judge the full variant
+        return _bwd_vmem_bytes(cfg, n_layers, compact=False) < budget_bytes
+    return (_bwd_vmem_bytes(cfg, n_layers, compact=False) < FULL_BWD_BUDGET
+            or _bwd_vmem_bytes(cfg, n_layers, compact=True)
+            < COMPACT_BWD_BUDGET)
 
 
 def check_row_survey(rec_z: np.ndarray, rec_x: np.ndarray) -> RowSurvey | None:
@@ -431,6 +516,7 @@ def _fwd_body(cfg, rs, save_strips,
     z0, z1, x0, x1 = _strip_bounds(cfg)
     L = STRIP_L
     NC = 4 * _n_layers(rs)
+    SC = _strip_chunk(cfg)
 
     for s in (*field_s, *psi_s, rec_buf):
         s[:] = jnp.zeros_like(s)
@@ -440,11 +526,11 @@ def _fwd_body(cfg, rs, save_strips,
 
         if save_strips and not DEBUG_SKIP_STRIP_PACK:
             # pack strips of the PRE-update state (libCUFD.cu:272) into the
-            # current slot of a STRIP_CHUNK-step staging buffer:
+            # current slot of an SC-step staging buffer:
             # left/right columns -> 10 lanes per field of lr_buf slot;
             # top/bottom rows -> 10 sublanes per field of tb_buf slot
-            sp = it % STRIP_CHUNK
-            sk = it // STRIP_CHUNK
+            sp = it % SC
+            sk = it // SC
             for f_idx, fld in enumerate(fields):
                 c = f_idx * 2 * L
                 lr_buf[sp, :cfg.nz, c:c + L] = fld[:, x0:x0 + L]
@@ -452,15 +538,15 @@ def _fwd_body(cfg, rs, save_strips,
                 tb_buf[sp, c:c + L, :cfg.nx] = fld[z0:z0 + L, :]
                 tb_buf[sp, c + L:c + 2 * L, :cfg.nx] = fld[z1:z1 + L, :]
             if not DEBUG_SKIP_STRIP_DMA:
-                @pl.when((sp == STRIP_CHUNK - 1) | (it == cfg.nt - 2))
+                @pl.when((sp == SC - 1) | (it == cfg.nt - 2))
                 def _flush_strips():
                     cp1 = pltpu.make_async_copy(
                         lr_buf,
-                        lr_out_ref.at[i, pl.ds(sk * STRIP_CHUNK, STRIP_CHUNK)],
+                        lr_out_ref.at[i, pl.ds(sk * SC, SC)],
                         strip_sem.at[0])
                     cp2 = pltpu.make_async_copy(
                         tb_buf,
-                        tb_out_ref.at[i, pl.ds(sk * STRIP_CHUNK, STRIP_CHUNK)],
+                        tb_out_ref.at[i, pl.ds(sk * SC, SC)],
                         strip_sem.at[1])
                     cp1.start()
                     cp2.start()
@@ -498,9 +584,22 @@ def _fwd_body(cfg, rs, save_strips,
     jax.lax.fori_loop(0, cfg.nt - 1, body, 0)
 
     if save_strips:
-        # final fields -> HBM (the backward sweep's starting state)
-        for f_idx, s in enumerate(field_s):
-            ffin_out_ref[0, f_idx, :cfg.nz, :cfg.nx] = s[:]
+        # final fields -> HBM (the backward sweep's starting state), staged
+        # per field through a small scoped buffer: a (N_FIELDS, nz, nx) VMEM
+        # output block would cost 5 full grids of VMEM at large-grid scale
+        def _store_ffin(stage, sem):
+            for f_idx, s in enumerate(field_s):
+                stage[:] = jnp.zeros_like(stage)
+                stage[:cfg.nz, :cfg.nx] = s[:]
+                cp = pltpu.make_async_copy(stage, ffin_out_ref.at[i, f_idx],
+                                           sem)
+                cp.start()
+                cp.wait()
+
+        pl.run_scoped(
+            _store_ffin,
+            pltpu.VMEM((_pad8(cfg.nz), _pad128(cfg.nx)), jnp.float32),
+            pltpu.SemaphoreType.DMA(()))
 
 
 def _interpret():
@@ -562,9 +661,10 @@ def _run_forward(cfg: SimConfig, rs, lam, mu, rho, stf,
     out_shape = [jax.ShapeDtypeStruct((S, NC, nt_pad, R_pad), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if save_strips:
-        # strip buffers padded to whole STRIP_CHUNK blocks: the final flush
+        # strip buffers padded to whole strip-chunk blocks: the final flush
         # writes a full chunk starting at ((nt-2)//CHUNK)*CHUNK
-        nt_sc = -(-(cfg.nt - 1) // STRIP_CHUNK) * STRIP_CHUNK
+        sc = _strip_chunk(cfg)
+        nt_sc = -(-(cfg.nt - 1) // sc) * sc
         out_shape += [
             jax.ShapeDtypeStruct((S, nt_sc, _pad8(cfg.nz), LANE),
                                  f32),                                 # lr
@@ -576,17 +676,15 @@ def _run_forward(cfg: SimConfig, rs, lam, mu, rho, stf,
         out_specs += [
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, N_FIELDS, _pad8(cfg.nz), _pad128(cfg.nx)),
-                         lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ]
 
     scratch = ([pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13
                + [pltpu.VMEM((NC, REC_CHUNK, R_pad), f32),
                   pltpu.SemaphoreType.DMA(())])
     if save_strips:
-        scratch += [pltpu.VMEM((STRIP_CHUNK, _pad8(cfg.nz), LANE), f32),
-                    pltpu.VMEM((STRIP_CHUNK, TB_ROWS, _pad128(cfg.nx)), f32),
+        scratch += [pltpu.VMEM((_strip_chunk(cfg), _pad8(cfg.nz), LANE), f32),
+                    pltpu.VMEM((_strip_chunk(cfg), TB_ROWS, _pad128(cfg.nx)), f32),
                     pltpu.SemaphoreType.DMA((2,))]
 
     recw_in = _recw_inputs(cfg, rs)
@@ -637,7 +735,8 @@ def _run_forward(cfg: SimConfig, rs, lam, mu, rho, stf,
         out_shape=out_shape,
         interpret=interp,
         compiler_params=None if interp else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(cfg)),
     )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
       jnp.asarray(rxz, f32), stf.astype(f32),
       mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b, *prof, *recw_in)
@@ -679,13 +778,14 @@ def _inject_strips_refs(field_refs, lr_buf, tb_buf, sp, cfg, which):
         ref[z1:z1 + L, :] = tb_buf[sp, c + L:c + 2 * L, :nx]
 
 
-def _bwd_kernel(cfg: SimConfig, rs, n_recw: int,
+def _bwd_kernel(cfg: SimConfig, rs, n_recw: int, compact: bool,
                 srcz_ref, srcx_ref, rxz_ref, stf_ref,
                 *args):
-    mat_refs = args[0:5]
-    prof_refs = args[5:17]
-    recw_refs = args[17:17 + n_recw]
-    p = 17 + n_recw
+    n_mats = 3 if compact else 5
+    mat_refs = args[0:n_mats]
+    prof_refs = args[n_mats:n_mats + 12]
+    recw_refs = args[n_mats + 12:n_mats + 12 + n_recw]
+    p = n_mats + 12 + n_recw
     ffin_ref = args[p]
     lr_in = args[p + 1]
     tb_in = args[p + 2]
@@ -703,30 +803,31 @@ def _bwd_kernel(cfg: SimConfig, rs, n_recw: int,
     src_x = srcx_ref[i]
     rxz = rxz_ref[i]
     mask, src_hot, interior = _masks(cfg, src_z, src_x)
-    mats = _read_consts(mat_refs)
+    raw = _read_consts(mat_refs)
     prof = _read_consts(prof_refs)
     recw = _read_recw(recw_refs)
-    (lam, lp2m, avemu, byca, bycb) = mats
     dt, dz, dx = cfg.dt, cfg.dz, cfg.dx
     NC = 4 * _n_layers(rs)
+    SC = _strip_chunk(cfg)
+    DC = _drec_chunk(cfg)
 
     @pl.when(i == 0)
     def _init_gmat():
         gmat_out[:] = jnp.zeros_like(gmat_out)
 
-    # start from the saved final fields: one tile-aligned DMA into a SCOPED
-    # staging buffer (released before the time loop, so it does not count
-    # against the steady-state VMEM budget)
+    # start from the saved final fields, staged per field through a small
+    # scoped buffer (a (N_FIELDS, nz, nx) staging block would spike VMEM by
+    # 5 grids at large-grid scale)
     def _load_ffin(stage, sem):
-        cp = pltpu.make_async_copy(ffin_ref.at[i], stage, sem)
-        cp.start()
-        cp.wait()
         for f_idx, s in enumerate(field_s):
-            s[:] = stage[f_idx, :cfg.nz, :cfg.nx]
+            cp = pltpu.make_async_copy(ffin_ref.at[i, f_idx], stage, sem)
+            cp.start()
+            cp.wait()
+            s[:] = stage[:cfg.nz, :cfg.nx]
 
     pl.run_scoped(
         _load_ffin,
-        pltpu.VMEM((N_FIELDS, _pad8(cfg.nz), _pad128(cfg.nx)), jnp.float32),
+        pltpu.VMEM((_pad8(cfg.nz), _pad128(cfg.nx)), jnp.float32),
         pltpu.SemaphoreType.DMA(()))
     for s in (*adj_f_s, *adj_p_s):
         s[:] = jnp.zeros_like(s)
@@ -735,34 +836,47 @@ def _bwd_kernel(cfg: SimConfig, rs, n_recw: int,
                      for _ in range(8))
 
     def step_fn(fields, psi, mats_, amp):
+        # compact mode: mats_ is raw (lam, mu, rho) and the staggered
+        # averaging happens INSIDE the differentiated step, so the vjp
+        # chains the harmonic-mu / buoyancy "sprays" (el_stress.cu:112-123,
+        # el_velocity.cu:100-110) in-kernel and the gradient accumulator
+        # shrinks from 5 planes to 3 — the VMEM diet that lets the fused
+        # backward run at rock-physics grid sizes (Main-004).
+        m = _material_fields_values(*mats_) if compact else mats_
         return _step_values(cfg, rs, prof, mask, src_hot, rxz, fields, psi,
-                            mats_, amp, recw)
+                            m, amp, recw)
 
     def body(idx, _):
         it = cfg.nt - 2 - idx
         r = it + 1
-        k = r // DREC_CHUNK
-        pos = r % DREC_CHUNK
+        k = r // DC
+        pos = r % DC
+        if compact:
+            # recompute the derived material fields for this step's
+            # reconstruction (kept out of scratch to stay under VMEM)
+            (lam, lp2m, avemu, byca, bycb) = _material_fields_values(*raw)
+        else:
+            (lam, lp2m, avemu, byca, bycb) = raw
 
         # refill the data-cotangent chunk when crossing a chunk boundary
-        @pl.when((pos == DREC_CHUNK - 1) | (idx == 0))
+        @pl.when((pos == DC - 1) | (idx == 0))
         def _load_chunk():
             cp = pltpu.make_async_copy(
-                ddata_in.at[i, :, pl.ds(k * DREC_CHUNK, DREC_CHUNK), :],
+                ddata_in.at[i, :, pl.ds(k * DC, DC), :],
                 drec_buf, sems.at[2])
             cp.start()
             cp.wait()
 
-        # strips of state_t: load a STRIP_CHUNK-step block when entering it
-        sp = it % STRIP_CHUNK
-        sk = it // STRIP_CHUNK
-        @pl.when((sp == STRIP_CHUNK - 1) | (idx == 0))
+        # strips of state_t: load an SC-step block when entering it
+        sp = it % SC
+        sk = it // SC
+        @pl.when((sp == SC - 1) | (idx == 0))
         def _load_strips():
             cp1 = pltpu.make_async_copy(
-                lr_in.at[i, pl.ds(sk * STRIP_CHUNK, STRIP_CHUNK)],
+                lr_in.at[i, pl.ds(sk * SC, SC)],
                 lr_buf, sems.at[0])
             cp2 = pltpu.make_async_copy(
-                tb_in.at[i, pl.ds(sk * STRIP_CHUNK, STRIP_CHUNK)],
+                tb_in.at[i, pl.ds(sk * SC, SC)],
                 tb_buf, sems.at[1])
             cp1.start()
             cp2.start()
@@ -796,7 +910,7 @@ def _bwd_kernel(cfg: SimConfig, rs, n_recw: int,
         fields_t = tuple(s[:] for s in field_s)
 
         # ---- exact one-step adjoint via vjp of the step ---------------------
-        _, vjp_fn = jax.vjp(step_fn, fields_t, zero_psi, mats, amp)
+        _, vjp_fn = jax.vjp(step_fn, fields_t, zero_psi, raw, amp)
         adj_f = tuple(s[:] for s in adj_f_s)
         adj_p = tuple(s[:] for s in adj_p_s)
         d_rec = tuple(drec_buf[c, pl.ds(pos, 1), :cfg.nx]
@@ -819,7 +933,15 @@ def _run_backward(cfg: SimConfig, rs, lam, mu, rho, stf,
                   src_z, src_x, rxz, ffin, lr, tb, d_data):
     S = stf.shape[0]
     f32 = jnp.float32
-    mat = material_fields(lam.astype(f32), mu.astype(f32), rho.astype(f32))
+    compact = _use_compact(cfg, _n_layers(rs))
+    if compact:
+        mat_in = (lam.astype(f32), mu.astype(f32), rho.astype(f32))
+    else:
+        mat = material_fields(lam.astype(f32), mu.astype(f32),
+                              rho.astype(f32))
+        mat_in = (mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b)
+    n_mats = len(mat_in)
+    n_gout = 3 if compact else 5
     prof = _profiles(cfg)
     nt_pad = _nt_pad(cfg)
     R_pad = _pad128(cfg.nx)
@@ -834,13 +956,13 @@ def _run_backward(cfg: SimConfig, rs, lam, mu, rho, stf,
         num_scalar_prefetch=4,
         grid=(S,),
         in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (17 + n_recw)
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_mats + 12 + n_recw)
             + [pl.BlockSpec(memory_space=pltpu.HBM),
                pl.BlockSpec(memory_space=pltpu.HBM),
                pl.BlockSpec(memory_space=pltpu.HBM),
                pl.BlockSpec(memory_space=pltpu.HBM)]),
         out_specs=[
-            pl.BlockSpec((N_FIELDS, cfg.nz, cfg.nx),
+            pl.BlockSpec((n_gout, cfg.nz, cfg.nx),
                          lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             # d_stf: scalar per step -> whole array in SMEM (scalar
             # stores are only supported to SMEM)
@@ -849,16 +971,16 @@ def _run_backward(cfg: SimConfig, rs, lam, mu, rho, stf,
         scratch_shapes=(
             [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 5      # primal fields
             + [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 13   # adjoint fields+psi
-            + [pltpu.VMEM((STRIP_CHUNK, _pad8(cfg.nz), LANE), f32),
-               pltpu.VMEM((STRIP_CHUNK, TB_ROWS, _pad128(cfg.nx)), f32),
-               pltpu.VMEM((NC, DREC_CHUNK, R_pad), f32),
+            + [pltpu.VMEM((_strip_chunk(cfg), _pad8(cfg.nz), LANE), f32),
+               pltpu.VMEM((_strip_chunk(cfg), TB_ROWS, _pad128(cfg.nx)), f32),
+               pltpu.VMEM((NC, _drec_chunk(cfg), R_pad), f32),
                pltpu.SemaphoreType.DMA((3,))]),
     )
     out_shape = [
-        jax.ShapeDtypeStruct((N_FIELDS, cfg.nz, cfg.nx), f32),  # gmat
+        jax.ShapeDtypeStruct((n_gout, cfg.nz, cfg.nx), f32),    # gradients
         jax.ShapeDtypeStruct((S, nt_pad), f32),                 # d_stf
     ]
-    kernel = functools.partial(_bwd_kernel, cfg, rs, n_recw)
+    kernel = functools.partial(_bwd_kernel, cfg, rs, n_recw, compact)
     interp = _interpret()
     gmat, d_stf = pl.pallas_call(
         kernel,
@@ -866,19 +988,23 @@ def _run_backward(cfg: SimConfig, rs, lam, mu, rho, stf,
         out_shape=out_shape,
         interpret=interp,
         compiler_params=None if interp else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(cfg)),
     )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
       jnp.asarray(rxz, f32), stf.astype(f32),
-      mat.lam, mat.lp2m, mat.ave_mu, mat.byc_a, mat.byc_b, *prof, *recw_in,
+      *mat_in, *prof, *recw_in,
       ffin, lr, tb, dd)
 
     # restrict to the interior (the reconstruction is only exact there) and
-    # chain back through the staggered material averaging
+    # (full variant) chain back through the staggered material averaging
     mzi = (jnp.arange(cfg.nz) >= cfg.npml) & (jnp.arange(cfg.nz)
                                               <= cfg.nz - 1 - cfg.npml)
     mxi = (jnp.arange(cfg.nx) >= cfg.npml) & (jnp.arange(cfg.nx)
                                               <= cfg.nx - 1 - cfg.npml)
     m = (mzi[:, None] & mxi[None, :]).astype(f32)
+    if compact:
+        # gradients are already in (lam, mu, rho) space (chained in-kernel)
+        return (gmat[0] * m, gmat[1] * m, gmat[2] * m, d_stf[:, :cfg.nt])
     from sep2023_tpu.medium import MatFields
     gmat_t = MatFields(lam=gmat[0] * m, lp2m=gmat[1] * m, ave_mu=gmat[2] * m,
                        byc_a=gmat[3] * m, byc_b=gmat[4] * m)
