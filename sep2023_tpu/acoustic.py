@@ -216,6 +216,58 @@ def _bwd(cfg, res, d_data):
 propagate_acoustic.defvjp(_fwd, _bwd)
 
 
+def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom: AcGeom, residual):
+    """Time-derivative RTM imaging condition (`image_vel_time.cu:25-37`):
+
+        I(z, x) = sum_t  -2 / vp * (p_{t+1} - p_t) * p_adj_t
+
+    accumulated over the time-reversed loop of the acoustic backward pass —
+    forward pressure reconstructed by boundary saving, adjoint pressure
+    propagated by the machine-derived step transpose with the data residual
+    injected at the receivers (the standalone CLI's acoustic RTM path,
+    main.cu:322+).  Returns the image on the padded grid, interior-masked
+    like the reference kernel's [nPml, n-nPml-1] window.
+    """
+    dtype = vp.dtype
+    lam = rho * vp ** 2
+    byc_a, byc_b = _buoyancies(rho)
+    cp, mask_f, mask_i = _consts(cfg, dtype)
+    cp = jax.tree.map(jnp.asarray, cp)
+    _, final, bnds = _forward(cfg, lam, rho, stf, geom, save_bnd=True)
+
+    def step_fn(s, a):
+        return ac_step(s, lam, byc_a, byc_b, a, geom, cp, mask_f, cfg)
+
+    d_rec_seq = jnp.moveaxis(residual[:, :, 1:], -1, 0)
+    zero_psi = _zero_state(cfg.nz, cfg.nx, dtype).psi
+    adj0 = jax.tree.map(jnp.zeros_like, _zero_state(cfg.nz, cfg.nx, dtype))
+    img0 = jnp.zeros_like(vp)
+
+    def rbody(carry, xs):
+        s_tp1, adj, img = carry
+        bnd, d_rec, amp = xs
+        p_tp1 = s_tp1.f.p
+        f = _velocity_reverse(s_tp1.f, byc_a, byc_b, mask_i, cfg)
+        f = AcFields(p=f.p,
+                     vz=_inject_strips(f.vz, bnd.vz, cfg),
+                     vx=_inject_strips(f.vx, bnd.vx, cfg))
+        f = AcFields(f.p.at[geom.src_z, geom.src_x].add(
+            -cfg.src_scale * cfg.dt * amp), f.vz, f.vx)
+        f = _pressure_reverse(f, lam, mask_i, cfg)
+        f = AcFields(p=_inject_strips(f.p, bnd.p, cfg), vz=f.vz, vx=f.vx)
+        s_t = AcState(f, zero_psi)
+        _, vjp_fn = jax.vjp(lambda s: step_fn(s, amp), s_t)
+        (d_s,) = vjp_fn((adj, d_rec))
+        img = img + (-2.0 / vp) * (p_tp1 - f.p) * d_s.f.p
+        return (s_t, d_s, img), None
+
+    xs = (bnds, d_rec_seq, stf[:cfg.nt - 1])
+    (_, _, img), _ = jax.lax.scan(rbody, (final, adj0, img0), xs,
+                                  reverse=True)
+    mzi, mxi = mask_i
+    return img * (mzi * mxi)
+
+
 def propagate_acoustic_ad(cfg, lam, rho, stf, geom):
     """Plain-AD oracle (no boundary saving)."""
     byc_a, byc_b = _buoyancies(rho)

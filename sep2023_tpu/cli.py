@@ -79,13 +79,25 @@ def cmd_forward(args):
     if args.physics == "acoustic":
         # the standalone CLI's acoustic branch (main.cu:180-197)
         from sep2023_tpu.acoustic import AcGeom, propagate_acoustic
-        ac_geoms = AcGeom(src_z=geoms.src_z, src_x=geoms.src_x,
-                          rec_z=geoms.rec_z, rec_x=geoms.rec_x)
+        from sep2023_tpu.ops import pallas_engine as pe
         lam_ac = med.rho * med.vp ** 2
-        fwd = jax.jit(lambda lam, rho_, s, g: jax.vmap(
-            lambda si, gi: propagate_acoustic(cfg, lam, rho_, si, gi))(s, g))
+        rs = (pe.check_row_survey(survey.rec_z + cfg.npml,
+                                  survey.rec_x + cfg.npml)
+              if jax.default_backend() == "tpu" else None)
         t0 = time.perf_counter()
-        data3 = fwd(lam_ac, med.rho, stf, ac_geoms)
+        if rs is not None:
+            print("engine: fused Pallas (acoustic)")
+            data3 = pe.forward_pallas_acoustic(
+                cfg, rs, lam_ac, med.rho, stf,
+                jnp.asarray(survey.src_z + cfg.npml),
+                jnp.asarray(survey.src_x + cfg.npml))
+        else:
+            ac_geoms = AcGeom(src_z=geoms.src_z, src_x=geoms.src_x,
+                              rec_z=geoms.rec_z, rec_x=geoms.rec_x)
+            fwd = jax.jit(lambda lam, rho_, s, g: jax.vmap(
+                lambda si, gi: propagate_acoustic(cfg, lam, rho_, si, gi))(
+                    s, g))
+            data3 = fwd(lam_ac, med.rho, stf, ac_geoms)
         np.asarray(jax.device_get(data3.ravel()[0]))
         t_run = time.perf_counter() - t0
         print(f"acoustic forward: {survey.n_shots} shots in {t_run:.2f}s "

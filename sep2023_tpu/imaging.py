@@ -43,6 +43,14 @@ def rtm_image(cfg: SimConfig, vp, vs, rho, stf, geom, residual_data,
     return jax.grad(loss)(vp)
 
 
+def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom, residual_data):
+    """Time-derivative RTM imaging condition on the acoustic pressure field
+    (`image_vel_time.cu:25-37`): I = sum_t -2/vp (p_{t+1}-p_t) p_adj.  See
+    acoustic.rtm_image_time (geom is an acoustic.AcGeom)."""
+    from sep2023_tpu.acoustic import rtm_image_time as _rt
+    return _rt(cfg, vp, rho, stf, geom, residual_data)
+
+
 def illumination_compensate(image, eps: float = 1e-3):
     """Simple source-illumination normalization for RTM images."""
     scale = jnp.sqrt(jnp.mean(image ** 2))

@@ -1048,6 +1048,152 @@ propagate_pallas.defvjp(_pp_fwd, _pp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused acoustic forward (the secondary physics mode: ac_pressure.cu /
+# ac_velocity.cu, exercised by the standalone CLI path main.cu:180-197)
+# ---------------------------------------------------------------------------
+
+def _ac_step_values(cfg: SimConfig, rs, prof, mask, src_hot, fields, psi,
+                    mats, amp, recw):
+    """One acoustic leapfrog step (pressure -> source -> velocities),
+    matching acoustic.ac_step's staggering exactly."""
+    (p, vz, vx) = fields
+    (p_vzdz, p_vxdx, p_pdz, p_pdx) = psi
+    (lam, byca, bycb) = mats
+    (kz, az, bz, kzh, azh, bzh, kx, ax, bx, kxh, axh, bxh) = prof
+    dt, dz, dx = cfg.dt, cfg.dz, cfg.dx
+
+    d = _dz_plus(vz) / dz
+    p_vzdz = bzh * p_vzdz + azh * d
+    dvz = d / kzh + p_vzdz
+    d = _dx_minus(vx) / dx
+    p_vxdx = bx * p_vxdx + ax * d
+    dvx = d / kx + p_vxdx
+    p = p + mask * (lam * (dvz + dvx) * dt) + src_hot * (
+        cfg.src_scale * dt * amp)
+
+    d = _dz_minus(p) / dz
+    p_pdz = bz * p_pdz + az * d
+    dpz = d / kz + p_pdz
+    vz = vz + mask * (dpz * byca * dt)
+
+    d = _dx_plus(p) / dx
+    p_pdx = bxh * p_pdx + axh * d
+    dpx = d / kxh + p_pdx
+    vx = vx + mask * (dpx * bycb * dt)
+
+    # reuse the elastic row recorder with (szz=p, sxx=0): channel planes
+    # come out as (pr=p, vx, vz, ett) — the caller keeps the first three
+    recs = _record_rows(cfg, rs, recw, vz, vx, p, jnp.zeros_like(p))
+    return (p, vz, vx), (p_vzdz, p_vxdx, p_pdz, p_pdx), recs
+
+
+def _ac_fwd_body(cfg, rs, srcz_ref, srcx_ref, stf_ref, mat_refs, prof_refs,
+                 recw_refs, data_out_ref, field_s, psi_s, rec_buf, rec_sem):
+    i = pl.program_id(0)
+    src_z = srcz_ref[i]
+    src_x = srcx_ref[i]
+    mask, src_hot, _ = _masks(cfg, src_z, src_x)
+    mats = _read_consts(mat_refs)
+    prof = _read_consts(prof_refs)
+    recw = _read_recw(recw_refs)
+    NC = 4 * _n_layers(rs)
+
+    for s in (*field_s, *psi_s, rec_buf):
+        s[:] = jnp.zeros_like(s)
+
+    def body(it, _):
+        fields = tuple(s[:] for s in field_s)
+        psi = tuple(s[:] for s in psi_s)
+        amp = stf_ref[i, it]
+        new_fields, new_psi, recs = _ac_step_values(
+            cfg, rs, prof, mask, src_hot, fields, psi, mats, amp, recw)
+        for s, v in zip(field_s, new_fields):
+            s[:] = v
+        for s, v in zip(psi_s, new_psi):
+            s[:] = v
+        r = it + 1
+        k = r // REC_CHUNK
+        pos = r % REC_CHUNK
+        for c in range(NC):
+            rec_buf[c, pos, :cfg.nx] = recs[c][0]
+
+        @pl.when((pos == REC_CHUNK - 1) | (r == cfg.nt - 1))
+        def _flush():
+            cp = pltpu.make_async_copy(
+                rec_buf,
+                data_out_ref.at[i, :, pl.ds(k * REC_CHUNK, REC_CHUNK), :],
+                rec_sem)
+            cp.start()
+            cp.wait()
+            rec_buf[:] = jnp.zeros_like(rec_buf)
+
+        return 0
+
+    jax.lax.fori_loop(0, cfg.nt - 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def forward_pallas_acoustic(cfg: SimConfig, rs, lam, rho, stf,
+                            src_z, src_x):
+    """Fused acoustic forward: data (S, 3, n_rec, nt) float32, channels
+    (pr, vx, vz) — acoustic.AC_CHANNELS.  lam = rho * vp^2.  Same
+    row/fiber acquisition plans as the elastic kernel."""
+    from sep2023_tpu.medium import _shift_left, _shift_up
+
+    S = stf.shape[0]
+    f32 = jnp.float32
+    lam = lam.astype(f32)
+    rho = rho.astype(f32)
+    byc_a = 2.0 / (_shift_up(rho) + rho)
+    byc_b = 2.0 / (_shift_left(rho) + rho)
+    prof = _profiles(cfg)
+    recw_in = _recw_inputs(cfg, rs)
+    n_recw = len(recw_in)
+    nt_pad = _nt_pad(cfg)
+    R_pad = _pad128(cfg.nx)
+    NC = 4 * _n_layers(rs)
+
+    def kernel(*args):
+        srcz, srcx, stf_r = args[:3]
+        mat_refs = args[3:6]
+        prof_refs = args[6:18]
+        recw_refs = args[18:18 + n_recw]
+        pos = 18 + n_recw
+        data_out = args[pos]
+        field_s = args[pos + 1:pos + 4]
+        psi_s = args[pos + 4:pos + 8]
+        rec_buf, rec_sem = args[pos + 8:pos + 10]
+        _ac_fwd_body(cfg, rs, srcz, srcx, stf_r, mat_refs, prof_refs,
+                     recw_refs, data_out, field_s, psi_s, rec_buf, rec_sem)
+
+    kernel.__name__ = f"acoustic_fwd_kernel_k{_n_layers(rs)}"
+    kernel.__qualname__ = kernel.__name__
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (15 + n_recw),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=([pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 7
+                        + [pltpu.VMEM((NC, REC_CHUNK, R_pad), f32),
+                           pltpu.SemaphoreType.DMA(())]),
+    )
+    interp = _interpret()
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S, NC, nt_pad, R_pad), f32)],
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(cfg)),
+    )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
+      stf.astype(f32), lam, byc_a, byc_b, *prof, *recw_in)
+
+    return _extract_data(cfg, rs, out)[:, :3]
+
+
+# ---------------------------------------------------------------------------
 # Acquisition planning: row / fiber / transposed dispatch
 # ---------------------------------------------------------------------------
 
