@@ -85,10 +85,15 @@ class ElasticPropagator:
         return np.asarray(self._fwd(lam, mu, rr, self.stf, self.geoms))
 
     def apply_gradient(self, model_init: Model, obs: np.ndarray,
-                       channels: Sequence[str] = ("ett",)):
+                       channels: Sequence[str] = ("ett",),
+                       n_devices: int = 0):
         """Misfit + gradients w.r.t. (vp, vs, rho) of `model_init` against
         observed data, plus the per-shot source-wavelet gradient — the
         outputs of the reference's apply_gradient (`propagator.py:141-218`).
+
+        n_devices: shot-shard over a device mesh (0 = all visible devices,
+        the reference's ngpu argument `propagator.py:141`); shots are padded
+        with zero-weight replicas when the count is ragged.
 
         Returns dict(misfit, grad_vp, grad_vs, grad_rho, grad_stf); gradients
         are on the PHYSICAL grid (PML collar cropped, `propagator.py:198`).
@@ -96,23 +101,35 @@ class ElasticPropagator:
         m = self.model
         obs = jnp.asarray(obs, self.dtype)
         w = jnp.ones((self.survey.n_shots,), self.dtype)
-        loss = parallel.make_local_misfit(self.cfg, channels=tuple(channels))
+        stf, geoms = self.stf, self.geoms
+
+        n_dev = min(n_devices or jax.device_count(), jax.device_count(),
+                    self.survey.n_shots)
+        if n_dev > 1:
+            mesh = parallel.shot_mesh(n_dev)
+            stf, geoms, obs, w, _ = parallel.pad_shots(stf, geoms, obs, w,
+                                                       n_dev)
+            loss = parallel.make_sharded_misfit(self.cfg, mesh,
+                                                channels=tuple(channels))
+        else:
+            loss = parallel.make_local_misfit(self.cfg,
+                                              channels=tuple(channels))
 
         vp0 = jnp.asarray(model_init.vp, self.dtype)
         vs0 = jnp.asarray(model_init.vs, self.dtype)
         rho0 = jnp.asarray(model_init.rho, self.dtype)
 
-        def f(vp, vs, rho, stf):
+        def f(vp, vs, rho, stf_):
             lam, mu, rr = self._padded(vp, vs, rho)
-            return loss(lam, mu, rr, stf, self.geoms, obs, w)
+            return loss(lam, mu, rr, stf_, geoms, obs, w)
 
         val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3)))(
-            vp0, vs0, rho0, self.stf)
+            vp0, vs0, rho0, stf)
         g_vp, g_vs, g_rho, g_stf = grads
         return {
             "misfit": float(val),
             "grad_vp": np.asarray(g_vp),
             "grad_vs": np.asarray(g_vs),
             "grad_rho": np.asarray(g_rho),
-            "grad_stf": np.asarray(g_stf),
+            "grad_stf": np.asarray(g_stf)[:self.survey.n_shots],
         }

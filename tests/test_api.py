@@ -49,3 +49,21 @@ def test_apply_gradient(setup):
     # gradient with the true model and its own data is ~zero
     out0 = prop.apply_gradient(model, obs)
     assert out0["misfit"] < 1e-12 * max(out["misfit"], 1.0)
+
+
+def test_apply_gradient_sharded_matches_local(setup):
+    """apply_gradient(n_devices=2) must reproduce the single-device result
+    (the reference's ngpu argument; 2 shots over 2 mesh devices)."""
+    model, survey, vp, vs, rho = setup
+    prop = ElasticPropagator(model, survey)
+    obs = prop.apply_forward()
+    init = Model(**{**model.__dict__, "vp": np.full_like(vp, 3000.0),
+                    "vs": np.full_like(vs, 3000.0 / np.sqrt(3.0))})
+    out1 = prop.apply_gradient(init, obs, channels=("ett",), n_devices=1)
+    out2 = prop.apply_gradient(init, obs, channels=("ett",), n_devices=2)
+    assert np.isclose(out1["misfit"], out2["misfit"], rtol=1e-5)
+    for k in ("grad_vp", "grad_vs", "grad_rho", "grad_stf"):
+        a, b = out1[k], out2[k]
+        assert a.shape == b.shape
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 5e-5, k  # f32 psum order
