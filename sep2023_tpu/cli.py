@@ -285,11 +285,15 @@ def cmd_invert(args):
         raise SystemExit(f"unknown channel(s) {bad}; choose from {st.CHANNELS}")
 
     # --- engine + mesh selection ----------------------------------------
+    n_shots_orig = survey.n_shots
     mesh = _resolve_mesh(args, survey.n_shots)
     if mesh is not None:
         n_dev = mesh.devices.size
         stf, geoms, obs, w, trace_aux = parallel.pad_shots(
             stf, geoms, obs, w, n_dev, trace_aux)
+        # the Pallas loss builders derive per-shot source vectors from the
+        # survey — keep its shot count in lockstep with the padded arrays
+        survey = parallel.pad_survey(survey, n_dev)
         print(f"multi-chip: {n_dev}-device shot mesh "
               f"({stf.shape[0]} shots incl. padding)")
 
@@ -298,8 +302,9 @@ def cmd_invert(args):
         args.engine == "auto" and not args.x64
         and jax.default_backend() == "tpu"
         and pe.grad_vmem_fits(cfg))
-    if use_pallas and pe.check_row_survey(survey.rec_z + cfg.npml,
-                                          survey.rec_x + cfg.npml) is None:
+    if use_pallas and pe.plan_fast_path(
+            cfg, survey.rec_z + cfg.npml, survey.rec_x + cfg.npml,
+            allow_transpose=bool(np.all(survey.src_rxz != 0))) is None:
         use_pallas = False
     print(f"engine: {'fused Pallas' if use_pallas else 'XLA'}")
 
@@ -427,10 +432,12 @@ def cmd_invert(args):
         res_d = np.array(np.asarray(obs) - syn)
         res_d[..., 0] = 0.0
         os.makedirs(args.scratch_dir, exist_ok=True)
-        sio.write_shots(os.path.join(args.scratch_dir, "Syn"), syn)
-        sio.write_shots(os.path.join(args.scratch_dir, "Residual"), res_d)
+        n0 = n_shots_orig  # drop mesh-padding replicas from the dumps
+        sio.write_shots(os.path.join(args.scratch_dir, "Syn"), syn[:n0])
+        sio.write_shots(os.path.join(args.scratch_dir, "Residual"),
+                        res_d[:n0])
         sio.write_shots(os.path.join(args.scratch_dir, "CondObs"),
-                        np.asarray(obs))
+                        np.asarray(obs)[:n0])
         print(f"scratch dumps written to {args.scratch_dir}")
 
 

@@ -81,6 +81,20 @@ def pad_shots(stf, geoms: ShotGeom, obs, weights, n_devices: int,
             jax.tree.map(pad, trace_aux))
 
 
+def pad_survey(survey: Survey, n_devices: int) -> Survey:
+    """Replicate the last shot's source entries so the survey's shot count
+    matches `pad_shots`' padded arrays (needed by the Pallas loss builders,
+    which derive per-shot source vectors from the survey)."""
+    S = survey.n_shots
+    rem = (-S) % n_devices
+    if rem == 0:
+        return survey
+    rep = lambda a: np.concatenate([a, np.repeat(a[-1:], rem, axis=0)])
+    return Survey(src_z=rep(survey.src_z), src_x=rep(survey.src_x),
+                  rec_z=survey.rec_z, rec_x=survey.rec_x,
+                  src_rxz=rep(survey.src_rxz))
+
+
 def default_shot_misfit(channels: Sequence[str] = ("ett",)):
     return lambda o, s: mf.l2_misfit(o, s, channels=channels)
 

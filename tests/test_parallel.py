@@ -216,3 +216,44 @@ def test_xcorr_misfit_through_propagator(problem):
     assert np.abs(g - g_ad).max() / scale < 5e-3
     cos = (g * g_ad).sum() / (np.linalg.norm(g) * np.linalg.norm(g_ad))
     assert cos > 0.99999
+
+
+def test_pallas_sharded_ragged_shots(problem):
+    """A shot count that does not divide the mesh: pad_shots + pad_survey
+    must keep the Pallas-sharded loss consistent with the unpadded local
+    loss (regression: the sharded builder derives per-shot source vectors
+    from the survey, which must be padded in lockstep)."""
+    cfg, lam, mu, rho, stf, geoms, obs, w = problem
+    f32 = jnp.float32
+    lam, mu, rho = lam.astype(f32), mu.astype(f32), rho.astype(f32)
+    survey5 = Survey(src_z=np.full(5, 4), src_x=np.arange(8, 28, 4),
+                     rec_z=np.full(12, 14), rec_x=np.arange(8, 20))
+    from sep2023_tpu.ops import pallas_engine as pe
+    rs = pe.check_row_survey(survey5.rec_z + cfg.npml,
+                             survey5.rec_x + cfg.npml)
+    # early-onset wavelet: the fixture's 1.2/f0 delay leaves ~zero signal
+    # (and denormal-level gradients) within this nt
+    stf5 = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt, delay_cycles=0.4),
+                    f32), (5, cfg.nt))
+    obs5 = pe.propagate_pallas(cfg, rs, lam * 1.03, mu, rho, stf5,
+                               jnp.asarray(survey5.src_z + cfg.npml),
+                               jnp.asarray(survey5.src_x + cfg.npml),
+                               jnp.asarray(survey5.src_rxz, f32))
+    w5 = jnp.ones((5,), f32)
+    geoms5 = par.survey_to_geoms(survey5, cfg.npml, dtype=f32)
+
+    stf_p, _, obs_p, w_p, _ = par.pad_shots(stf5, geoms5, obs5, w5, 8)
+    survey_p = par.pad_survey(survey5, 8)
+    assert survey_p.n_shots == 8 and stf_p.shape[0] == 8
+
+    mesh = par.shot_mesh(8)
+    loss_sh = par.make_pallas_sharded_misfit(cfg, survey_p, mesh)
+    loss_lo = par.make_pallas_misfit(cfg, survey5)
+    f_sh = float(jax.jit(loss_sh)(lam, mu, rho, stf_p, obs_p, w_p))
+    f_lo = float(loss_lo(lam, mu, rho, stf5, obs5, w5))
+    assert np.isclose(f_sh, f_lo, rtol=1e-5)
+    g_sh = jax.jit(jax.grad(loss_sh))(lam, mu, rho, stf_p, obs_p, w_p)
+    g_lo = jax.grad(loss_lo)(lam, mu, rho, stf5, obs5, w5)
+    scale = np.abs(np.asarray(g_lo)).max()
+    assert np.abs(np.asarray(g_sh - g_lo)).max() / scale < 1e-5
