@@ -62,8 +62,8 @@ def _zero_state(nz, nx, dtype):
 
 
 def _consts(cfg: SimConfig, dtype):
-    cp = cpml_mod.cpml_profiles(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
-                                cfg.dt, cfg.f0, dtype=dtype)
+    cp = cpml_mod.cpml_scaled(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
+                              cfg.dt, cfg.f0, dtype=dtype)
     mzf, mxf = fd.update_mask(cfg.nz, cfg.nx, 2, cfg.nz - 3, 2, cfg.nx - 3,
                               dtype)
     mzi, mxi = fd.update_mask(cfg.nz, cfg.nx, cfg.npml + 2,
@@ -82,23 +82,24 @@ def ac_step(state: AcState, lam, byc_a, byc_b, amp, geom: AcGeom, cp,
     f, psi = state
     dt = cfg.dt
 
-    dvz = fd.dz_plus(f.vz) / cfg.dz
+    # division-free CPML form (cpml.CpmlScaled) on raw stencil differences
+    dvz = fd.dz_plus(f.vz)
     p_vz = cp.bz_h * psi.vz_dz + cp.az_h * dvz
-    dvz_e = dvz / cp.kz_h + p_vz
-    dvx = fd.dx_minus(f.vx) / cfg.dx
+    dvz_e = dvz * cp.ikz_h + p_vz
+    dvx = fd.dx_minus(f.vx)
     p_vx = cp.bx * psi.vx_dx + cp.ax * dvx
-    dvx_e = dvx / cp.kx + p_vx
+    dvx_e = dvx * cp.ikx + p_vx
     p = f.p + (mz * mx) * (lam * (dvz_e + dvx_e) * dt)
     p = p.at[geom.src_z, geom.src_x].add(cfg.src_scale * dt * amp)
 
-    dpz = fd.dz_minus(p) / cfg.dz
+    dpz = fd.dz_minus(p)
     p_pz = cp.bz * psi.p_dz + cp.az * dpz
-    dpz_e = dpz / cp.kz + p_pz
+    dpz_e = dpz * cp.ikz + p_pz
     vz = f.vz + (mz * mx) * (dpz_e * byc_a * dt)
 
-    dpx = fd.dx_plus(p) / cfg.dx
+    dpx = fd.dx_plus(p)
     p_px = cp.bx_h * psi.p_dx + cp.ax_h * dpx
-    dpx_e = dpx / cp.kx_h + p_px
+    dpx_e = dpx * cp.ikx_h + p_px
     vx = f.vx + (mz * mx) * (dpx_e * byc_b * dt)
 
     new = AcState(AcFields(p, vz, vx), AcPsi(p_vz, p_vx, p_pz, p_px))
@@ -108,18 +109,22 @@ def ac_step(state: AcState, lam, byc_a, byc_b, amp, geom: AcGeom, cp,
 
 
 def _velocity_reverse(f: AcFields, byc_a, byc_b, mask_i, cfg):
-    """Undo the velocity update (which used the post-source p_{t+1})."""
+    """Undo the velocity update (which used the post-source p_{t+1}).
+    Multiplies by the reciprocal spacing to bitwise-match the forward's
+    scaled-profile interior (see cpml.CpmlScaled)."""
     mz, mx = mask_i
     dt = cfg.dt
-    vz = f.vz - (mz * mx) * (fd.dz_minus(f.p) / cfg.dz * byc_a * dt)
-    vx = f.vx - (mz * mx) * (fd.dx_plus(f.p) / cfg.dx * byc_b * dt)
+    idz, idx = 1.0 / cfg.dz, 1.0 / cfg.dx
+    vz = f.vz - (mz * mx) * (fd.dz_minus(f.p) * idz * byc_a * dt)
+    vx = f.vx - (mz * mx) * (fd.dx_plus(f.p) * idx * byc_b * dt)
     return AcFields(f.p, vz, vx)
 
 
 def _pressure_reverse(f: AcFields, lam, mask_i, cfg):
     mz, mx = mask_i
-    p = f.p - (mz * mx) * (lam * (fd.dz_plus(f.vz) / cfg.dz
-                                  + fd.dx_minus(f.vx) / cfg.dx) * cfg.dt)
+    idz, idx = 1.0 / cfg.dz, 1.0 / cfg.dx
+    p = f.p - (mz * mx) * (lam * (fd.dz_plus(f.vz) * idz
+                                  + fd.dx_minus(f.vx) * idx) * cfg.dt)
     return AcFields(p, f.vz, f.vx)
 
 

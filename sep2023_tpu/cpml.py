@@ -94,3 +94,59 @@ def cpml_profiles(nz: int, nx: int, npml: int, dz: float, dx: float,
         kx=row(kx), ax=row(ax), bx=row(bx),
         kx_h=row(kxh), ax_h=row(axh), bx_h=row(bxh),
     )
+
+
+class CpmlScaled(NamedTuple):
+    """Division-free CPML profiles for the hot kernels.
+
+    The per-derivative CPML application
+
+        d   = D / dh                      D = raw stencil difference
+        psi <- b psi + a d
+        d_e = d / K + psi
+
+    costs two vector divisions per derivative (16 per elastic cell-step;
+    an f32 divide is several times a multiply on the VPU).  Folding the
+    grid spacing and K into the precomputed profiles,
+
+        a'  = a / dh          ik = 1 / (K dh)
+        psi <- b psi + a' D
+        d_e = D ik + psi
+
+    is the same recursion exactly (psi takes identical values; d_e is the
+    same quantity reassociated), with zero divisions and one fewer
+    multiply per derivative.  Profiles are built in float64 and cast, so
+    the interior value of ik is exactly dtype(1/dh) — the constant the
+    time-reversed reconstruction steps multiply by, keeping forward and
+    reconstruction bitwise identical in the interior.
+    """
+
+    ikz: np.ndarray
+    az: np.ndarray
+    bz: np.ndarray
+    ikz_h: np.ndarray
+    az_h: np.ndarray
+    bz_h: np.ndarray
+    ikx: np.ndarray
+    ax: np.ndarray
+    bx: np.ndarray
+    ikx_h: np.ndarray
+    ax_h: np.ndarray
+    bx_h: np.ndarray
+
+
+def cpml_scaled(nz: int, nx: int, npml: int, dz: float, dx: float,
+                dt: float, f0: float, dtype=np.float32, **kw) -> CpmlScaled:
+    kz, az, bz = _profiles_1d(nz, npml, dz, dt, f0, **kw)
+    kzh, azh, bzh = _profiles_1d(nz, npml, dz, dt, f0, half=True, **kw)
+    kx, ax, bx = _profiles_1d(nx, npml, dx, dt, f0, **kw)
+    kxh, axh, bxh = _profiles_1d(nx, npml, dx, dt, f0, half=True, **kw)
+
+    col = lambda p: p.reshape(-1, 1).astype(dtype)   # (nz, 1)
+    row = lambda p: p.reshape(1, -1).astype(dtype)   # (1, nx)
+    return CpmlScaled(
+        ikz=col(1.0 / (kz * dz)), az=col(az / dz), bz=col(bz),
+        ikz_h=col(1.0 / (kzh * dz)), az_h=col(azh / dz), bz_h=col(bzh),
+        ikx=row(1.0 / (kx * dx)), ax=row(ax / dx), bx=row(bx),
+        ikx_h=row(1.0 / (kxh * dx)), ax_h=row(axh / dx), bx_h=row(bxh),
+    )

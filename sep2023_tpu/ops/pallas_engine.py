@@ -407,42 +407,43 @@ def _step_values(cfg: SimConfig, rs, prof, mask, src_hot, rxz,
     (vz, vx, szz, sxx, sxz) = fields
     (p_vzdz, p_vxdx, p_vxdz, p_vzdx, p_szzdz, p_sxzdx, p_sxzdz, p_sxxdx) = psi
     (lam, lp2m, avemu, byca, bycb) = mats
-    (kz, az, bz, kzh, azh, bzh, kx, ax, bx, kxh, axh, bxh) = prof
-    dt, dz, dx = cfg.dt, cfg.dz, cfg.dx
+    # division-free scaled profiles (cpml.CpmlScaled): ik = 1/(K dh), a'=a/dh
+    (ikz, az, bz, ikzh, azh, bzh, ikx, ax, bx, ikxh, axh, bxh) = prof
+    dt = cfg.dt
 
-    d = _dz_minus(vz) / dz
+    d = _dz_minus(vz)
     p_vzdz = bz * p_vzdz + az * d
-    dvz = d / kz + p_vzdz
-    d = _dx_minus(vx) / dx
+    dvz = d * ikz + p_vzdz
+    d = _dx_minus(vx)
     p_vxdx = bx * p_vxdx + ax * d
-    dvx = d / kx + p_vxdx
+    dvx = d * ikx + p_vxdx
 
     s_amp = cfg.src_scale * dt * amp
     szz = szz + mask * ((lp2m * dvz + lam * dvx) * dt) + src_hot * s_amp
     sxx = sxx + mask * ((lam * dvz + lp2m * dvx) * dt) + src_hot * (rxz * s_amp)
 
-    d = _dz_plus(vx) / dz
+    d = _dz_plus(vx)
     p_vxdz = bzh * p_vxdz + azh * d
-    dvxz = d / kzh + p_vxdz
-    d = _dx_plus(vz) / dx
+    dvxz = d * ikzh + p_vxdz
+    d = _dx_plus(vz)
     p_vzdx = bxh * p_vzdx + axh * d
-    dvzx = d / kxh + p_vzdx
+    dvzx = d * ikxh + p_vzdx
     sxz = sxz + mask * (avemu * (dvxz + dvzx) * dt)
 
-    d = _dz_plus(szz) / dz
+    d = _dz_plus(szz)
     p_szzdz = bzh * p_szzdz + azh * d
-    dszz = d / kzh + p_szzdz
-    d = _dx_minus(sxz) / dx
+    dszz = d * ikzh + p_szzdz
+    d = _dx_minus(sxz)
     p_sxzdx = bx * p_sxzdx + ax * d
-    dsxzx = d / kx + p_sxzdx
+    dsxzx = d * ikx + p_sxzdx
     vz = vz + mask * ((dszz + dsxzx) * byca * dt)
 
-    d = _dz_minus(sxz) / dz
+    d = _dz_minus(sxz)
     p_sxzdz = bz * p_sxzdz + az * d
-    dsxzz = d / kz + p_sxzdz
-    d = _dx_plus(sxx) / dx
+    dsxzz = d * ikz + p_sxzdz
+    d = _dx_plus(sxx)
     p_sxxdx = bxh * p_sxxdx + axh * d
-    dsxx = d / kxh + p_sxxdx
+    dsxx = d * ikxh + p_sxxdx
     vx = vx + mask * ((dsxzz + dsxx) * bycb * dt)
 
     recs = _record_rows(cfg, rs, recw, vz, vx, szz, sxx)
@@ -607,11 +608,14 @@ def _interpret():
 
 
 def _profiles(cfg):
-    cp = cpml_mod.cpml_profiles(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
-                                cfg.dt, cfg.f0, dtype=np.float32)
-    return tuple(jnp.asarray(p) for p in (cp.kz, cp.az, cp.bz, cp.kz_h,
-                                          cp.az_h, cp.bz_h, cp.kx, cp.ax,
-                                          cp.bx, cp.kx_h, cp.ax_h, cp.bx_h))
+    """Division-free scaled CPML profiles (cpml.CpmlScaled): ik = 1/(K dh),
+    a' = a/dh — the hot loop multiplies raw stencil differences instead of
+    dividing by dh and K (16 VPU divides per elastic cell-step removed)."""
+    cp = cpml_mod.cpml_scaled(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
+                              cfg.dt, cfg.f0, dtype=np.float32)
+    return tuple(jnp.asarray(p) for p in (cp.ikz, cp.az, cp.bz, cp.ikz_h,
+                                          cp.az_h, cp.bz_h, cp.ikx, cp.ax,
+                                          cp.bx, cp.ikx_h, cp.ax_h, cp.bx_h))
 
 
 def _nt_pad(cfg):
@@ -806,7 +810,9 @@ def _bwd_kernel(cfg: SimConfig, rs, n_recw: int, compact: bool,
     raw = _read_consts(mat_refs)
     prof = _read_consts(prof_refs)
     recw = _read_recw(recw_refs)
-    dt, dz, dx = cfg.dt, cfg.dz, cfg.dx
+    dt = cfg.dt
+    # NB: rdz/rdx, not idz/idx — the fori_loop body's index is named idx
+    rdz, rdx = 1.0 / cfg.dz, 1.0 / cfg.dx
     NC = 4 * _n_layers(rs)
     SC = _strip_chunk(cfg)
     DC = _drec_chunk(cfg)
@@ -884,10 +890,12 @@ def _bwd_kernel(cfg: SimConfig, rs, n_recw: int, compact: bool,
             cp2.wait()
 
         # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) -------------
+        # reciprocal-spacing multiplies bitwise-match the forward's scaled
+        # interior profiles (cpml.CpmlScaled), keeping reconstruction exact
         (vz, vx, szz, sxx, sxz) = tuple(s[:] for s in field_s)
         # velocity reverse (interior, no CPML; el_velocity.cu:84-98)
-        dvz = (_dz_plus(szz) / dz + _dx_minus(sxz) / dx)
-        dvx = (_dz_minus(sxz) / dz + _dx_plus(sxx) / dx)
+        dvz = (_dz_plus(szz) * rdz + _dx_minus(sxz) * rdx)
+        dvx = (_dz_minus(sxz) * rdz + _dx_plus(sxx) * rdx)
         field_s[0][:] = vz - interior * (dvz * byca * dt)
         field_s[1][:] = vx - interior * (dvx * bycb * dt)
         _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg, which=(0, 1))
@@ -898,12 +906,12 @@ def _bwd_kernel(cfg: SimConfig, rs, n_recw: int, compact: bool,
         szz = szz - src_hot * s_amp
         sxx = sxx - src_hot * (rxz * s_amp)
         # stress reverse (el_stress.cu:89-104)
-        dvz_dz = _dz_minus(vz) / dz
-        dvx_dx = _dx_minus(vx) / dx
+        dvz_dz = _dz_minus(vz) * rdz
+        dvx_dx = _dx_minus(vx) * rdx
         field_s[2][:] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
         field_s[3][:] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
-        dvx_dz = _dz_plus(vx) / dz
-        dvz_dx = _dx_plus(vz) / dx
+        dvx_dz = _dz_plus(vx) * rdz
+        dvz_dx = _dx_plus(vz) * rdx
         field_s[4][:] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
         _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg,
                             which=(2, 3, 4))
@@ -1059,26 +1067,27 @@ def _ac_step_values(cfg: SimConfig, rs, prof, mask, src_hot, fields, psi,
     (p, vz, vx) = fields
     (p_vzdz, p_vxdx, p_pdz, p_pdx) = psi
     (lam, byca, bycb) = mats
-    (kz, az, bz, kzh, azh, bzh, kx, ax, bx, kxh, axh, bxh) = prof
-    dt, dz, dx = cfg.dt, cfg.dz, cfg.dx
+    # division-free scaled profiles (cpml.CpmlScaled)
+    (ikz, az, bz, ikzh, azh, bzh, ikx, ax, bx, ikxh, axh, bxh) = prof
+    dt = cfg.dt
 
-    d = _dz_plus(vz) / dz
+    d = _dz_plus(vz)
     p_vzdz = bzh * p_vzdz + azh * d
-    dvz = d / kzh + p_vzdz
-    d = _dx_minus(vx) / dx
+    dvz = d * ikzh + p_vzdz
+    d = _dx_minus(vx)
     p_vxdx = bx * p_vxdx + ax * d
-    dvx = d / kx + p_vxdx
+    dvx = d * ikx + p_vxdx
     p = p + mask * (lam * (dvz + dvx) * dt) + src_hot * (
         cfg.src_scale * dt * amp)
 
-    d = _dz_minus(p) / dz
+    d = _dz_minus(p)
     p_pdz = bz * p_pdz + az * d
-    dpz = d / kz + p_pdz
+    dpz = d * ikz + p_pdz
     vz = vz + mask * (dpz * byca * dt)
 
-    d = _dx_plus(p) / dx
+    d = _dx_plus(p)
     p_pdx = bxh * p_pdx + axh * d
-    dpx = d / kxh + p_pdx
+    dpx = d * ikxh + p_pdx
     vx = vx + mask * (dpx * bycb * dt)
 
     # reuse the elastic row recorder with (szz=p, sxx=0): channel planes

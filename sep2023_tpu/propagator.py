@@ -118,9 +118,10 @@ def zero_state(nz: int, nx: int, dtype) -> State:
 
 
 def _consts(cfg: SimConfig, dtype):
-    """Trace-time constants: CPML profiles and update masks."""
-    cp = cpml_mod.cpml_profiles(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
-                                cfg.dt, cfg.f0, dtype=dtype)
+    """Trace-time constants: CPML profiles (division-free scaled form,
+    cpml.CpmlScaled) and update masks."""
+    cp = cpml_mod.cpml_scaled(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
+                              cfg.dt, cfg.f0, dtype=dtype)
     # forward update region [2, n-3] (el_stress.cu:52); interior region
     # [npml, n-1-npml] (reverse branch, el_stress.cu:92)
     mzf, mxf = fd.update_mask(cfg.nz, cfg.nx, 2, cfg.nz - 3, 2, cfg.nx - 3, dtype)
@@ -134,26 +135,28 @@ def _consts(cfg: SimConfig, dtype):
 # ---------------------------------------------------------------------------
 
 def _stress_update(f: Fields, psi: Psi, mat: MatFields, cp, mask, cfg):
+    # division-free CPML form (cpml.CpmlScaled): psi <- b psi + a' D,
+    # d_eff = D ik + psi on the RAW stencil differences D
     mz, mx = mask
     dt = cfg.dt
-    dvz_dz = fd.dz_minus(f.vz) / cfg.dz
-    p_vz_dz = cp.bz * psi.vz_dz + cp.az * dvz_dz
-    dvz = dvz_dz / cp.kz + p_vz_dz
+    d_vz = fd.dz_minus(f.vz)
+    p_vz_dz = cp.bz * psi.vz_dz + cp.az * d_vz
+    dvz = d_vz * cp.ikz + p_vz_dz
 
-    dvx_dx = fd.dx_minus(f.vx) / cfg.dx
-    p_vx_dx = cp.bx * psi.vx_dx + cp.ax * dvx_dx
-    dvx = dvx_dx / cp.kx + p_vx_dx
+    d_vx = fd.dx_minus(f.vx)
+    p_vx_dx = cp.bx * psi.vx_dx + cp.ax * d_vx
+    dvx = d_vx * cp.ikx + p_vx_dx
 
     szz = f.szz + (mz * mx) * ((mat.lp2m * dvz + mat.lam * dvx) * dt)
     sxx = f.sxx + (mz * mx) * ((mat.lam * dvz + mat.lp2m * dvx) * dt)
 
-    dvx_dz = fd.dz_plus(f.vx) / cfg.dz
-    p_vx_dz = cp.bz_h * psi.vx_dz + cp.az_h * dvx_dz
-    dvxz = dvx_dz / cp.kz_h + p_vx_dz
+    d_vxz = fd.dz_plus(f.vx)
+    p_vx_dz = cp.bz_h * psi.vx_dz + cp.az_h * d_vxz
+    dvxz = d_vxz * cp.ikz_h + p_vx_dz
 
-    dvz_dx = fd.dx_plus(f.vz) / cfg.dx
-    p_vz_dx = cp.bx_h * psi.vz_dx + cp.ax_h * dvz_dx
-    dvzx = dvz_dx / cp.kx_h + p_vz_dx
+    d_vzx = fd.dx_plus(f.vz)
+    p_vz_dx = cp.bx_h * psi.vz_dx + cp.ax_h * d_vzx
+    dvzx = d_vzx * cp.ikx_h + p_vz_dx
 
     sxz = f.sxz + (mz * mx) * (mat.ave_mu * (dvxz + dvzx) * dt)
     return (szz, sxx, sxz), (p_vz_dz, p_vx_dx, p_vx_dz, p_vz_dx)
@@ -162,23 +165,23 @@ def _stress_update(f: Fields, psi: Psi, mat: MatFields, cp, mask, cfg):
 def _velocity_update(f: Fields, psi: Psi, mat: MatFields, cp, mask, cfg):
     mz, mx = mask
     dt = cfg.dt
-    dszz_dz = fd.dz_plus(f.szz) / cfg.dz
-    p_szz_dz = cp.bz_h * psi.szz_dz + cp.az_h * dszz_dz
-    dszz = dszz_dz / cp.kz_h + p_szz_dz
+    d_szz = fd.dz_plus(f.szz)
+    p_szz_dz = cp.bz_h * psi.szz_dz + cp.az_h * d_szz
+    dszz = d_szz * cp.ikz_h + p_szz_dz
 
-    dsxz_dx = fd.dx_minus(f.sxz) / cfg.dx
-    p_sxz_dx = cp.bx * psi.sxz_dx + cp.ax * dsxz_dx
-    dsxzx = dsxz_dx / cp.kx + p_sxz_dx
+    d_sxzx = fd.dx_minus(f.sxz)
+    p_sxz_dx = cp.bx * psi.sxz_dx + cp.ax * d_sxzx
+    dsxzx = d_sxzx * cp.ikx + p_sxz_dx
 
     vz = f.vz + (mz * mx) * ((dszz + dsxzx) * mat.byc_a * dt)
 
-    dsxz_dz = fd.dz_minus(f.sxz) / cfg.dz
-    p_sxz_dz = cp.bz * psi.sxz_dz + cp.az * dsxz_dz
-    dsxzz = dsxz_dz / cp.kz + p_sxz_dz
+    d_sxzz = fd.dz_minus(f.sxz)
+    p_sxz_dz = cp.bz * psi.sxz_dz + cp.az * d_sxzz
+    dsxzz = d_sxzz * cp.ikz + p_sxz_dz
 
-    dsxx_dx = fd.dx_plus(f.sxx) / cfg.dx
-    p_sxx_dx = cp.bx_h * psi.sxx_dx + cp.ax_h * dsxx_dx
-    dsxx = dsxx_dx / cp.kx_h + p_sxx_dx
+    d_sxx = fd.dx_plus(f.sxx)
+    p_sxx_dx = cp.bx_h * psi.sxx_dx + cp.ax_h * d_sxx
+    dsxx = d_sxx * cp.ikx_h + p_sxx_dx
 
     vx = f.vx + (mz * mx) * ((dsxzz + dsxx) * mat.byc_b * dt)
     return (vz, vx), (p_szz_dz, p_sxz_dx, p_sxz_dz, p_sxx_dx)
@@ -241,10 +244,14 @@ def elastic_step(state: State, mat: MatFields, amp, geom: ShotGeom,
 # ---------------------------------------------------------------------------
 
 def _velocity_reverse(f: Fields, mat: MatFields, mask_i, cfg):
+    # multiply by the reciprocal spacing (not divide): bitwise-matches the
+    # forward's interior d_eff = D * ik, ik = dtype(1/dh) (cpml.CpmlScaled),
+    # which keeps the time-reversed reconstruction exact in the interior
     mz, mx = mask_i
     dt = cfg.dt
-    dvz = (fd.dz_plus(f.szz) / cfg.dz + fd.dx_minus(f.sxz) / cfg.dx)
-    dvx = (fd.dz_minus(f.sxz) / cfg.dz + fd.dx_plus(f.sxx) / cfg.dx)
+    idz, idx = 1.0 / cfg.dz, 1.0 / cfg.dx
+    dvz = (fd.dz_plus(f.szz) * idz + fd.dx_minus(f.sxz) * idx)
+    dvx = (fd.dz_minus(f.sxz) * idz + fd.dx_plus(f.sxx) * idx)
     vz = f.vz - (mz * mx) * (dvz * mat.byc_a * dt)
     vx = f.vx - (mz * mx) * (dvx * mat.byc_b * dt)
     return Fields(vz, vx, f.szz, f.sxx, f.sxz)
@@ -253,12 +260,13 @@ def _velocity_reverse(f: Fields, mat: MatFields, mask_i, cfg):
 def _stress_reverse(f: Fields, mat: MatFields, mask_i, cfg):
     mz, mx = mask_i
     dt = cfg.dt
-    dvz_dz = fd.dz_minus(f.vz) / cfg.dz
-    dvx_dx = fd.dx_minus(f.vx) / cfg.dx
+    idz, idx = 1.0 / cfg.dz, 1.0 / cfg.dx
+    dvz_dz = fd.dz_minus(f.vz) * idz
+    dvx_dx = fd.dx_minus(f.vx) * idx
     szz = f.szz - (mz * mx) * ((mat.lp2m * dvz_dz + mat.lam * dvx_dx) * dt)
     sxx = f.sxx - (mz * mx) * ((mat.lam * dvz_dz + mat.lp2m * dvx_dx) * dt)
-    dvx_dz = fd.dz_plus(f.vx) / cfg.dz
-    dvz_dx = fd.dx_plus(f.vz) / cfg.dx
+    dvx_dz = fd.dz_plus(f.vx) * idz
+    dvz_dx = fd.dx_plus(f.vz) * idx
     sxz = f.sxz - (mz * mx) * (mat.ave_mu * (dvx_dz + dvz_dx) * dt)
     return Fields(f.vz, f.vx, szz, sxx, sxz)
 
