@@ -411,7 +411,7 @@ def cmd_invert(args):
                                           aux=(stf, obs))
             logger = optimize.InversionLogger(
                 os.path.join(args.exp_name, "Results"), obj,
-                start_iter=iter_offset)
+                start_iter=iter_offset, save_mat=args.save_mat)
             print(f"L-BFGS-B: {iters_per_stage} iterations, head={args.head}")
             res = optimize.lbfgsb(obj, maxiter=iters_per_stage,
                                   callback=logger)
@@ -510,6 +510,9 @@ def main(argv=None):
                         "band-pass stages (Main-001:46-51)")
     i.add_argument("--resume", action="store_true",
                    help="resume from the latest Results/model_*.npz")
+    i.add_argument("--save-mat", action="store_true",
+                   help="also write reference-format .mat snapshots per "
+                        "iteration (Main-001:144-150)")
     i.add_argument("--model", default="anomaly",
                    choices=("anomaly", "rock"),
                    help="'rock' + a velocity head = Main-005 (NO-PCS) flow")

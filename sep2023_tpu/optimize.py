@@ -97,25 +97,34 @@ class InversionLogger:
     (`Main-001:137-154`); enables manual resume like the reference."""
 
     def __init__(self, result_dir: str, objective: ScipyObjective,
-                 save_every: int = 1, start_iter: int = 0):
+                 save_every: int = 1, start_iter: int = 0,
+                 save_mat: bool = False):
         self.dir = result_dir
         self.obj = objective
         self.save_every = save_every
         self.it = start_iter
         self.loss_history = []
+        self.save_mat = save_mat
         os.makedirs(result_dir, exist_ok=True)
+
+    def _snapshot(self, stem: str, arrays: dict):
+        arrays = {n: np.asarray(v) for n, v in arrays.items()}
+        np.savez(os.path.join(self.dir, f"{stem}.npz"), **arrays)
+        if self.save_mat:
+            # reference-format .mat snapshots (Main-001:144-150 writes
+            # model/gradient .mat per iteration) so existing post-processing
+            # scripts read this build's Results/ unchanged
+            from scipy.io import savemat
+            savemat(os.path.join(self.dir, f"{stem}.mat"), arrays)
 
     def __call__(self, x):
         self.loss_history.append(self.obj.f)
         with open(os.path.join(self.dir, "loss.txt"), "a") as fp:
             fp.write(f"{self.it} {self.obj.f}\n")
         if self.it % self.save_every == 0:
-            params = self.obj.unpack(np.asarray(x))
-            np.savez(os.path.join(self.dir, f"model_{self.it:04d}.npz"),
-                     **{n: np.asarray(v) for n, v in params.items()})
-            grads = self.obj.unpack(self.obj.g)
-            np.savez(os.path.join(self.dir, f"grad_{self.it:04d}.npz"),
-                     **{n: np.asarray(v) for n, v in grads.items()})
+            self._snapshot(f"model_{self.it:04d}",
+                           self.obj.unpack(np.asarray(x)))
+            self._snapshot(f"grad_{self.it:04d}", self.obj.unpack(self.obj.g))
         self.it += 1
 
 

@@ -64,12 +64,22 @@ def test_invert_sharded_trajectory_matches_single(tmp_path):
 
 def test_invert_xcorr_with_energy_weights(tmp_path):
     """Twin experiment under the normalized cross-correlation misfit
-    (if_cross_misfit) with 1/energy trace balancing converges."""
+    (if_cross_misfit) with 1/energy trace balancing converges; --save-mat
+    writes reference-format .mat snapshots alongside (Main-001:144-150)."""
     e = str(tmp_path / "xc")
     cli.main(["invert", *TINY, "--exp-name", e, "--n-devices", "1",
-              "--misfit", "xcorr", "--energy-weights"])
+              "--misfit", "xcorr", "--energy-weights", "--save-mat"])
     h = _hist(e)
     assert h[-1] < h[0]
+    from scipy.io import loadmat
+    rdir = os.path.join(e, "Results")
+    mats = sorted(f for f in os.listdir(rdir) if f.endswith(".mat"))
+    assert any(f.startswith("model_") for f in mats)
+    assert any(f.startswith("grad_") for f in mats)
+    m = loadmat(os.path.join(rdir, mats[-1]))
+    npz = np.load(os.path.join(rdir, mats[-1].replace(".mat", ".npz")))
+    for k in npz.files:
+        np.testing.assert_array_equal(np.asarray(m[k]), npz[k])
 
 
 def test_generate_data_roundtrip_and_resume(tmp_path):
