@@ -8,6 +8,7 @@ Main-000..005 scripts (`DAS_Waveform_Inversion/notebooks/Main-*.py`), as a
               --head lame_rho    -> Main-002
               --head ip_is_rho   -> Main-003
               --head rock_vrh / rock_gassmann -> Main-004/005
+  rtm       reverse-time migration twin experiment           (main.cu:322+)
   bench     single-chip benchmark (JSON line)
 
 Models are synthesized (models.py) because the reference git-ignores its
@@ -441,6 +442,104 @@ def cmd_invert(args):
         print(f"scratch dumps written to {args.scratch_dir}")
 
 
+def cmd_rtm(args):
+    """RTM driver: the standalone CLI's adjoint imaging flow (main.cu:322+).
+
+    A twin experiment for imaging: observed data from a layered true model,
+    migrated with a smooth background.  --physics elastic uses the zero-lag
+    Vp condition (image_vel.cu via imaging.rtm_image); --physics acoustic
+    with --time-derivative uses the p-dot condition (image_vel_time.cu).
+    Writes the stacked image (and an illumination-compensated copy) to
+    --out as .npz.
+    """
+    from sep2023_tpu import imaging
+
+    dtype = jnp.float32
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+    # classic surface acquisition (shots and receivers near z=0, reflections
+    # recorded from above) — the DAS bottom-row benchmark survey is an FWI
+    # geometry, not a migration one
+    cfg = st.SimConfig(nz=args.nz + 2 * args.npml, nx=args.nx + 2 * args.npml,
+                       dz=args.dz, dx=args.dx, nt=args.nt, dt=args.dt,
+                       f0=args.f0, npml=args.npml)
+    src_x = np.arange(10, args.nx - 10, 10)
+    survey = Survey(src_z=np.full(len(src_x), 2), src_x=src_x,
+                    rec_z=np.full(args.nx - 20, 2),
+                    rec_x=np.arange(10, args.nx - 10))
+    geoms = parallel.survey_to_geoms(survey, cfg.npml, dtype=dtype)
+    stf = jnp.broadcast_to(
+        jnp.asarray(WAVELETS[args.wavelet](cfg.f0, cfg.nt, cfg.dt), dtype),
+        (survey.n_shots, cfg.nt))
+
+    # layered true model: a reflector at 2/3 depth the smooth background
+    # lacks; the image must light it back up
+    z_refl = int(args.nz * 2 / 3)
+    vp_t = models.layered(args.nz, args.nx, [z_refl], [3000.0, 3450.0])
+    vp_bg = models.smooth(vp_t, sigma=12.0)
+    pad = lambda m: jnp.asarray(st.medium.pad_model_np(m, cfg.npml), dtype)
+    rho_np = models.constant(args.nz, args.nx, 2400.0)
+    rho = pad(rho_np)
+    cfg.check_stability(float(vp_t.max()))
+
+    if args.physics == "acoustic":
+        from sep2023_tpu.acoustic import AcGeom, propagate_acoustic
+        ac = AcGeom(src_z=geoms.src_z, src_x=geoms.src_x,
+                    rec_z=geoms.rec_z, rec_x=geoms.rec_x)
+        vpt, vpb = pad(vp_t), pad(vp_bg)
+
+        @jax.jit
+        def image_all(vpt_, vpb_):
+            def per_shot(stf1, g):
+                obs = propagate_acoustic(cfg, rho * vpt_ ** 2, rho, stf1, g)
+                syn = propagate_acoustic(cfg, rho * vpb_ ** 2, rho, stf1, g)
+                from sep2023_tpu.acoustic import rtm_image_time
+                return rtm_image_time(cfg, vpb_, rho, stf1, g, obs - syn)
+
+            return jnp.sum(jax.vmap(per_shot)(stf, ac), axis=0)
+
+        img = image_all(vpt, vpb)
+        condition = "time-derivative (image_vel_time.cu)"
+    else:
+        vpt, vpb = pad(vp_t), pad(vp_bg)
+        vst, vsb = vpt / jnp.sqrt(2.2), vpb / jnp.sqrt(2.2)
+
+        @jax.jit
+        def image_all(vpt_, vpb_, vst_, vsb_):
+            def per_shot(stf1, g):
+                lam_t = (vpt_ ** 2 - 2 * vst_ ** 2) * rho
+                obs = st.propagate(cfg, lam_t, vst_ ** 2 * rho, rho, stf1, g)
+                return imaging.rtm_image(cfg, vpb_, vsb_, rho, stf1, g, obs,
+                                         channels=tuple(args.channels))
+
+            return jnp.sum(jax.vmap(per_shot)(stf, geoms), axis=0)
+
+        img = image_all(vpt, vpb, vst, vsb)
+        condition = "zero-lag (image_vel.cu)"
+
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    # acquisition mute: the raw adjoint image carries the usual near-source/
+    # receiver imprint; zero the shallow rows before diagnostics (standard
+    # migration practice)
+    muted = img.copy()
+    mute_to = cfg.npml + 2 + max(6, int(round(3000.0 / cfg.f0 / cfg.dz / 2)))
+    muted[:mute_to, :] = 0.0
+    zi, xi = cfg.grid.interior_slices()
+    prof = np.abs(muted[zi, xi]).mean(axis=1)
+    print(f"rtm ({args.physics}, {condition}): {survey.n_shots} shots, "
+          f"reflector at z={z_refl}, muted-image peak at "
+          f"z={int(prof.argmax())}")
+    out = args.out or "rtm_image.npz"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    np.savez(out, image=img, image_muted=muted,
+             image_compensated=np.asarray(
+                 imaging.illumination_compensate(jnp.asarray(img))),
+             vp_true=vp_t, vp_background=vp_bg, z_reflector=z_refl)
+    print(f"wrote {out}")
+
+
 def cmd_bench(args):
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -451,7 +550,27 @@ def cmd_bench(args):
     mod.main()
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache: cold compiles of the 1501-step scan
+    cost 30 s - 10 min, so repeat CLI invocations of the same workload should
+    start in seconds.  Effective on backends whose executables serialize
+    (CPU, local TPU); the axon remote relay instead caches server-side, where
+    this is a no-op.  SEP2023_TPU_COMPILE_CACHE=0 disables; a path
+    relocates."""
+    cache = os.environ.get("SEP2023_TPU_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/sep2023_tpu/xla"))
+    if cache and cache != "0":
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+        except Exception as e:  # pragma: no cover - best effort
+            print(f"compile cache disabled: {e}")
+
+
 def main(argv=None):
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="sep2023_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -527,6 +646,19 @@ def main(argv=None):
                    help="shots per gradient chunk per device (bounds "
                         "boundary-strip memory)")
     i.set_defaults(fn=cmd_invert)
+
+    r = sub.add_parser("rtm", parents=[common])
+    r.add_argument("--physics", default="acoustic",
+                   choices=("elastic", "acoustic"),
+                   help="acoustic = the reference's main.cu RTM path with "
+                        "the image_vel_time.cu condition; elastic = zero-lag "
+                        "Vp condition via the FWI gradient machinery")
+    r.add_argument("--channels", nargs="+", default=["pr", "vx", "vz"],
+                   help="elastic imaging channels")
+    r.add_argument("--out", default="",
+                   help="output .npz path (default rtm_image.npz)")
+    r.add_argument("--x64", action="store_true")
+    r.set_defaults(fn=cmd_rtm)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)

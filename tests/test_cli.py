@@ -148,3 +148,16 @@ def test_invert_multiscale_with_src_update(tmp_path, capsys):
     # stages that converge in 0 iterations skip the scipy callback, so the
     # history can be shorter than the stage count — but never empty
     assert len(_hist(e)) >= 1
+
+
+def test_rtm_driver_images_reflector(tmp_path):
+    """`rtm` (the standalone CLI's adjoint-imaging flow, main.cu:322+)
+    must localize a reflector the smooth background lacks."""
+    out = str(tmp_path / "img.npz")
+    cli.main(["rtm", "--nz", "40", "--nx", "56", "--nt", "350",
+              "--npml", "8", "--out", out])
+    with np.load(out) as z:
+        img, muted, z_refl = z["image"], z["image_muted"], int(z["z_reflector"])
+    assert np.isfinite(img).all() and np.abs(img).max() > 0
+    prof = np.abs(muted[8:-8, 8:-8]).mean(axis=1)
+    assert abs(int(prof.argmax()) - z_refl) <= 4, (prof.argmax(), z_refl)
