@@ -109,6 +109,7 @@ def cmd_forward(args):
                          np.float32)
             d[:, :3] = np.asarray(data3)
             sio.write_shots(args.data_dir, d)
+            _export_config(args.data_dir, cfg, survey)
             print(f"wrote {survey.n_shots} shots to {args.data_dir}")
         return
 
@@ -147,7 +148,19 @@ def cmd_forward(args):
           f"run {t_run:.3f}s, {cells / t_run / 1e9:.2f} GCell/s")
     if args.data_dir:
         sio.write_shots(args.data_dir, np.asarray(data))
+        _export_config(args.data_dir, cfg, survey)
         print(f"wrote {survey.n_shots} shots to {args.data_dir}")
+
+
+def _export_config(data_dir, cfg, survey):
+    """Reference-schema para_file.json + survey_file.json next to the Shot
+    binaries (fwi_utils.py:46-124's two-file side channel), so the data dir
+    is directly consumable by tooling built for the reference."""
+    from sep2023_tpu.config import sim_config_to_json
+    sj = os.path.join(data_dir, "survey_file.json")
+    survey.to_json(sj)
+    sim_config_to_json(cfg, os.path.join(data_dir, "para_file.json"),
+                       sj, data_dir_name=data_dir)
 
 
 def _resolve_mesh(args, n_shots):
@@ -252,6 +265,7 @@ def cmd_invert(args):
             fwd(lam_t_pad, mu_t_pad, rho_t_pad, stf, geoms))
     if args.generate_data:
         sio.write_shots(data_dir, np.asarray(obs))
+        _export_config(data_dir, cfg, survey)
         print(f"data written to {data_dir}; exiting (--generate_data)")
         return
 

@@ -90,6 +90,12 @@ def test_generate_data_roundtrip_and_resume(tmp_path):
     cli.main(["invert", *TINY, "--exp-name", e, "--data-dir", d,
               "--generate_data"])
     assert os.path.exists(os.path.join(d, "Shot_pr0.bin"))
+    # the reference's two-file config side channel is exported alongside
+    from sep2023_tpu.config import sim_config_from_json
+    cfg = sim_config_from_json(os.path.join(d, "para_file.json"))
+    assert (cfg.nt, cfg.npml) == (80, 8)
+    sv = Survey.from_json(os.path.join(d, "survey_file.json"))
+    assert sv.n_shots == 3
     cli.main(["invert", *TINY, "--exp-name", e, "--data-dir", d,
               "--n-devices", "1"])
     n0 = len(_hist(e))
