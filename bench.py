@@ -41,12 +41,30 @@ def _fence(out):
 
 
 def _time(fn, *args, repeats=3):
+    """Single-dispatch latency: one call, fenced (includes one host->device
+    round trip — ~30 ms on the axon relay)."""
     out = _fence(fn(*args))  # compile
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = _fence(fn(*args))
         best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def _time_pipelined(fn, *args, repeats=2, depth=5):
+    """Steady-state device throughput: `depth` consecutive dispatches, one
+    fence, divide.  This is how the production inversion loop runs (thousands
+    of back-to-back evaluations), so dispatch latency pipelines away; on the
+    axon relay the single-dispatch number is ~30 ms pessimistic."""
+    out = _fence(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(depth):
+            out = fn(*args)
+        _fence(out)
+        best = min(best, (time.perf_counter() - t0) / depth)
     return best, out
 
 
@@ -73,7 +91,8 @@ def main():
     pallas_fwd = lambda lam, mu, rho, s: pe.forward_pallas(
         cfg, rs, lam, mu, rho, s, survey.src_z + cfg.npml,
         survey.src_x + cfg.npml, survey.src_rxz)
-    t_pal, _ = _time(pallas_fwd, med.lam, med.mu, med.rho, stf)
+    t_pal1, _ = _time(pallas_fwd, med.lam, med.mu, med.rho, stf)
+    t_pal, _ = _time_pipelined(pallas_fwd, med.lam, med.mu, med.rho, stf)
     gcell_fwd = cells / t_pal / 1e9
 
     # gradient workload: misfit + (lam, mu, rho) gradients for all shots,
@@ -83,8 +102,9 @@ def main():
     # unchunked: all 19 shots' strips (~5 GB) fit HBM, no remat re-forward
     loss_p = parallel.make_pallas_misfit(cfg, survey, shot_chunk=0)
     grad_p = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
-    t_grad, _ = _time(grad_p, med.lam, med.mu, med.rho, stf,
-                      data.astype(jnp.float32), w.astype(jnp.float32))
+    t_grad, _ = _time_pipelined(grad_p, med.lam, med.mu, med.rho, stf,
+                                data.astype(jnp.float32),
+                                w.astype(jnp.float32))
     gcell_grad = cells / t_grad / 1e9
 
     # rock-physics-scale gradient (Main-004-FWI-Rock-Physics.py:28-33:
@@ -104,19 +124,21 @@ def main():
     obs_r = jnp.zeros((1, 4, survey_r.n_rec, cfg_r.nt), jnp.float32)
     w_r = jnp.ones((1,), jnp.float32)
     grad_r = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))
-    t_rock, _ = _time(grad_r, med_r.lam, med_r.mu, med_r.rho, stf_r,
-                      obs_r, w_r)
+    t_rock, _ = _time_pipelined(grad_r, med_r.lam, med_r.mu, med_r.rho,
+                                stf_r, obs_r, w_r, depth=3)
     cells_rock = cfg_r.nz * cfg_r.nx * (cfg_r.nt - 1)
     gcell_rock = cells_rock / t_rock / 1e9
 
     result = {
-        "metric": "2D elastic forward GCell-updates/s/chip "
-                  "(ref workload 165x265x1501x19, fused Pallas engine)",
+        "metric": "2D elastic forward GCell-updates/s/chip (ref workload "
+                  "165x265x1501x19, fused Pallas engine, steady-state)",
         "value": round(gcell_fwd, 3),
         "unit": "GCell/s",
         "vs_baseline": round(gcell_fwd / 1.0, 3),
         "extra": {
             "pallas_forward_s": round(t_pal, 4),
+            "pallas_forward_single_dispatch_s": round(t_pal1, 4),
+            "single_dispatch_GCell_per_s": round(cells / t_pal1 / 1e9, 3),
             "xla_forward_s": round(t_fwd, 4),
             "xla_forward_GCell_per_s": round(gcell_xla, 3),
             "gradient_s": round(t_grad, 4),

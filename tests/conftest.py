@@ -16,3 +16,9 @@ import jax  # noqa: E402
 # virtual 8-device CPU mesh, so override before the backend initializes.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compile cache: the suite's big scans recompile identically on
+# every run; repeat runs (CI, review) skip those compiles
+from sep2023_tpu.cli import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
