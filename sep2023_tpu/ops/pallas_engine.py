@@ -41,6 +41,7 @@ in the 2-cell halo that the update mask excludes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -131,6 +132,26 @@ def _dx_minus(f):
 
 def _dx_plus(f):
     return C1 * (_roll(f, -1, 1) - f) - C2 * (_roll(f, -2, 1) - _roll(f, 1, 1))
+
+
+# Explicit transposes of the four stencils (cyclic rolls transpose to rolls
+# by the negated shift): <g, D f> == <D^T g, f> exactly.  Used by the
+# phase-split backward kernel; dot-product-tested against jax.vjp of the
+# forward stencils in test_pallas_engine.
+def _dz_minus_t(g):
+    return C1 * (g - _roll(g, -1, 0)) - C2 * (_roll(g, 1, 0) - _roll(g, -2, 0))
+
+
+def _dz_plus_t(g):
+    return C1 * (_roll(g, 1, 0) - g) - C2 * (_roll(g, 2, 0) - _roll(g, -1, 0))
+
+
+def _dx_minus_t(g):
+    return C1 * (g - _roll(g, -1, 1)) - C2 * (_roll(g, 1, 1) - _roll(g, -2, 1))
+
+
+def _dx_plus_t(g):
+    return C1 * (_roll(g, 1, 1) - g) - C2 * (_roll(g, 2, 1) - _roll(g, -1, 1))
 
 
 def _shift_up_v(a):
@@ -399,11 +420,86 @@ def _record_rows(cfg: SimConfig, rs, recw, vz, vx, szz, sxx):
 # Pure one-step physics on VALUES (shared by forward and vjp-adjoint kernels)
 # ---------------------------------------------------------------------------
 
+def _stress_diffs(vz, vx):
+    """The four stencil differences the stress phase consumes (of the
+    time-t velocities)."""
+    return (_dz_minus(vz), _dx_minus(vx), _dz_plus(vx), _dx_plus(vz))
+
+
+def _velocity_diffs(szz, sxx, sxz):
+    """The four stencil differences the velocity phase consumes (of the
+    POST-stress-update stresses)."""
+    return (_dz_plus(szz), _dx_minus(sxz), _dz_minus(sxz), _dx_plus(sxx))
+
+
+def _stress_phase_values(cfg, prof, mask, src_hot, rxz, stresses, spsi,
+                         sdiffs, mats, amp):
+    """Stress half-step (el_stress.cu:50-87 + source) on precomputed stencil
+    differences — diffs-as-inputs so the backward kernel can reuse the
+    reconstruction's stencils and chain their transposes explicitly."""
+    (szz, sxx, sxz) = stresses
+    (p_vzdz, p_vxdx, p_vxdz, p_vzdx) = spsi
+    (lam, lp2m, avemu, _, _) = mats
+    (ikz, az, bz, ikzh, azh, bzh, ikx, ax, bx, ikxh, axh, bxh) = prof
+    (d_vzdzm, d_vxdxm, d_vxdzp, d_vzdxp) = sdiffs
+    dt = cfg.dt
+
+    p_vzdz = bz * p_vzdz + az * d_vzdzm
+    dvz = d_vzdzm * ikz + p_vzdz
+    p_vxdx = bx * p_vxdx + ax * d_vxdxm
+    dvx = d_vxdxm * ikx + p_vxdx
+
+    s_amp = cfg.src_scale * dt * amp
+    szz = szz + mask * ((lp2m * dvz + lam * dvx) * dt) + src_hot * s_amp
+    sxx = sxx + mask * ((lam * dvz + lp2m * dvx) * dt) + src_hot * (rxz * s_amp)
+
+    p_vxdz = bzh * p_vxdz + azh * d_vxdzp
+    dvxz = d_vxdzp * ikzh + p_vxdz
+    p_vzdx = bxh * p_vzdx + axh * d_vzdxp
+    dvzx = d_vzdxp * ikxh + p_vzdx
+    sxz = sxz + mask * (avemu * (dvxz + dvzx) * dt)
+    return (szz, sxx, sxz), (p_vzdz, p_vxdx, p_vxdz, p_vzdx)
+
+
+def _velocity_phase_values(cfg, rs, prof, mask, vels, stresses_new, vpsi,
+                           vdiffs, mats, recw):
+    """Velocity half-step (el_velocity.cu:45-82) + recording, on precomputed
+    stencil differences of the new stresses."""
+    (vz, vx) = vels
+    (szz, sxx) = stresses_new
+    (p_szzdz, p_sxzdx, p_sxzdz, p_sxxdx) = vpsi
+    (_, _, _, byca, bycb) = mats
+    (ikz, az, bz, ikzh, azh, bzh, ikx, ax, bx, ikxh, axh, bxh) = prof
+    (d_szzdzp, d_sxzdxm, d_sxzdzm, d_sxxdxp) = vdiffs
+    dt = cfg.dt
+
+    p_szzdz = bzh * p_szzdz + azh * d_szzdzp
+    dszz = d_szzdzp * ikzh + p_szzdz
+    p_sxzdx = bx * p_sxzdx + ax * d_sxzdxm
+    dsxzx = d_sxzdxm * ikx + p_sxzdx
+    vz = vz + mask * ((dszz + dsxzx) * byca * dt)
+
+    p_sxzdz = bz * p_sxzdz + az * d_sxzdzm
+    dsxzz = d_sxzdzm * ikz + p_sxzdz
+    p_sxxdx = bxh * p_sxxdx + axh * d_sxxdxp
+    dsxx = d_sxxdxp * ikxh + p_sxxdx
+    vx = vx + mask * ((dsxzz + dsxx) * bycb * dt)
+
+    recs = _record_rows(cfg, rs, recw, vz, vx, szz, sxx)
+    return (vz, vx), (p_szzdz, p_sxzdx, p_sxzdz, p_sxxdx), recs
+
+
 def _step_values(cfg: SimConfig, rs, prof, mask, src_hot, rxz,
                  fields, psi, mats, amp, recw):
     """One leapfrog step (el_stress.cu:50-87 + el_velocity.cu:45-82 + source
     + recording), as a pure function so `jax.vjp` of it yields the exact
-    one-step adjoint inside the backward kernel."""
+    one-step adjoint (the backward oracle path).
+
+    Kept MONOLITHIC and interleaved (one stencil diff live at a time): the
+    phase-split composition above, with all four diffs batched up front,
+    measured ~10% slower through Mosaic on the forward kernel.  The physics
+    must stay identical to _stress_phase_values/_velocity_phase_values —
+    guarded by test_phased_backward_matches_monolithic_vjp."""
     (vz, vx, szz, sxx, sxz) = fields
     (p_vzdz, p_vxdx, p_vxdz, p_vzdx, p_szzdz, p_sxzdx, p_sxzdz, p_sxxdx) = psi
     (lam, lp2m, avemu, byca, bycb) = mats
@@ -782,7 +878,7 @@ def _inject_strips_refs(field_refs, lr_buf, tb_buf, sp, cfg, which):
         ref[z1:z1 + L, :] = tb_buf[sp, c + L:c + 2 * L, :nx]
 
 
-def _bwd_kernel(cfg: SimConfig, rs, n_recw: int, compact: bool,
+def _bwd_kernel(cfg: SimConfig, rs, n_recw: int, compact: bool, phased: bool,
                 srcz_ref, srcx_ref, rxz_ref, stf_ref,
                 *args):
     n_mats = 3 if compact else 5
@@ -893,9 +989,14 @@ def _bwd_kernel(cfg: SimConfig, rs, n_recw: int, compact: bool,
         # reciprocal-spacing multiplies bitwise-match the forward's scaled
         # interior profiles (cpml.CpmlScaled), keeping reconstruction exact
         (vz, vx, szz, sxx, sxz) = tuple(s[:] for s in field_s)
+        szz_tp1, sxx_tp1 = szz, sxx
+        # velocity-phase diffs of the carried t+1 stresses — the exact
+        # values the forward's velocity update consumed (reused by the
+        # phase-split adjoint below)
+        vd = _velocity_diffs(szz, sxx, sxz)
         # velocity reverse (interior, no CPML; el_velocity.cu:84-98)
-        dvz = (_dz_plus(szz) * rdz + _dx_minus(sxz) * rdx)
-        dvx = (_dz_minus(sxz) * rdz + _dx_plus(sxx) * rdx)
+        dvz = (vd[0] * rdz + vd[1] * rdx)
+        dvx = (vd[2] * rdz + vd[3] * rdx)
         field_s[0][:] = vz - interior * (dvz * byca * dt)
         field_s[1][:] = vx - interior * (dvx * bycb * dt)
         _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg, which=(0, 1))
@@ -905,25 +1006,71 @@ def _bwd_kernel(cfg: SimConfig, rs, n_recw: int, compact: bool,
         s_amp = cfg.src_scale * dt * amp
         szz = szz - src_hot * s_amp
         sxx = sxx - src_hot * (rxz * s_amp)
+        # stress-phase diffs of the reconstructed t velocities
+        sd = _stress_diffs(vz, vx)
         # stress reverse (el_stress.cu:89-104)
-        dvz_dz = _dz_minus(vz) * rdz
-        dvx_dx = _dx_minus(vx) * rdx
+        dvz_dz = sd[0] * rdz
+        dvx_dx = sd[1] * rdx
         field_s[2][:] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
         field_s[3][:] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
-        dvx_dz = _dz_plus(vx) * rdz
-        dvz_dx = _dx_plus(vz) * rdx
+        dvx_dz = sd[2] * rdz
+        dvz_dx = sd[3] * rdx
         field_s[4][:] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
         _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg,
                             which=(2, 3, 4))
         fields_t = tuple(s[:] for s in field_s)
 
-        # ---- exact one-step adjoint via vjp of the step ---------------------
-        _, vjp_fn = jax.vjp(step_fn, fields_t, zero_psi, raw, amp)
         adj_f = tuple(s[:] for s in adj_f_s)
         adj_p = tuple(s[:] for s in adj_p_s)
         d_rec = tuple(drec_buf[c, pl.ds(pos, 1), :cfg.nx]
                       for c in range(NC))
-        d_fields, d_psi, d_mats, d_amp = vjp_fn((adj_f, adj_p, d_rec))
+
+        if not phased:
+            # ---- exact one-step adjoint via vjp of the monolithic step ----
+            _, vjp_fn = jax.vjp(step_fn, fields_t, zero_psi, raw, amp)
+            d_fields, d_psi, d_mats, d_amp = vjp_fn((adj_f, adj_p, d_rec))
+        else:
+            # ---- phase-split adjoint reusing the reconstruction stencils --
+            # Each half-step is still machine-transposed (jax.vjp); only the
+            # stencil hops between phases are wired explicitly via the
+            # closed-form transposes, which removes the duplicate primal
+            # derivative computation (24 rolls/step) the monolithic vjp pays.
+            m = _material_fields_values(*raw) if compact else raw
+            zero4 = zero_psi[:4]
+            vfun = lambda vels, stv, vpsi, vdiffs, mats_: (
+                _velocity_phase_values(cfg, rs, prof, mask, vels, stv,
+                                       vpsi, vdiffs, mats_, recw))
+            _, vvjp = jax.vjp(vfun, (fields_t[0], fields_t[1]),
+                              (szz_tp1, sxx_tp1), zero4, vd, m)
+            (d_vels, d_stv, d_vpsi_in, d_vdiffs, d_mats_v) = vvjp(
+                ((adj_f[0], adj_f[1]), adj_p[4:], d_rec))
+
+            # total cotangents of the post-stress-phase stresses: carried
+            # adjoint + recording + the velocity phase's stencil transposes
+            cot_szz = adj_f[2] + d_stv[0] + _dz_plus_t(d_vdiffs[0])
+            cot_sxx = adj_f[3] + d_stv[1] + _dx_plus_t(d_vdiffs[3])
+            cot_sxz = (adj_f[4] + _dx_minus_t(d_vdiffs[1])
+                       + _dz_minus_t(d_vdiffs[2]))
+
+            sfun = lambda stresses, spsi, sdiffs, mats_, a: (
+                _stress_phase_values(cfg, prof, mask, src_hot, rxz,
+                                     stresses, spsi, sdiffs, mats_, a))
+            _, svjp = jax.vjp(sfun, (fields_t[2], fields_t[3], fields_t[4]),
+                              zero4, sd, m, amp)
+            (d_st, d_spsi_in, d_sdiffs, d_mats_m, d_amp) = svjp(
+                ((cot_szz, cot_sxx, cot_sxz), adj_p[:4]))
+
+            cot_vz = d_vels[0] + _dz_minus_t(d_sdiffs[0]) + _dx_plus_t(
+                d_sdiffs[3])
+            cot_vx = d_vels[1] + _dx_minus_t(d_sdiffs[1]) + _dz_plus_t(
+                d_sdiffs[2])
+            d_fields = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
+            d_psi = (*d_spsi_in, *d_vpsi_in)
+            d_mats = tuple(a + b for a, b in zip(d_mats_m, d_mats_v))
+            if compact:
+                _, m_vjp = jax.vjp(_material_fields_values, *raw)
+                d_mats = m_vjp(d_mats)
+
         for s, v in zip(adj_f_s, d_fields):
             s[:] = v
         for s, v in zip(adj_p_s, d_psi):
@@ -988,7 +1135,10 @@ def _run_backward(cfg: SimConfig, rs, lam, mu, rho, stf,
         jax.ShapeDtypeStruct((n_gout, cfg.nz, cfg.nx), f32),    # gradients
         jax.ShapeDtypeStruct((S, nt_pad), f32),                 # d_stf
     ]
-    kernel = functools.partial(_bwd_kernel, cfg, rs, n_recw, compact)
+    # SEP2023_TPU_BWD=vjp re-enables the monolithic step-vjp adjoint (the
+    # oracle the phase-split path is equality-tested against)
+    phased = os.environ.get("SEP2023_TPU_BWD", "phased") != "vjp"
+    kernel = functools.partial(_bwd_kernel, cfg, rs, n_recw, compact, phased)
     interp = _interpret()
     gmat, d_stf = pl.pallas_call(
         kernel,

@@ -345,3 +345,67 @@ def test_compact_backward_matches_full(monkeypatch):
             a, b = a[sl], b[sl]
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
         assert rel < 5e-5, (name, rel)
+
+
+def test_stencil_transposes_are_exact(monkeypatch):
+    """<g, D f> == <D^T g, f> for the four stencils and their closed-form
+    transposes (the phase-split backward's manual hops).  pltpu.roll has no
+    out-of-kernel CPU lowering; jnp.roll is semantically identical."""
+    monkeypatch.setattr(pe, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
+    key = jax.random.PRNGKey(0)
+    f = jax.random.normal(key, (24, 40))
+    g = jax.random.normal(jax.random.PRNGKey(1), (24, 40))
+    pairs = [(pe._dz_minus, pe._dz_minus_t), (pe._dz_plus, pe._dz_plus_t),
+             (pe._dx_minus, pe._dx_minus_t), (pe._dx_plus, pe._dx_plus_t)]
+    for D, Dt in pairs:
+        lhs = float(jnp.vdot(g, D(f)))
+        rhs = float(jnp.vdot(Dt(g), f))
+        assert abs(lhs - rhs) < 1e-10 * (abs(lhs) + 1e-30), (D.__name__,)
+        # and the closed form equals jax.vjp of the forward stencil
+        via_vjp = jax.vjp(D, f)[1](g)[0]
+        np.testing.assert_allclose(np.asarray(Dt(g)), np.asarray(via_vjp),
+                                   rtol=1e-12)
+
+
+def test_phased_backward_matches_monolithic_vjp(monkeypatch):
+    """The phase-split adjoint (reusing the reconstruction's stencil diffs,
+    manual transpose hops) must reproduce the monolithic step-vjp oracle.
+    lam/mu/stf agree to f32 rounding; rho's buoyancy products consume the
+    velocity-phase diffs, where the phased path uses the CARRIED t+1
+    stresses (exact) while the monolithic vjp recomputes them from the
+    reconstructed state (PML-invalid) — so rho is compared on the eroded
+    interior where both reconstructions are exact."""
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=120, dt=0.002, f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([6]), src_x=np.array([24]),
+                    rec_z=np.full(20, 32), rec_x=np.arange(16, 36))
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (1, cfg.nt))
+    rs = pe.check_row_survey(survey.rec_z + npml, survey.rec_x + npml)
+    sz = jnp.asarray(survey.src_z + npml)
+    sx = jnp.asarray(survey.src_x + npml)
+    rz = jnp.asarray(survey.src_rxz, jnp.float32)
+    obs = pe.propagate_pallas(cfg, rs, lam * 1.02, mu, rho, stf, sz, sx, rz)
+
+    def loss(lam_, mu_, rho_, stf_):
+        syn = pe.propagate_pallas(cfg, rs, lam_, mu_, rho_, stf_, sz, sx, rz)
+        r = obs - syn
+        return 0.5 * jnp.sum(r * r)
+
+    grads = {}
+    for impl in ("phased", "vjp"):
+        monkeypatch.setenv("SEP2023_TPU_BWD", impl)
+        grads[impl] = [np.asarray(g) for g in
+                       jax.grad(loss, argnums=(0, 1, 2, 3))(lam, mu, rho,
+                                                            stf)]
+    sl = (slice(npml + 2, cfg.nz - npml - 2),
+          slice(npml + 2, cfg.nx - npml - 2))
+    for i, name in enumerate(("d_lam", "d_mu", "d_rho", "d_stf")):
+        a, b = grads["phased"][i], grads["vjp"][i]
+        if a.ndim == 2 and a.shape == cfg.grid.shape:
+            a, b = a[sl], b[sl]
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+        assert rel < 2e-5, (name, rel)
