@@ -175,23 +175,30 @@ def _resolve_mesh(args, n_shots):
 
 def build_stage_loss(cfg, survey, geoms, *, use_pallas, mesh, shot_chunk,
                      channels, objective="l2", filter_corners=None,
-                     per_trace=False):
+                     per_trace=False, dynamic_bandpass=False):
     """One loss builder for every (engine x sharding x misfit x conditioning)
     combination — the per-stage closures of the multiscale loop all route
     through here (a regression in one path breaks all stages, loudly).
 
     Returns data_loss(lam, mu, rho, stf, obs, weights, *trace_aux).
+
+    dynamic_bandpass: the band-pass response arrives as a per-shot
+    (S, nfreq) trace_aux ARRAY instead of static filter_corners, so all
+    multiscale stages share one compiled executable (the rows are identical
+    copies; broadcasting over the shot axis keeps every loss builder's
+    vmap/shard_map plumbing unchanged).
     """
     from sep2023_tpu.ops import misfit as mfops
 
-    if per_trace or objective != "l2" or filter_corners is not None:
+    if (per_trace or objective != "l2" or filter_corners is not None
+            or dynamic_bandpass):
         fn = mfops.make_preprocessed_l2(
             channels=tuple(channels), dt=cfg.dt,
             filter_corners=filter_corners, per_trace=per_trace,
-            objective=objective)
+            objective=objective, dynamic_bandpass=dynamic_bandpass)
     else:
         fn = None
-    n_aux = 3 if per_trace else 0
+    n_aux = (3 if per_trace else 0) + (1 if dynamic_bandpass else 0)
 
     if use_pallas:
         if mesh is not None:
@@ -220,6 +227,27 @@ def cmd_invert(args):
     dtype = jnp.float64 if args.x64 else jnp.float32
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if args.para_json:
+        # run straight off a reference-schema para_file.json
+        # (Parameter.cpp:17-178): grid/time/PML settings, plus its
+        # survey_fname and data_dir_name unless overridden on the CLI
+        import json as _json
+
+        from sep2023_tpu.config import sim_config_from_json
+        pcfg = sim_config_from_json(args.para_json)
+        with open(args.para_json) as fp:
+            pd = _json.load(fp)
+        args.nz = pcfg.nz - 2 * pcfg.npml
+        args.nx = pcfg.nx - 2 * pcfg.npml
+        args.dz, args.dx = pcfg.dz, pcfg.dx
+        args.nt, args.dt, args.f0 = pcfg.nt, pcfg.dt, pcfg.f0
+        args.npml = pcfg.npml
+        if not args.survey_json and pd.get("survey_fname"):
+            args.survey_json = pd["survey_fname"]
+        if not args.data_dir and pd.get("data_dir_name"):
+            args.data_dir = pd["data_dir_name"]
+        print(f"para loaded from {args.para_json}: grid {pcfg.nz}x{pcfg.nx} "
+              f"(padded), nt={pcfg.nt}, dt={pcfg.dt}, npml={pcfg.npml}")
     cfg, survey, geoms, stf = benchmark_problem(
         nz=args.nz, nx=args.nx, dz=args.dz, dx=args.dx, nt=args.nt,
         dt=args.dt, f0=args.f0, npml=args.npml, dtype=dtype,
@@ -323,25 +351,26 @@ def cmd_invert(args):
         use_pallas = False
     print(f"engine: {'fused Pallas' if use_pallas else 'XLA'}")
 
-    def make_data_loss(corners):
+    def make_data_loss(corners, dynamic=False):
         return build_stage_loss(
             cfg, survey, geoms, use_pallas=use_pallas, mesh=mesh,
             shot_chunk=args.shot_chunk, channels=args.channels,
             objective=args.misfit, filter_corners=corners,
-            per_trace=per_trace)
+            per_trace=per_trace, dynamic_bandpass=dynamic)
 
     # observed data and wavelets are threaded as ARGUMENTS (aux), not
     # closures: closed-over device arrays become compiled-in constants
     # (duplicated in HBM; at the rock-physics scale the ~600 MB constant
     # also exceeded the remote compiler's request limit)
     def make_param_loss(data_loss):
-        def loss(params, stf_, obs_):
+        def loss(params, stf_, obs_, *bp_aux):
             stf_used = params["stf"] if "stf" in params else stf_
             full = dict(init_params)
             full.update({k: v for k, v in params.items() if k != "stf"})
             lam, mu, rho = head.apply(
                 {k: jnp.asarray(v, dtype) for k, v in full.items()})
-            return data_loss(lam, mu, rho, stf_used, obs_, w, *trace_aux)
+            return data_loss(lam, mu, rho, stf_used, obs_, w, *trace_aux,
+                             *bp_aux)
         return loss
 
     start_params = {k: init_params[k] for k in invert_names}
@@ -375,6 +404,19 @@ def cmd_invert(args):
         return (jnp.asarray(start_params["stf"], dtype)
                 if "stf" in start_params else stf)
 
+    # multiscale: ONE loss with the band-pass response as a runtime array
+    # (per-shot broadcast), jitted once — stages reuse the same executable
+    # instead of paying a cold TPU compile each (30 s - 10 min per stage)
+    if args.multiscale:
+        from sep2023_tpu.ops import signal as sg
+        shared_loss = make_param_loss(make_data_loss(None, dynamic=True))
+        shared_vg = jax.jit(jax.value_and_grad(shared_loss))
+
+        def stage_bp_aux(corners):
+            H = np.asarray(sg.bandpass_amplitude(cfg.nt, cfg.dt, *corners))
+            return (jnp.asarray(np.broadcast_to(
+                H, (survey.n_shots, H.shape[0])), dtype),)
+
     for istage, corners in enumerate(stages):
         if args.src_update and not args.invert_stf:
             # in-loop spectral (Wiener) source re-estimation from the
@@ -397,7 +439,12 @@ def cmd_invert(args):
             print(f"stage {istage + 1}: source wavelets re-estimated "
                   "(Wiener spectral correction)")
 
-        stage_loss = make_param_loss(make_data_loss(corners))
+        if args.multiscale:
+            stage_loss, stage_vg = shared_loss, shared_vg
+            bp_aux = stage_bp_aux(corners)
+        else:
+            stage_loss = make_param_loss(make_data_loss(corners))
+            stage_vg, bp_aux = None, ()
         if corners is not None:
             print(f"multiscale stage {istage + 1}/{len(stages)}: "
                   f"band {corners}")
@@ -409,7 +456,7 @@ def cmd_invert(args):
                   f"head={args.head}")
             params_out, hist = optimize.lbfgs_on_device(
                 stage_loss, start_params, iters_per_stage,
-                bounds=stage_bounds, aux=(stf, obs))
+                bounds=stage_bounds, aux=(stf, obs, *bp_aux))
             rdir = os.path.join(args.exp_name, "Results")
             os.makedirs(rdir, exist_ok=True)
             with open(os.path.join(rdir, "loss.txt"), "a") as fp:
@@ -423,7 +470,8 @@ def cmd_invert(args):
         else:
             obj = optimize.ScipyObjective(stage_loss, start_params,
                                           bounds=stage_bounds,
-                                          aux=(stf, obs))
+                                          aux=(stf, obs, *bp_aux),
+                                          value_and_grad_fn=stage_vg)
             logger = optimize.InversionLogger(
                 os.path.join(args.exp_name, "Results"), obj,
                 start_iter=iter_offset, save_mat=args.save_mat)
@@ -632,6 +680,10 @@ def main(argv=None):
     i.add_argument("--invert-stf", action="store_true",
                    help="joint source-model inversion: optimize the source "
                         "wavelets via their adjoint gradient")
+    i.add_argument("--para-json", default="",
+                   help="run from a reference-schema para_file.json "
+                        "(grid/time/PML settings + survey_fname + "
+                        "data_dir_name, Parameter.cpp:17-178)")
     i.add_argument("--survey-json", default="",
                    help="load acquisition (incl. per-trace win/weights) "
                         "from a reference-schema survey_file.json")

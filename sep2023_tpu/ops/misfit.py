@@ -37,7 +37,7 @@ def l2_misfit(obs, syn, channels: Sequence[str] = ("ett",), weights=None):
 
 def make_preprocessed_l2(channels=("ett",), dt=None, filter_corners=None,
                          window=None, win_ratio=0.005, per_trace=False,
-                         objective="l2"):
+                         objective="l2", dynamic_bandpass=False):
     """Misfit with the reference's optional data preconditioning chain
     applied identically to observed and synthetic data: taper window
     (`cuda_window`, utilities.cu:790-884; para flag if_win) and trapezoid
@@ -57,10 +57,16 @@ def make_preprocessed_l2(channels=("ett",), dt=None, filter_corners=None,
 
     objective: 'l2' (default) or 'xcorr' (normalized cross-correlation,
     the if_cross_misfit capability, utilities.cu:1011-1113).
+
+    dynamic_bandpass=True appends a trailing `bph` argument — the (nfreq,)
+    band-pass amplitude response as a runtime ARRAY
+    (signal.bandpass_amplitude) instead of the static `filter_corners`
+    closure.  Multiscale stages then share ONE compiled executable, differing
+    only in the bph value (30 s - 10 min cold TPU compile per stage saved).
     """
     from sep2023_tpu.ops import signal as sg
 
-    def condition(obs, syn, win=None, tw=None):
+    def condition(obs, syn, win=None, tw=None, bph=None):
         nt = obs.shape[-1]
         if win is not None:
             w = sg.taper_window(nt, dt, win[0], win[1], ratio=win_ratio,
@@ -70,6 +76,9 @@ def make_preprocessed_l2(channels=("ett",), dt=None, filter_corners=None,
         if filter_corners is not None:
             obs = sg.bandpass(obs, dt, filter_corners)
             syn = sg.bandpass(syn, dt, filter_corners)
+        if bph is not None:
+            obs = sg.apply_bandpass_amplitude(obs, bph)
+            syn = sg.apply_bandpass_amplitude(syn, bph)
         if tw is not None:
             obs = obs * tw[:, None]
             syn = syn * tw[:, None]
@@ -78,10 +87,19 @@ def make_preprocessed_l2(channels=("ett",), dt=None, filter_corners=None,
     final = (l2_misfit if objective == "l2"
              else normalized_crosscorr_misfit)
 
-    if per_trace:
+    if per_trace and dynamic_bandpass:
+        def loss(obs, syn, win_start, win_end, trace_weights, bph):
+            obs, syn = condition(obs, syn, win=(win_start, win_end),
+                                 tw=trace_weights, bph=bph)
+            return final(obs, syn, channels=channels)
+    elif per_trace:
         def loss(obs, syn, win_start, win_end, trace_weights):
             obs, syn = condition(obs, syn, win=(win_start, win_end),
                                  tw=trace_weights)
+            return final(obs, syn, channels=channels)
+    elif dynamic_bandpass:
+        def loss(obs, syn, bph):
+            obs, syn = condition(obs, syn, win=window, bph=bph)
             return final(obs, syn, channels=channels)
     else:
         def loss(obs, syn):

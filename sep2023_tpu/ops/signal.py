@@ -37,6 +37,16 @@ def bandpass(data, dt: float, corners):
     return jnp.fft.irfft(jnp.fft.rfft(data, axis=-1) * H, n=nt, axis=-1)
 
 
+def apply_bandpass_amplitude(data, H):
+    """Apply a precomputed zero-phase amplitude response H (nfreq,) along the
+    last axis.  Passing H as a runtime ARRAY (rather than baking corner
+    frequencies into the trace) lets every multiscale stage share one
+    compiled executable — stages differ only in the H value."""
+    nt = data.shape[-1]
+    return jnp.fft.irfft(jnp.fft.rfft(data, axis=-1) * H.astype(data.dtype),
+                         n=nt, axis=-1)
+
+
 def taper_window(nt: int, dt: float, win_start=None, win_end=None,
                  ratio: float = 0.005, dtype=jnp.float32):
     """Per-sample taper: 1 inside [win_start, win_end] (in samples) with

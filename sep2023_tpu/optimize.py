@@ -28,11 +28,16 @@ class ScipyObjective:
     def __init__(self, loss_fn: Callable[..., jnp.ndarray],
                  params0: Dict[str, np.ndarray],
                  bounds: Optional[Dict[str, tuple]] = None,
-                 jit: bool = True, aux: tuple = ()):
+                 jit: bool = True, aux: tuple = (),
+                 value_and_grad_fn: Optional[Callable] = None):
         """loss_fn(params, *aux) -> scalar.  Pass large fixed arrays (observed
         data, wavelets) through `aux`, NOT via closure: closed-over device
         arrays are baked into the compiled program as constants (duplicated
-        in HBM and shipped with every remote compile)."""
+        in HBM and shipped with every remote compile).
+
+        value_and_grad_fn: a prebuilt (jitted) value_and_grad(loss_fn) to
+        reuse across objective instances — the multiscale stage loop passes
+        one so all stages share a single compiled executable."""
         self.names = list(params0)
         self.shapes = {n: np.asarray(params0[n]).shape for n in self.names}
         self.sizes = {n: int(np.prod(self.shapes[n])) for n in self.names}
@@ -41,8 +46,11 @@ class ScipyObjective:
              for n in self.names])
         self._dtype = jnp.asarray(params0[self.names[0]]).dtype
         self._aux = tuple(aux)
-        vg = jax.value_and_grad(loss_fn)
-        self._vg = jax.jit(vg) if jit else vg
+        if value_and_grad_fn is not None:
+            self._vg = value_and_grad_fn
+        else:
+            vg = jax.value_and_grad(loss_fn)
+            self._vg = jax.jit(vg) if jit else vg
         self.bounds = self.pack_bounds(bounds) if bounds else None
         self._cached_x = None
         self.f = None

@@ -96,6 +96,13 @@ def test_generate_data_roundtrip_and_resume(tmp_path):
     assert (cfg.nt, cfg.npml) == (80, 8)
     sv = Survey.from_json(os.path.join(d, "survey_file.json"))
     assert sv.n_shots == 3
+    # full reference workflow: run the inversion STRAIGHT off the exported
+    # para_file.json (grid/survey/data_dir all come from the JSON pair)
+    e2 = str(tmp_path / "fromjson")
+    cli.main(["invert", "--para-json", os.path.join(d, "para_file.json"),
+              "--niter", "2", "--x64", "--exp-name", e2, "--n-devices", "1"])
+    h2 = _hist(e2)
+    assert h2[-1] < h2[0]
     cli.main(["invert", *TINY, "--exp-name", e, "--data-dir", d,
               "--n-devices", "1"])
     n0 = len(_hist(e))

@@ -105,3 +105,30 @@ def test_compute_rxz():
     rxz = survey_tools.compute_rxz(vp, vs, [10, 20], [30, 40])
     # vp^2/(vp^2-2vs^2) with vs=vp/sqrt(3) -> 3.0
     assert np.allclose(rxz, 3.0, rtol=1e-6)
+
+
+def test_dynamic_bandpass_matches_static():
+    """make_preprocessed_l2(dynamic_bandpass=True) fed the precomputed
+    amplitude response must equal the static filter_corners build — the
+    invariant that lets multiscale stages share one compiled executable."""
+    import jax
+    import jax.numpy as jnp
+
+    from sep2023_tpu.ops import misfit as mf
+    from sep2023_tpu.ops import signal as sg
+
+    nt, dt = 120, 0.002
+    corners = (0.0, 1e-4, 2.0, 4.5)
+    key = jax.random.PRNGKey(3)
+    obs = jax.random.normal(key, (4, 9, nt))
+    syn = jax.random.normal(jax.random.PRNGKey(4), (4, 9, nt))
+
+    static = mf.make_preprocessed_l2(dt=dt, filter_corners=corners)
+    dynamic = mf.make_preprocessed_l2(dt=dt, dynamic_bandpass=True)
+    H = sg.bandpass_amplitude(nt, dt, *corners)
+    a = float(static(obs, syn))
+    b = float(dynamic(obs, syn, H))
+    assert abs(a - b) < 1e-9 * abs(a)
+    ga = jax.grad(lambda s: static(obs, s))(syn)
+    gb = jax.grad(lambda s: dynamic(obs, s, H))(syn)
+    assert float(jnp.abs(ga - gb).max()) < 1e-12 * float(jnp.abs(ga).max())
