@@ -1246,8 +1246,14 @@ def _ac_step_values(cfg: SimConfig, rs, prof, mask, src_hot, fields, psi,
     return (p, vz, vx), (p_vzdz, p_vxdx, p_pdz, p_pdx), recs
 
 
-def _ac_fwd_body(cfg, rs, srcz_ref, srcx_ref, stf_ref, mat_refs, prof_refs,
-                 recw_refs, data_out_ref, field_s, psi_s, rec_buf, rec_sem):
+AC_N_FIELDS = 3      # p, vz, vx
+AC_TB_ROWS = 32      # 3 fields * 10 strip rows, padded to a sublane multiple
+
+
+def _ac_fwd_body(cfg, rs, save_strips, srcz_ref, srcx_ref, stf_ref,
+                 mat_refs, prof_refs, recw_refs, data_out_ref,
+                 lr_out_ref, tb_out_ref, ffin_out_ref,
+                 field_s, psi_s, rec_buf, rec_sem, lr_buf, tb_buf, strip_sem):
     i = pl.program_id(0)
     src_z = srcz_ref[i]
     src_x = srcx_ref[i]
@@ -1256,12 +1262,42 @@ def _ac_fwd_body(cfg, rs, srcz_ref, srcx_ref, stf_ref, mat_refs, prof_refs,
     prof = _read_consts(prof_refs)
     recw = _read_recw(recw_refs)
     NC = 4 * _n_layers(rs)
+    z0, z1, x0, x1 = _strip_bounds(cfg)
+    L = STRIP_L
+    SC = _strip_chunk(cfg)
 
     for s in (*field_s, *psi_s, rec_buf):
         s[:] = jnp.zeros_like(s)
 
     def body(it, _):
         fields = tuple(s[:] for s in field_s)
+
+        if save_strips:
+            # pre-update boundary strips of the 3 acoustic fields, same
+            # staging layout as the elastic kernel (10 lanes / 10 rows per
+            # field slot)
+            sp = it % SC
+            sk = it // SC
+            for f_idx, fld in enumerate(fields):
+                c = f_idx * 2 * L
+                lr_buf[sp, :cfg.nz, c:c + L] = fld[:, x0:x0 + L]
+                lr_buf[sp, :cfg.nz, c + L:c + 2 * L] = fld[:, x1:x1 + L]
+                tb_buf[sp, c:c + L, :cfg.nx] = fld[z0:z0 + L, :]
+                tb_buf[sp, c + L:c + 2 * L, :cfg.nx] = fld[z1:z1 + L, :]
+
+            @pl.when((sp == SC - 1) | (it == cfg.nt - 2))
+            def _flush_strips():
+                cp1 = pltpu.make_async_copy(
+                    lr_buf, lr_out_ref.at[i, pl.ds(sk * SC, SC)],
+                    strip_sem.at[0])
+                cp2 = pltpu.make_async_copy(
+                    tb_buf, tb_out_ref.at[i, pl.ds(sk * SC, SC)],
+                    strip_sem.at[1])
+                cp1.start()
+                cp2.start()
+                cp1.wait()
+                cp2.wait()
+
         psi = tuple(s[:] for s in psi_s)
         amp = stf_ref[i, it]
         new_fields, new_psi, recs = _ac_step_values(
@@ -1290,27 +1326,67 @@ def _ac_fwd_body(cfg, rs, srcz_ref, srcx_ref, stf_ref, mat_refs, prof_refs,
 
     jax.lax.fori_loop(0, cfg.nt - 1, body, 0)
 
+    if save_strips:
+        def _store_ffin(stage, sem):
+            for f_idx, s in enumerate(field_s):
+                stage[:] = jnp.zeros_like(stage)
+                stage[:cfg.nz, :cfg.nx] = s[:]
+                cp = pltpu.make_async_copy(stage, ffin_out_ref.at[i, f_idx],
+                                           sem)
+                cp.start()
+                cp.wait()
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def forward_pallas_acoustic(cfg: SimConfig, rs, lam, rho, stf,
-                            src_z, src_x):
-    """Fused acoustic forward: data (S, 3, n_rec, nt) float32, channels
-    (pr, vx, vz) — acoustic.AC_CHANNELS.  lam = rho * vp^2.  Same
-    row/fiber acquisition plans as the elastic kernel."""
+        pl.run_scoped(
+            _store_ffin,
+            pltpu.VMEM((_pad8(cfg.nz), _pad128(cfg.nx)), jnp.float32),
+            pltpu.SemaphoreType.DMA(()))
+
+
+def _ac_mats(lam, rho):
     from sep2023_tpu.medium import _shift_left, _shift_up
 
-    S = stf.shape[0]
     f32 = jnp.float32
     lam = lam.astype(f32)
     rho = rho.astype(f32)
-    byc_a = 2.0 / (_shift_up(rho) + rho)
-    byc_b = 2.0 / (_shift_left(rho) + rho)
+    return (lam, 2.0 / (_shift_up(rho) + rho),
+            2.0 / (_shift_left(rho) + rho))
+
+
+def _ac_run_forward(cfg: SimConfig, rs, lam, rho, stf, src_z, src_x,
+                    save_strips: bool):
+    S = stf.shape[0]
+    f32 = jnp.float32
+    mats = _ac_mats(lam, rho)
     prof = _profiles(cfg)
     recw_in = _recw_inputs(cfg, rs)
     n_recw = len(recw_in)
     nt_pad = _nt_pad(cfg)
     R_pad = _pad128(cfg.nx)
     NC = 4 * _n_layers(rs)
+
+    out_shape = [jax.ShapeDtypeStruct((S, NC, nt_pad, R_pad), f32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if save_strips:
+        sc = _strip_chunk(cfg)
+        nt_sc = -(-(cfg.nt - 1) // sc) * sc
+        out_shape += [
+            jax.ShapeDtypeStruct((S, nt_sc, _pad8(cfg.nz), LANE), f32),
+            jax.ShapeDtypeStruct((S, nt_sc, AC_TB_ROWS, _pad128(cfg.nx)),
+                                 f32),
+            jax.ShapeDtypeStruct((S, AC_N_FIELDS, _pad8(cfg.nz),
+                                  _pad128(cfg.nx)), f32),
+        ]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+
+    scratch = ([pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 7
+               + [pltpu.VMEM((NC, REC_CHUNK, R_pad), f32),
+                  pltpu.SemaphoreType.DMA(())])
+    if save_strips:
+        scratch += [
+            pltpu.VMEM((_strip_chunk(cfg), _pad8(cfg.nz), LANE), f32),
+            pltpu.VMEM((_strip_chunk(cfg), AC_TB_ROWS, _pad128(cfg.nx)),
+                       f32),
+            pltpu.SemaphoreType.DMA((2,))]
 
     def kernel(*args):
         srcz, srcx, stf_r = args[:3]
@@ -1319,37 +1395,293 @@ def forward_pallas_acoustic(cfg: SimConfig, rs, lam, rho, stf,
         recw_refs = args[18:18 + n_recw]
         pos = 18 + n_recw
         data_out = args[pos]
-        field_s = args[pos + 1:pos + 4]
-        psi_s = args[pos + 4:pos + 8]
-        rec_buf, rec_sem = args[pos + 8:pos + 10]
-        _ac_fwd_body(cfg, rs, srcz, srcx, stf_r, mat_refs, prof_refs,
-                     recw_refs, data_out, field_s, psi_s, rec_buf, rec_sem)
+        pos += 1
+        if save_strips:
+            lr_out, tb_out, ffin = args[pos:pos + 3]
+            pos += 3
+        else:
+            lr_out = tb_out = ffin = None
+        field_s = args[pos:pos + 3]
+        psi_s = args[pos + 3:pos + 7]
+        rec_buf, rec_sem = args[pos + 7:pos + 9]
+        if save_strips:
+            lr_buf, tb_buf, strip_sem = args[pos + 9:pos + 12]
+        else:
+            lr_buf = tb_buf = strip_sem = None
+        _ac_fwd_body(cfg, rs, save_strips, srcz, srcx, stf_r, mat_refs,
+                     prof_refs, recw_refs, data_out, lr_out, tb_out, ffin,
+                     field_s, psi_s, rec_buf, rec_sem, lr_buf, tb_buf,
+                     strip_sem)
 
-    kernel.__name__ = f"acoustic_fwd_kernel_k{_n_layers(rs)}"
+    kernel.__name__ = (f"acoustic_fwd_kernel_save{int(save_strips)}"
+                       f"_k{_n_layers(rs)}")
     kernel.__qualname__ = kernel.__name__
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (15 + n_recw),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        scratch_shapes=([pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 7
-                        + [pltpu.VMEM((NC, REC_CHUNK, R_pad), f32),
-                           pltpu.SemaphoreType.DMA(())]),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     interp = _interpret()
-    (out,) = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((S, NC, nt_pad, R_pad), f32)],
+        out_shape=out_shape,
         interpret=interp,
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_vmem_limit(cfg)),
     )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
-      stf.astype(f32), lam, byc_a, byc_b, *prof, *recw_in)
+      stf.astype(f32), *mats, *prof, *recw_in)
 
-    return _extract_data(cfg, rs, out)[:, :3]
+    data = _extract_data(cfg, rs, out[0])[:, :3]
+    if save_strips:
+        return data, out[1], out[2], out[3]
+    return data
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def forward_pallas_acoustic(cfg: SimConfig, rs, lam, rho, stf,
+                            src_z, src_x):
+    """Fused acoustic forward: data (S, 3, n_rec, nt) float32, channels
+    (pr, vx, vz) — acoustic.AC_CHANNELS.  lam = rho * vp^2.  Same
+    row/fiber acquisition plans as the elastic kernel."""
+    return _ac_run_forward(cfg, rs, lam, rho, stf, src_z, src_x,
+                           save_strips=False)
+
+
+def _ac_bwd_kernel(cfg: SimConfig, rs, n_recw: int,
+                   srcz_ref, srcx_ref, stf_ref, *args):
+    mat_refs = args[0:3]
+    prof_refs = args[3:15]
+    recw_refs = args[15:15 + n_recw]
+    p = 15 + n_recw
+    ffin_ref = args[p]
+    lr_in = args[p + 1]
+    tb_in = args[p + 2]
+    ddata_in = args[p + 3]
+    gmat_out = args[p + 4]
+    dstf_out = args[p + 5]
+    field_s = args[p + 6:p + 9]
+    adj_f_s = args[p + 9:p + 12]
+    adj_p_s = args[p + 12:p + 16]
+    lr_buf, tb_buf, drec_buf = args[p + 16:p + 19]
+    sems = args[p + 19]
+
+    i = pl.program_id(0)
+    src_z = srcz_ref[i]
+    src_x = srcx_ref[i]
+    mask, src_hot, _ = _masks(cfg, src_z, src_x)
+    # the acoustic reconstruction region is TIGHTER than the elastic one
+    # ([npml+2, n-3-npml], acoustic._consts mask_i): the pressure-first
+    # staggering needs two extra halo layers inside the strips
+    zi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 1)
+    interior = ((zi >= cfg.npml + 2) & (zi <= cfg.nz - 3 - cfg.npml)
+                & (xi >= cfg.npml + 2)
+                & (xi <= cfg.nx - 3 - cfg.npml)).astype(jnp.float32)
+    mats = _read_consts(mat_refs)
+    (lam, byca, bycb) = mats
+    prof = _read_consts(prof_refs)
+    recw = _read_recw(recw_refs)
+    dt = cfg.dt
+    rdz, rdx = 1.0 / cfg.dz, 1.0 / cfg.dx
+    NC = 4 * _n_layers(rs)
+    SC = _strip_chunk(cfg)
+    DC = _drec_chunk(cfg)
+
+    @pl.when(i == 0)
+    def _init_gmat():
+        gmat_out[:] = jnp.zeros_like(gmat_out)
+
+    def _load_ffin(stage, sem):
+        for f_idx, s in enumerate(field_s):
+            cp = pltpu.make_async_copy(ffin_ref.at[i, f_idx], stage, sem)
+            cp.start()
+            cp.wait()
+            s[:] = stage[:cfg.nz, :cfg.nx]
+
+    pl.run_scoped(
+        _load_ffin,
+        pltpu.VMEM((_pad8(cfg.nz), _pad128(cfg.nx)), jnp.float32),
+        pltpu.SemaphoreType.DMA(()))
+    for s in (*adj_f_s, *adj_p_s):
+        s[:] = jnp.zeros_like(s)
+
+    zero_psi = tuple(jnp.zeros((cfg.nz, cfg.nx), jnp.float32)
+                     for _ in range(4))
+
+    def step_fn(fields, psi, mats_, amp):
+        return _ac_step_values(cfg, rs, prof, mask, src_hot, fields, psi,
+                               mats_, amp, recw)
+
+    def body(idx, _):
+        it = cfg.nt - 2 - idx
+        r = it + 1
+        k = r // DC
+        pos = r % DC
+
+        @pl.when((pos == DC - 1) | (idx == 0))
+        def _load_chunk():
+            cp = pltpu.make_async_copy(
+                ddata_in.at[i, :, pl.ds(k * DC, DC), :],
+                drec_buf, sems.at[2])
+            cp.start()
+            cp.wait()
+
+        sp = it % SC
+        sk = it // SC
+
+        @pl.when((sp == SC - 1) | (idx == 0))
+        def _load_strips():
+            cp1 = pltpu.make_async_copy(
+                lr_in.at[i, pl.ds(sk * SC, SC)], lr_buf, sems.at[0])
+            cp2 = pltpu.make_async_copy(
+                tb_in.at[i, pl.ds(sk * SC, SC)], tb_buf, sems.at[1])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+
+        # ---- reconstruct state_t (acoustic.rtm_image_time ordering) -------
+        (pf, vz, vx) = tuple(s[:] for s in field_s)
+        # velocity reverse (undo updates that used the post-source p_{t+1})
+        field_s[1][:] = vz - interior * (_dz_minus(pf) * rdz * byca * dt)
+        field_s[2][:] = vx - interior * (_dx_plus(pf) * rdx * bycb * dt)
+        _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg, which=(1, 2))
+        vz, vx = field_s[1][:], field_s[2][:]
+        # subtract source, pressure reverse from the reconstructed t
+        # velocities
+        amp = stf_ref[i, it]
+        pf = pf - src_hot * (cfg.src_scale * dt * amp)
+        field_s[0][:] = pf - interior * (
+            lam * (_dz_plus(vz) * rdz + _dx_minus(vx) * rdx) * dt)
+        _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg, which=(0,))
+        fields_t = tuple(s[:] for s in field_s)
+
+        # ---- exact one-step adjoint via vjp of the acoustic step ----------
+        _, vjp_fn = jax.vjp(step_fn, fields_t, zero_psi, mats, amp)
+        adj_f = tuple(s[:] for s in adj_f_s)
+        adj_p = tuple(s[:] for s in adj_p_s)
+        d_rec = tuple(drec_buf[c, pl.ds(pos, 1), :cfg.nx]
+                      for c in range(NC))
+        d_fields, d_psi, d_mats, d_amp = vjp_fn((adj_f, adj_p, d_rec))
+        for s, v in zip(adj_f_s, d_fields):
+            s[:] = v
+        for s, v in zip(adj_p_s, d_psi):
+            s[:] = v
+        for f_idx, v in enumerate(d_mats):
+            gmat_out[f_idx] = gmat_out[f_idx] + v
+        dstf_out[i, it] = d_amp
+        return 0
+
+    dstf_out[i, cfg.nt - 1] = 0.0
+    jax.lax.fori_loop(0, cfg.nt - 1, body, 0)
+
+
+def _ac_run_backward(cfg: SimConfig, rs, lam, rho, stf, src_z, src_x,
+                     ffin, lr, tb, d_data):
+    from sep2023_tpu.medium import _shift_left, _shift_up
+
+    S = stf.shape[0]
+    f32 = jnp.float32
+    mats = _ac_mats(lam, rho)
+    prof = _profiles(cfg)
+    nt_pad = _nt_pad(cfg)
+    R_pad = _pad128(cfg.nx)
+    NC = 4 * _n_layers(rs)
+
+    # (S, 3, R, nt) channel cotangents -> padded 4-channel row planes (the
+    # 4th/ett plane carries zero cotangent; the acoustic caller never sees
+    # that channel)
+    d4 = jnp.concatenate(
+        [d_data.astype(f32),
+         jnp.zeros((S, 1) + d_data.shape[2:], f32)], axis=1)
+    dd = _place_cotangent(cfg, rs, d4, nt_pad, R_pad)
+
+    recw_in = _recw_inputs(cfg, rs)
+    n_recw = len(recw_in)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * (15 + n_recw)
+                  + [pl.BlockSpec(memory_space=pltpu.HBM)] * 4),
+        out_specs=[
+            pl.BlockSpec((3, cfg.nz, cfg.nx), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((cfg.nz, cfg.nx), f32)] * 10
+            + [pltpu.VMEM((_strip_chunk(cfg), _pad8(cfg.nz), LANE), f32),
+               pltpu.VMEM((_strip_chunk(cfg), AC_TB_ROWS, _pad128(cfg.nx)),
+                          f32),
+               pltpu.VMEM((NC, _drec_chunk(cfg), R_pad), f32),
+               pltpu.SemaphoreType.DMA((3,))]),
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((3, cfg.nz, cfg.nx), f32),
+        jax.ShapeDtypeStruct((S, nt_pad), f32),
+    ]
+    kernel = functools.partial(_ac_bwd_kernel, cfg, rs, n_recw)
+    interp = _interpret()
+    gmat, d_stf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(cfg)),
+    )(jnp.asarray(src_z, jnp.int32), jnp.asarray(src_x, jnp.int32),
+      stf.astype(f32), *mats, *prof, *recw_in, ffin, lr, tb, dd)
+
+    # the tight acoustic interior ([npml+2, n-3-npml], acoustic._consts
+    # mask_i) — matches the XLA oracle's gradient masking
+    mzi = (jnp.arange(cfg.nz) >= cfg.npml + 2) & (jnp.arange(cfg.nz)
+                                                  <= cfg.nz - 3 - cfg.npml)
+    mxi = (jnp.arange(cfg.nx) >= cfg.npml + 2) & (jnp.arange(cfg.nx)
+                                                  <= cfg.nx - 3 - cfg.npml)
+    m = (mzi[:, None] & mxi[None, :]).astype(f32)
+    # chain the buoyancy gradients back to rho (the arithmetic staggered
+    # averages of _buoyancies)
+    rho32 = rho.astype(f32)
+    _, byc_vjp = jax.vjp(
+        lambda r: (2.0 / (_shift_up(r) + r), 2.0 / (_shift_left(r) + r)),
+        rho32)
+    (d_rho,) = byc_vjp((gmat[1] * m, gmat[2] * m))
+    return gmat[0] * m, d_rho, d_stf[:, :cfg.nt]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def propagate_pallas_acoustic(cfg: SimConfig, rs, lam, rho, stf,
+                              src_z, src_x):
+    """Differentiable fused acoustic propagator: data (S, 3, n_rec, nt),
+    channels (pr, vx, vz).  Gradients w.r.t. lam, rho, stf via the in-kernel
+    boundary-saving adjoint — the fused counterpart of the reference's
+    ac_*_adj.cu kernels (acoustic.propagate_acoustic is the XLA oracle)."""
+    return _ac_run_forward(cfg, rs, lam, rho, stf, src_z, src_x,
+                           save_strips=False)
+
+
+def _pa_fwd(cfg, rs, lam, rho, stf, src_z, src_x):
+    data, lr, tb, ffin = _ac_run_forward(cfg, rs, lam, rho, stf,
+                                         src_z, src_x, save_strips=True)
+    return data, (lam, rho, stf, src_z, src_x, ffin, lr, tb)
+
+
+def _pa_bwd(cfg, rs, res, d_data):
+    lam, rho, stf, src_z, src_x, ffin, lr, tb = res
+    d_lam, d_rho, d_stf = _ac_run_backward(
+        cfg, rs, lam, rho, stf, src_z, src_x, ffin, lr, tb, d_data)
+    f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+    return (d_lam.astype(lam.dtype), d_rho.astype(rho.dtype),
+            d_stf.astype(stf.dtype), f0(src_z), f0(src_x))
+
+
+propagate_pallas_acoustic.defvjp(_pa_fwd, _pa_bwd)
 
 
 # ---------------------------------------------------------------------------

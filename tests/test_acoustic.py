@@ -145,3 +145,57 @@ def test_rtm_image_time_locality():
     peak = img[az - 3:az + 3, ax - 6:ax + 6]
     dominant = np.sign(peak.ravel()[np.abs(peak).argmax()])
     assert np.sign(peak.sum()) == dominant != 0
+
+
+def test_acoustic_pallas_gradient_matches_xla():
+    """The fused acoustic backward (in-kernel boundary-saving adjoint, the
+    counterpart of ac_*_adj.cu) must match propagate_acoustic's custom_vjp
+    gradients in lam, rho and stf."""
+    import jax.numpy as jnp
+
+    from sep2023_tpu.ops import pallas_engine as pe
+
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=141, dt=0.002, f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[28:34, 36:48].add(250.0)
+    rho0 = jnp.full(cfg.grid.shape, 2200.0).astype(jnp.float32)
+    lam0 = (rho0 * vp ** 2).astype(jnp.float32)
+    rec_z = np.full(20, 34)
+    rec_x = np.arange(14, 34)
+    S = 2
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (S, cfg.nt))
+    sz = jnp.asarray(np.array([2, 2]) + npml)
+    sx = jnp.asarray(np.array([12, 36]) + npml)
+    rzi = jnp.asarray(rec_z + npml, jnp.int32)
+    rxi = jnp.asarray(rec_x + npml, jnp.int32)
+    rs = pe.check_row_survey(rec_z + npml, rec_x + npml)
+
+    obs = pe.propagate_pallas_acoustic(cfg, rs, lam0 * 1.03, rho0, stf,
+                                       sz, sx)
+
+    def loss_pl(l, r, s):
+        d = obs - pe.propagate_pallas_acoustic(cfg, rs, l, r, s, sz, sx)
+        return 0.5 * jnp.sum(d * d)
+
+    def loss_xla(l, r, s):
+        geoms = AcGeom(src_z=sz, src_x=sx,
+                       rec_z=jnp.broadcast_to(rzi, (S, 20)),
+                       rec_x=jnp.broadcast_to(rxi, (S, 20)))
+        syn = jax.vmap(lambda s1, g: propagate_acoustic(cfg, l, r, s1, g))(
+            s, geoms)
+        d = obs - syn
+        return 0.5 * jnp.sum(d * d)
+
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2))(lam0, rho0, stf)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(lam0, rho0, stf)
+    sl = (slice(npml + 2, cfg.nz - npml - 2),
+          slice(npml + 2, cfg.nx - npml - 2))
+    for name, a, b in zip(("lam", "rho", "stf"), gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.shape == cfg.grid.shape:
+            a, b = a[sl], b[sl]
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+        assert rel < 5e-5, (name, rel)
