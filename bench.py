@@ -129,6 +129,21 @@ def main():
     cells_rock = cfg_r.nz * cfg_r.nx * (cfg_r.nt - 1)
     gcell_rock = cells_rock / t_rock / 1e9
 
+    # acoustic fused gradient (the secondary physics mode, ac_*_adj.cu
+    # counterpart) at the same workload shape
+    lam_ac = (med.rho * 2000.0 ** 2).astype(jnp.float32)
+    sz_ac = jnp.asarray(survey.src_z + cfg.npml)
+    sx_ac = jnp.asarray(survey.src_x + cfg.npml)
+
+    def ac_loss(l, r, s):
+        d = pe.propagate_pallas_acoustic(cfg, rs, l, r, s, sz_ac, sx_ac)
+        return 0.5 * jnp.sum(d * d)
+
+    ac_grad = jax.jit(jax.grad(ac_loss, argnums=(0, 1, 2)))
+    t_ac, _ = _time_pipelined(ac_grad, lam_ac, med.rho.astype(jnp.float32),
+                              stf.astype(jnp.float32), depth=3)
+    gcell_ac = cells / t_ac / 1e9
+
     result = {
         "metric": "2D elastic forward GCell-updates/s/chip (ref workload "
                   "165x265x1501x19, fused Pallas engine, steady-state)",
@@ -145,6 +160,7 @@ def main():
             "gradient_GCell_per_s": round(gcell_grad, 3),
             "rock_gradient_s_265x385x4001": round(t_rock, 4),
             "rock_gradient_GCell_per_s": round(gcell_rock, 3),
+            "acoustic_gradient_GCell_per_s": round(gcell_ac, 3),
             "device": str(jax.devices()[0]),
         },
     }
