@@ -71,6 +71,25 @@ def plot_snaps(snaps, outdir):
     print("wrote", path)
 
 
+def plot_rtm(npz_path, outdir):
+    with np.load(npz_path) as z:
+        vp_t, img, z_refl = z["vp_true"], z["image_muted"], int(z["z_reflector"])
+    npml = (img.shape[0] - vp_t.shape[0]) // 2
+    img = img[npml:npml + vp_t.shape[0], npml:npml + vp_t.shape[1]]
+    fig, axes = plt.subplots(1, 2, figsize=(10, 3.2), constrained_layout=True)
+    axes[0].imshow(vp_t, aspect="auto", cmap="viridis")
+    axes[0].set_title("true vp (reflector at z=%d)" % z_refl)
+    lim = np.percentile(np.abs(img), 99.5) + 1e-30
+    axes[1].imshow(img, aspect="auto", cmap="gray", vmin=-lim, vmax=lim)
+    axes[1].set_title("RTM image (muted)")
+    for ax in axes:
+        ax.set_xlabel("x")
+        ax.set_ylabel("z")
+    path = os.path.join(outdir, "rtm.png")
+    fig.savefig(path, dpi=120)
+    print("wrote", path)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir", nargs="?", default="/tmp/figs")
@@ -108,6 +127,13 @@ def main():
     _, snaps = propagate_snapshots(cfg, lam_t, mu_t, rr_t, stf[0], gm,
                                    save_every=25)
     plot_snaps(np.asarray(snaps.vz), args.outdir)
+
+    # RTM migration panel (the rtm CLI's twin experiment)
+    from sep2023_tpu import cli as cli_mod
+    rtm_npz = os.path.join(args.outdir, "rtm_image.npz")
+    cli_mod.main(["rtm", "--nz", "64", "--nx", "128", "--nt", "800",
+                  "--npml", "24", "--out", rtm_npz])
+    plot_rtm(rtm_npz, args.outdir)
 
     if args.exp:
         snaps_files = sorted(glob.glob(os.path.join(args.exp, "Results",
