@@ -64,5 +64,6 @@ def solver_vs_analytic(outdir):
 
 if __name__ == "__main__":
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp"
+    os.makedirs(outdir, exist_ok=True)
     quadrature_study()
     solver_vs_analytic(outdir)
