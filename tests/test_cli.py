@@ -163,12 +163,14 @@ def test_invert_multiscale_with_src_update(tmp_path, capsys):
     assert len(_hist(e)) >= 1
 
 
-def test_rtm_driver_images_reflector(tmp_path):
+@pytest.mark.parametrize("physics", ["acoustic", "elastic"])
+def test_rtm_driver_images_reflector(tmp_path, physics):
     """`rtm` (the standalone CLI's adjoint-imaging flow, main.cu:322+)
-    must localize a reflector the smooth background lacks."""
+    must localize a reflector the smooth background lacks — under both the
+    acoustic time-derivative and the elastic zero-lag conditions."""
     out = str(tmp_path / "img.npz")
-    cli.main(["rtm", "--nz", "40", "--nx", "56", "--nt", "350",
-              "--npml", "8", "--out", out])
+    cli.main(["rtm", "--physics", physics, "--nz", "40", "--nx", "56",
+              "--nt", "350", "--npml", "8", "--out", out])
     with np.load(out) as z:
         img, muted, z_refl = z["image"], z["image_muted"], int(z["z_reflector"])
     assert np.isfinite(img).all() and np.abs(img).max() > 0
