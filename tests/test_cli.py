@@ -163,6 +163,17 @@ def test_invert_multiscale_with_src_update(tmp_path, capsys):
     assert len(_hist(e)) >= 1
 
 
+def test_invert_multiscale_sharded(tmp_path):
+    """Multiscale (dynamic band-pass as a per-shot trace_aux array) composed
+    with the default-on shot mesh: the (S, nfreq) response must shard
+    alongside the padded shot axis."""
+    e = str(tmp_path / "mss")
+    cli.main(["invert", *TINY[:-3], "--niter", "6", "--x64",
+              "--exp-name", e, "--multiscale"])  # auto: 3-device mesh
+    h = _hist(e)
+    assert len(h) >= 1 and np.isfinite(h).all()
+
+
 @pytest.mark.parametrize("physics", ["acoustic", "elastic"])
 def test_rtm_driver_images_reflector(tmp_path, physics):
     """`rtm` (the standalone CLI's adjoint-imaging flow, main.cu:322+)
