@@ -94,7 +94,7 @@ def _vmem_limit(cfg) -> int:
     a pipelining-headroom heuristic, not the physical size (v5e cores carry
     128 MiB of VMEM) — so large grids raise it; small grids keep the default
     (more room for XLA to overlap surrounding ops)."""
-    return (64 * 2 ** 20 if _grid_bytes(cfg) > 300_000 else 16 * 2 ** 20)
+    return (100 * 2 ** 20 if _grid_bytes(cfg) > 300_000 else 16 * 2 ** 20)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -255,15 +255,16 @@ def _bwd_vmem_bytes(cfg: SimConfig, n_layers: int = 1,
 
 
 # v5e cores carry 128 MiB of VMEM; the kernels raise the scoped limit to
-# 64 MiB on large grids (_vmem_limit).  Mosaic's stack for the vjp
-# temporaries runs ~1.5-2x past the resident estimate (measured 18.5 MiB
-# actual vs ~12 MiB estimated on the forward), so the budgets below leave
-# ~2.5x headroom under the 64 MiB limit.  Both variants are validated on a
-# v5e chip at the Main-004 rock-physics grid (272x512 padded, full variant
-# 2.73 GCell/s, compact 2.15); compact extends the reach ~1.3x further
-# before the XLA fallback takes over.
-FULL_BWD_BUDGET = 22 * 2 ** 20
-COMPACT_BWD_BUDGET = 30 * 2 ** 20
+# 100 MiB on large grids (_vmem_limit).  Mosaic's stack for the vjp
+# temporaries runs ~1.5-2.5x past the resident estimate, so the budgets
+# below are set from MEASURED pass/fail points on a v5e chip under the
+# 100 MiB limit: compact backward COMPILES AND RUNS at a 38.3 MiB estimate
+# (528x704 padded, 3.6 GCell/s) and fails Mosaic compilation at 40.6 MiB
+# (560x720); the full variant runs at a ~35 MiB estimate (465x640,
+# 5.1 GCell/s).  Reference workloads sit far inside: Main-004 rock physics
+# (265x385) estimates 11 MiB full.
+FULL_BWD_BUDGET = 36 * 2 ** 20
+COMPACT_BWD_BUDGET = 39 * 2 ** 20
 
 
 def _use_compact(cfg: SimConfig, n_layers: int = 1) -> bool:
