@@ -409,3 +409,24 @@ def test_phased_backward_matches_monolithic_vjp(monkeypatch):
             a, b = a[sl], b[sl]
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
         assert rel < 2e-5, (name, rel)
+
+
+def test_vmem_gates_match_measured_boundary():
+    """The engine-selection gates encode MEASURED pass/fail points on a v5e
+    chip (100 MiB scoped-VMEM limit): 528x704 padded runs fused (compact),
+    560x720 fails Mosaic compilation and must fall back to the XLA engine;
+    465x640 runs the faster full variant; the reference workloads use the
+    full variant."""
+    mk = lambda nz, nx: st.SimConfig(nz=nz, nx=nx, dz=10.0, dx=10.0,
+                                     nt=2001, dt=0.001, f0=15.0, npml=32)
+    # reference benchmark + rock physics: full variant
+    for nz, nx in ((165, 265), (265, 385)):
+        cfg = mk(nz, nx)
+        assert pe.grad_vmem_fits(cfg) and not pe._use_compact(cfg), (nz, nx)
+    # beyond reference: full at 465x640, compact at 528x704
+    assert pe.grad_vmem_fits(mk(465, 640))
+    assert not pe._use_compact(mk(465, 640))
+    assert pe.grad_vmem_fits(mk(528, 704))
+    assert pe._use_compact(mk(528, 704))
+    # past the measured Mosaic failure point: XLA fallback
+    assert not pe.grad_vmem_fits(mk(560, 720))
