@@ -566,19 +566,48 @@ def cmd_rtm(args):
     else:
         vpt, vpb = pad(vp_t), pad(vp_bg)
         vst, vsb = vpt / jnp.sqrt(2.2), vpb / jnp.sqrt(2.2)
+        from sep2023_tpu.ops import misfit as mfops
+        from sep2023_tpu.ops import pallas_engine as pe
+        plan = (pe.plan_fast_path(cfg, survey.rec_z + cfg.npml,
+                                  survey.rec_x + cfg.npml)
+                if jax.default_backend() == "tpu" else None)
 
-        @jax.jit
-        def image_all(vpt_, vpb_, vst_, vsb_):
-            def per_shot(stf1, g):
+        if plan is not None:
+            # fused engine: the zero-lag Vp kernel is the l2 gradient
+            sz = jnp.asarray(survey.src_z + cfg.npml)
+            sx = jnp.asarray(survey.src_x + cfg.npml)
+            rz = jnp.asarray(survey.src_rxz, jnp.float32)
+
+            @jax.jit
+            def image_all(vpt_, vpb_, vst_, vsb_):
                 lam_t = (vpt_ ** 2 - 2 * vst_ ** 2) * rho
-                obs = st.propagate(cfg, lam_t, vst_ ** 2 * rho, rho, stf1, g)
-                return imaging.rtm_image(cfg, vpb_, vsb_, rho, stf1, g, obs,
-                                         channels=tuple(args.channels))
+                obs = pe.propagate_pallas_plan(plan, lam_t, vst_ ** 2 * rho,
+                                               rho, stf, sz, sx, rz)
 
-            return jnp.sum(jax.vmap(per_shot)(stf, geoms), axis=0)
+                def loss(vp_):
+                    lam = (vp_ ** 2 - 2.0 * vsb_ ** 2) * rho
+                    syn = pe.propagate_pallas_plan(plan, lam, vsb_ ** 2 * rho,
+                                                   rho, stf, sz, sx, rz)
+                    return mfops.l2_misfit(obs, syn,
+                                           channels=tuple(args.channels))
+
+                return jax.grad(loss)(vpb_)
+        else:
+            @jax.jit
+            def image_all(vpt_, vpb_, vst_, vsb_):
+                def per_shot(stf1, g):
+                    lam_t = (vpt_ ** 2 - 2 * vst_ ** 2) * rho
+                    obs = st.propagate(cfg, lam_t, vst_ ** 2 * rho, rho,
+                                       stf1, g)
+                    return imaging.rtm_image(cfg, vpb_, vsb_, rho, stf1, g,
+                                             obs,
+                                             channels=tuple(args.channels))
+
+                return jnp.sum(jax.vmap(per_shot)(stf, geoms), axis=0)
 
         img = image_all(vpt, vpb, vst, vsb)
-        condition = "zero-lag (image_vel.cu)"
+        condition = ("zero-lag (image_vel.cu, fused engine)" if plan
+                     else "zero-lag (image_vel.cu)")
 
     img = np.asarray(img)
     assert np.isfinite(img).all()
