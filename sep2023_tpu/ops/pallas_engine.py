@@ -1247,6 +1247,45 @@ def _ac_step_values(cfg: SimConfig, rs, prof, mask, src_hot, fields, psi,
     return (p, vz, vx), (p_vzdz, p_vxdx, p_pdz, p_pdx), recs
 
 
+def _ac_pressure_phase_values(cfg, prof, mask, src_hot, p, ppsi, vdiffs,
+                              lam, amp):
+    """Acoustic pressure half-step + source on precomputed velocity stencil
+    differences (the acoustic analogue of _stress_phase_values — the
+    physics must stay identical to _ac_step_values, guarded by the
+    acoustic Pallas-vs-XLA gradient test)."""
+    (p_vzdz, p_vxdx) = ppsi
+    (ikz, az, bz, ikzh, azh, bzh, ikx, ax, bx, ikxh, axh, bxh) = prof
+    (d_vz, d_vx) = vdiffs
+    dt = cfg.dt
+    p_vzdz = bzh * p_vzdz + azh * d_vz
+    dvz = d_vz * ikzh + p_vzdz
+    p_vxdx = bx * p_vxdx + ax * d_vx
+    dvx = d_vx * ikx + p_vxdx
+    p = p + mask * (lam * (dvz + dvx) * dt) + src_hot * (
+        cfg.src_scale * dt * amp)
+    return p, (p_vzdz, p_vxdx)
+
+
+def _ac_velocity_phase_values(cfg, rs, prof, mask, vels, p_new, vpsi,
+                              pdiffs, bycs, recw):
+    """Acoustic velocity half-step + recording on precomputed pressure
+    stencil differences (of the post-source p)."""
+    (vz, vx) = vels
+    (p_pdz, p_pdx) = vpsi
+    (byca, bycb) = bycs
+    (ikz, az, bz, ikzh, azh, bzh, ikx, ax, bx, ikxh, axh, bxh) = prof
+    (d_pz, d_px) = pdiffs
+    dt = cfg.dt
+    p_pdz = bz * p_pdz + az * d_pz
+    dpz = d_pz * ikz + p_pdz
+    vz = vz + mask * (dpz * byca * dt)
+    p_pdx = bxh * p_pdx + axh * d_px
+    dpx = d_px * ikxh + p_pdx
+    vx = vx + mask * (dpx * bycb * dt)
+    recs = _record_rows(cfg, rs, recw, vz, vx, p_new, jnp.zeros_like(p_new))
+    return (vz, vx), (p_pdz, p_pdx), recs
+
+
 AC_N_FIELDS = 3      # p, vz, vx
 AC_TB_ROWS = 32      # 3 fields * 10 strip rows, padded to a sublane multiple
 
@@ -1453,7 +1492,7 @@ def forward_pallas_acoustic(cfg: SimConfig, rs, lam, rho, stf,
                            save_strips=False)
 
 
-def _ac_bwd_kernel(cfg: SimConfig, rs, n_recw: int,
+def _ac_bwd_kernel(cfg: SimConfig, rs, n_recw: int, phased: bool,
                    srcz_ref, srcx_ref, stf_ref, *args):
     mat_refs = args[0:3]
     prof_refs = args[3:15]
@@ -1548,27 +1587,58 @@ def _ac_bwd_kernel(cfg: SimConfig, rs, n_recw: int,
 
         # ---- reconstruct state_t (acoustic.rtm_image_time ordering) -------
         (pf, vz, vx) = tuple(s[:] for s in field_s)
+        p_tp1 = pf
+        # pressure diffs of the carried (post-source) p_{t+1} — the exact
+        # values the forward's velocity phase consumed
+        pdiffs = (_dz_minus(pf), _dx_plus(pf))
         # velocity reverse (undo updates that used the post-source p_{t+1})
-        field_s[1][:] = vz - interior * (_dz_minus(pf) * rdz * byca * dt)
-        field_s[2][:] = vx - interior * (_dx_plus(pf) * rdx * bycb * dt)
+        field_s[1][:] = vz - interior * (pdiffs[0] * rdz * byca * dt)
+        field_s[2][:] = vx - interior * (pdiffs[1] * rdx * bycb * dt)
         _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg, which=(1, 2))
         vz, vx = field_s[1][:], field_s[2][:]
         # subtract source, pressure reverse from the reconstructed t
         # velocities
         amp = stf_ref[i, it]
         pf = pf - src_hot * (cfg.src_scale * dt * amp)
+        vdiffs = (_dz_plus(vz), _dx_minus(vx))
         field_s[0][:] = pf - interior * (
-            lam * (_dz_plus(vz) * rdz + _dx_minus(vx) * rdx) * dt)
+            lam * (vdiffs[0] * rdz + vdiffs[1] * rdx) * dt)
         _inject_strips_refs(field_s, lr_buf, tb_buf, sp, cfg, which=(0,))
         fields_t = tuple(s[:] for s in field_s)
 
-        # ---- exact one-step adjoint via vjp of the acoustic step ----------
-        _, vjp_fn = jax.vjp(step_fn, fields_t, zero_psi, mats, amp)
         adj_f = tuple(s[:] for s in adj_f_s)
         adj_p = tuple(s[:] for s in adj_p_s)
         d_rec = tuple(drec_buf[c, pl.ds(pos, 1), :cfg.nx]
                       for c in range(NC))
-        d_fields, d_psi, d_mats, d_amp = vjp_fn((adj_f, adj_p, d_rec))
+        if not phased:
+            # ---- exact one-step adjoint via vjp of the acoustic step ------
+            _, vjp_fn = jax.vjp(step_fn, fields_t, zero_psi, mats, amp)
+            d_fields, d_psi, d_mats, d_amp = vjp_fn((adj_f, adj_p, d_rec))
+        else:
+            # ---- phase-split adjoint reusing the reconstruction stencils --
+            # (same construction as the elastic backward: per-phase vjps on
+            # diffs-as-inputs + closed-form stencil transposes)
+            vfun = lambda vels, pn, vpsi, pd, bycs: (
+                _ac_velocity_phase_values(cfg, rs, prof, mask, vels, pn,
+                                          vpsi, pd, bycs, recw))
+            _, vvjp = jax.vjp(vfun, (fields_t[1], fields_t[2]), p_tp1,
+                              zero_psi[:2], pdiffs, (byca, bycb))
+            (d_vels, d_p_rec, d_vpsi_in, d_pdiffs, d_bycs) = vvjp(
+                ((adj_f[1], adj_f[2]), adj_p[2:], d_rec))
+            cot_p = (adj_f[0] + d_p_rec + _dz_minus_t(d_pdiffs[0])
+                     + _dx_plus_t(d_pdiffs[1]))
+            pfun = lambda p_, ppsi, vd, lam_, a: (
+                _ac_pressure_phase_values(cfg, prof, mask, src_hot, p_,
+                                          ppsi, vd, lam_, a))
+            _, pvjp = jax.vjp(pfun, fields_t[0], zero_psi[:2], vdiffs,
+                              lam, amp)
+            (d_p_t, d_ppsi_in, d_vdiffs, d_lam, d_amp) = pvjp(
+                (cot_p, adj_p[:2]))
+            cot_vz = d_vels[0] + _dz_plus_t(d_vdiffs[0])
+            cot_vx = d_vels[1] + _dx_minus_t(d_vdiffs[1])
+            d_fields = (d_p_t, cot_vz, cot_vx)
+            d_psi = (*d_ppsi_in, *d_vpsi_in)
+            d_mats = (d_lam, d_bycs[0], d_bycs[1])
         for s, v in zip(adj_f_s, d_fields):
             s[:] = v
         for s, v in zip(adj_p_s, d_psi):
@@ -1626,7 +1696,8 @@ def _ac_run_backward(cfg: SimConfig, rs, lam, rho, stf, src_z, src_x,
         jax.ShapeDtypeStruct((3, cfg.nz, cfg.nx), f32),
         jax.ShapeDtypeStruct((S, nt_pad), f32),
     ]
-    kernel = functools.partial(_ac_bwd_kernel, cfg, rs, n_recw)
+    phased = os.environ.get("SEP2023_TPU_BWD", "phased") != "vjp"
+    kernel = functools.partial(_ac_bwd_kernel, cfg, rs, n_recw, phased)
     interp = _interpret()
     gmat, d_stf = pl.pallas_call(
         kernel,
