@@ -430,3 +430,40 @@ def test_vmem_gates_match_measured_boundary():
     assert pe._use_compact(mk(528, 704))
     # past the measured Mosaic failure point: XLA fallback
     assert not pe.grad_vmem_fits(mk(560, 720))
+
+
+def test_pallas_adjoint_dot_product():
+    """Direct adjoint identity for BOTH fused engines: <d, J s> == <J^T d, s>
+    where J is the linearization of the propagator in the source wavelet
+    (exact for the stf argument — the dynamics are linear in the source)."""
+    npml = 10
+    cfg = st.SimConfig(nz=36 + 2 * npml, nx=48 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=90, dt=0.002, f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    rec_z = np.full(12, 28)
+    rec_x = np.arange(14, 26)
+    rs = pe.check_row_survey(rec_z + npml, rec_x + npml)
+    sz = jnp.asarray([npml + 4])
+    sx = jnp.asarray([npml + 20])
+    rz = jnp.asarray([1.0], jnp.float32)
+    key = jax.random.PRNGKey(7)
+    s = jax.random.normal(key, (1, cfg.nt), jnp.float32)
+    d = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 12, cfg.nt),
+                          jnp.float32)
+
+    # elastic: forward is linear in stf, so J s = F(s) and J^T d via vjp
+    F = lambda s_: pe.propagate_pallas(cfg, rs, lam, mu, rho, s_, sz, sx, rz)
+    lhs = float(jnp.vdot(d, F(s)))
+    _, vjp = jax.vjp(F, s)
+    rhs = float(jnp.vdot(vjp(d)[0], s))
+    assert abs(lhs - rhs) < 5e-5 * abs(lhs), (lhs, rhs)
+
+    # acoustic
+    lam_ac = (rho * 3000.0 ** 2).astype(jnp.float32)
+    Fa = lambda s_: pe.propagate_pallas_acoustic(cfg, rs, lam_ac, rho, s_,
+                                                 sz, sx)
+    da = d[:, :3]
+    lhs = float(jnp.vdot(da, Fa(s)))
+    _, vjpa = jax.vjp(Fa, s)
+    rhs = float(jnp.vdot(vjpa(da)[0], s))
+    assert abs(lhs - rhs) < 5e-5 * abs(lhs), (lhs, rhs)
