@@ -467,3 +467,42 @@ def test_pallas_adjoint_dot_product():
     _, vjpa = jax.vjp(Fa, s)
     rhs = float(jnp.vdot(vjpa(da)[0], s))
     assert abs(lhs - rhs) < 5e-5 * abs(lhs), (lhs, rhs)
+
+
+def test_pallas_gradient_finite_differences():
+    """Central finite differences on the fused-engine misfit: the in-kernel
+    phase-split adjoint against raw numerics (no oracle involved)."""
+    from sep2023_tpu.ops import misfit as mf
+
+    npml = 10
+    cfg = st.SimConfig(nz=32 + 2 * npml, nx=40 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=80, dt=0.002, f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    rec_z = np.full(10, 26)
+    rec_x = np.arange(12, 22)
+    rs = pe.check_row_survey(rec_z + npml, rec_x + npml)
+    sz = jnp.asarray([npml + 4])
+    sx = jnp.asarray([npml + 18])
+    rz = jnp.asarray([1.0], jnp.float32)
+    stf = jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt),
+                      jnp.float32)[None]
+    obs = pe.propagate_pallas(cfg, rs, lam * 1.02, mu, rho, stf, sz, sx, rz)
+
+    def loss(l):
+        return mf.l2_misfit(obs, pe.propagate_pallas(cfg, rs, l, mu, rho,
+                                                     stf, sz, sx, rz))
+
+    g = np.asarray(jax.grad(loss)(lam))
+    # probe the 3 largest-gradient interior cells with central differences
+    gi = np.abs(g).copy()
+    gi[:npml + 3] = 0; gi[-npml - 3:] = 0
+    gi[:, :npml + 3] = 0; gi[:, -npml - 3:] = 0
+    for _ in range(3):
+        z, x = np.unravel_index(np.argmax(gi), gi.shape)
+        gi[z, x] = 0
+        h = 3e-4 * float(lam[z, x])
+        lp = lam.at[z, x].add(h)
+        lm = lam.at[z, x].add(-h)
+        fd = (float(loss(lp)) - float(loss(lm))) / (2 * h)
+        rel = abs(fd - g[z, x]) / (abs(g[z, x]) + 1e-30)
+        assert rel < 2e-2, (z, x, fd, g[z, x], rel)
