@@ -26,14 +26,24 @@ The GRADIENT engine adds the boundary-saving adjoint
   * the backward kernel walks time in reverse: re-injects the strips,
     runs the time-reversed interior updates to reconstruct the forward
     field, and obtains the EXACT one-step adjoint + material gradients from
-    `jax.vjp` of the pure step function — evaluated at trace time INSIDE the
-    kernel, so the machine-derived transpose lowers through Mosaic like any
-    other kernel code.  This keeps the no-hand-written-adjoint property of
-    the XLA engine (propagator.py) on the fast path.
+    `jax.vjp` of the half-step PHASE functions evaluated on the
+    reconstruction's own stencil differences, with the stencil hops between
+    phases wired via closed-form transposes (the monolithic step-vjp
+    remains as the SEP2023_TPU_BWD=vjp oracle).  The vjps are evaluated at
+    trace time INSIDE the kernel, so the machine-derived transposes lower
+    through Mosaic like any other kernel code — keeping the
+    no-hand-written-adjoint property of the XLA engine (propagator.py) on
+    the fast path.
 
-Fast-path constraints (checked by wrappers; the XLA engine is the general
-fallback): receivers on one grid row with contiguous x (the reference's
-surveyGen layout), das channel 'exx', state fits VMEM.
+A 3-field acoustic variant (`propagate_pallas_acoustic`) provides the same
+forward + phase-split backward for the secondary physics mode.
+
+Fast-path constraints (plan_fast_path; the XLA engine is the general
+fallback): receivers on one grid row with contiguous x, OR a K<=4-layer
+fiber survey (curved/dipping/multi-row spreads, optionally with directional
+'ezz'/'weighted' strain channels), OR either layout on the transposed grid
+(boreholes / vertical fibers); state + adjoint must fit the measured VMEM
+gates (grad_vmem_fits, through ~528x704 padded grids).
 
 Stencils use pltpu.roll (cyclic rotates); wrap-around values only ever land
 in the 2-cell halo that the update mask excludes.
