@@ -281,6 +281,21 @@ def _use_compact(cfg: SimConfig, n_layers: int = 1) -> bool:
     return _bwd_vmem_bytes(cfg, n_layers, compact=False) >= FULL_BWD_BUDGET
 
 
+FWD_BUDGET = 48 * 2 ** 20
+
+
+def fwd_vmem_fits(cfg: SimConfig, n_layers: int = 1) -> bool:
+    """True if the forward kernel's VMEM residents (13 state planes + the
+    recording ring) fit comfortably — the gate for choosing the fused
+    forward over the streamed one for data generation.  The forward was
+    never the binding constraint inside the fused range (the backward gates
+    first), so this only matters for forward-only runs on very large
+    grids."""
+    est = (13 * _grid_bytes(cfg)
+           + 4 * n_layers * REC_CHUNK * _pad128(cfg.nx) * 4)
+    return est < FWD_BUDGET
+
+
 def grad_vmem_fits(cfg: SimConfig, budget_bytes: int = None,
                    n_layers: int = 1) -> bool:
     """True if SOME backward variant (full-speed or compact) fits VMEM —
@@ -359,7 +374,8 @@ def _uniform_layers(cfg, rs):
     return tuple(bool(r.min() == r.max()) for r in rm)
 
 
-def _record_rows(cfg: SimConfig, rs, recw, vz, vx, szz, sxx):
+def _record_rows(cfg: SimConfig, rs, recw, vz, vx, szz, sxx, zi=None,
+                 window=None):
     """Record 4 channels x K layers as FULL-WIDTH (1, nx) rows: a masked
     sublane reduction against the layer's per-lane row map (its transpose is
     a sublane broadcast, Mosaic-lowerable; a row gather or 1-D slice would
@@ -379,9 +395,18 @@ def _record_rows(cfg: SimConfig, rs, recw, vz, vx, szz, sxx):
       'weighted': w0*exx/dx + w1*exz + w2*ezz/dz  (directional fiber
                    sampling, elasticSolver.py:269-276)
     Output order: index c * K + k  (channel-major).
+
+    zi / window generalize to the z-tiled streamed kernels
+    (ops/pallas_stream.py): `zi` is the GLOBAL-row-index plane of the field
+    arrays (defaults to the full-grid iota) and `window = (lo, hi)` keeps
+    only receivers whose OWN row map falls in [lo, hi) — the tile's interior
+    rows — so partial sums over overlapping tile halos never double-count a
+    receiver (ownership is tested on the receiver row, not the sampled row:
+    an owned receiver's rm±1 samples may legitimately reach into the halo).
     """
     rowmaps, wrow = recw
-    zi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 0)
+    if zi is None:
+        zi = jax.lax.broadcasted_iota(jnp.int32, (cfg.nz, cfg.nx), 0)
     K = _n_layers(rs)
     ch = cfg.das_channel
     uniform_l = _uniform_layers(cfg, rs)
@@ -390,8 +415,13 @@ def _record_rows(cfg: SimConfig, rs, recw, vz, vx, szz, sxx):
     prsum = szz + sxx
     for k in range(K):
         rm = rowmaps[k:k + 1, :]  # (1, nx) int32
+        if window is None:
+            own = 1.0
+        else:
+            own = ((rm >= window[0]) & (rm < window[1])).astype(jnp.float32)
+        wnd = lambda h, o=own: h * o
         uniform = uniform_l[k]
-        hot = (zi == rm).astype(jnp.float32)
+        hot = wnd((zi == rm).astype(jnp.float32))
         samp = lambda f, h=hot: jnp.sum(f * h, axis=0, keepdims=True)
         vxr = samp(vx)
         vzr = samp(vz)
@@ -409,11 +439,11 @@ def _record_rows(cfg: SimConfig, rs, recw, vz, vx, szz, sxx):
         if ch == "exx":
             ett_l.append(vxr - samp_xm1(vx, vxr))
         elif ch == "ezz":
-            hot_m1 = (zi == rm - 1).astype(jnp.float32)
+            hot_m1 = wnd((zi == rm - 1).astype(jnp.float32))
             ett_l.append(vzr - samp(vz, hot_m1))
         elif ch == "weighted":
-            hot_m1 = (zi == rm - 1).astype(jnp.float32)
-            hot_p1 = (zi == rm + 1).astype(jnp.float32)
+            hot_m1 = wnd((zi == rm - 1).astype(jnp.float32))
+            hot_p1 = wnd((zi == rm + 1).astype(jnp.float32))
             exx = (vxr - samp_xm1(vx, vxr)) / cfg.dx
             ezz = (vzr - samp(vz, hot_m1)) / cfg.dz
             vz_xp1 = (_roll(vzr, -1, 1) if uniform
@@ -473,7 +503,7 @@ def _stress_phase_values(cfg, prof, mask, src_hot, rxz, stresses, spsi,
 
 
 def _velocity_phase_values(cfg, rs, prof, mask, vels, stresses_new, vpsi,
-                           vdiffs, mats, recw):
+                           vdiffs, mats, recw, zi=None, rec_window=None):
     """Velocity half-step (el_velocity.cu:45-82) + recording, on precomputed
     stencil differences of the new stresses."""
     (vz, vx) = vels
@@ -496,12 +526,13 @@ def _velocity_phase_values(cfg, rs, prof, mask, vels, stresses_new, vpsi,
     dsxx = d_sxxdxp * ikxh + p_sxxdx
     vx = vx + mask * ((dsxzz + dsxx) * bycb * dt)
 
-    recs = _record_rows(cfg, rs, recw, vz, vx, szz, sxx)
+    recs = _record_rows(cfg, rs, recw, vz, vx, szz, sxx, zi=zi,
+                        window=rec_window)
     return (vz, vx), (p_szzdz, p_sxzdx, p_sxzdz, p_sxxdx), recs
 
 
 def _step_values(cfg: SimConfig, rs, prof, mask, src_hot, rxz,
-                 fields, psi, mats, amp, recw):
+                 fields, psi, mats, amp, recw, zi=None, rec_window=None):
     """One leapfrog step (el_stress.cu:50-87 + el_velocity.cu:45-82 + source
     + recording), as a pure function so `jax.vjp` of it yields the exact
     one-step adjoint (the backward oracle path).
@@ -553,7 +584,8 @@ def _step_values(cfg: SimConfig, rs, prof, mask, src_hot, rxz,
     dsxx = d * ikxh + p_sxxdx
     vx = vx + mask * ((dsxzz + dsxx) * bycb * dt)
 
-    recs = _record_rows(cfg, rs, recw, vz, vx, szz, sxx)
+    recs = _record_rows(cfg, rs, recw, vz, vx, szz, sxx, zi=zi,
+                        window=rec_window)
     new_fields = (vz, vx, szz, sxx, sxz)
     new_psi = (p_vzdz, p_vxdx, p_vxdz, p_vzdx, p_szzdz, p_sxzdx, p_sxzdz,
                p_sxxdx)
@@ -1826,19 +1858,43 @@ def plan_fast_path(cfg: SimConfig, rec_z, rec_x, das_w=None,
     return None
 
 
+def _grad_prop(cfg: SimConfig, rs):
+    """Pick the differentiable Pallas propagator for this workload: the
+    VMEM-resident fused kernel when its backward fits the measured VMEM
+    gates, else the grid-size-independent streamed engine
+    (ops/pallas_stream.py — HBM-resident state, z-tiled megasteps).
+    SEP2023_TPU_ENGINE=fused|stream forces either (tests/bench)."""
+    mode = os.environ.get("SEP2023_TPU_ENGINE", "auto")
+    if mode != "stream" and (mode == "fused"
+                             or grad_vmem_fits(cfg, n_layers=_n_layers(rs))):
+        return propagate_pallas
+    from sep2023_tpu.ops import pallas_stream as ps
+    return ps.propagate_pallas_streamed
+
+
+def plan_engine_name(plan: "FastPlan") -> str:
+    from sep2023_tpu.ops import pallas_stream as ps
+    return ("fused Pallas"
+            if _grad_prop(plan.cfg, plan.rs) is propagate_pallas
+            else "streamed Pallas")
+
+
 def propagate_pallas_plan(plan: FastPlan, lam, mu, rho, stf,
                           src_z, src_x, rxz):
-    """Differentiable fused-engine propagation under a FastPlan.  Arguments
-    are on the ORIGINAL grid; transposition (model swapaxes, src index swap,
-    source rescaling stf*rxz with moment ratio 1/rxz, vx/vz channel swap) is
-    plain JAX around the custom-vjp kernel, so AD routes the cotangents
-    through it automatically."""
+    """Differentiable Pallas propagation under a FastPlan.  Arguments are on
+    the ORIGINAL grid; transposition (model swapaxes, src index swap, source
+    rescaling stf*rxz with moment ratio 1/rxz, vx/vz channel swap) is plain
+    JAX around the custom-vjp kernel, so AD routes the cotangents through it
+    automatically.  Dispatches to the VMEM-resident fused kernel or — past
+    its measured VMEM range — the streamed engine, so the fast gradient is
+    grid-size-independent (the CUDA reference's `Boundary.cu` property)."""
+    prop = _grad_prop(plan.cfg, plan.rs)
     if not plan.transposed:
-        return propagate_pallas(plan.cfg, plan.rs, lam, mu, rho, stf,
-                                src_z, src_x, rxz)
+        return prop(plan.cfg, plan.rs, lam, mu, rho, stf,
+                    src_z, src_x, rxz)
     T = lambda a: jnp.swapaxes(a, 0, 1)
     rxz = jnp.asarray(rxz, stf.dtype)
-    data = propagate_pallas(plan.cfg, plan.rs, T(lam), T(mu), T(rho),
-                            stf * rxz[:, None], src_x, src_z, 1.0 / rxz)
+    data = prop(plan.cfg, plan.rs, T(lam), T(mu), T(rho),
+                stf * rxz[:, None], src_x, src_z, 1.0 / rxz)
     # transposed channels (pr, vx', vz', ett') = (pr, vz, vx, ett)
     return data[:, jnp.asarray([0, 2, 1, 3])]

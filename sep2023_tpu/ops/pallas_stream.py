@@ -1,0 +1,730 @@
+"""Streamed Pallas TPU engine: grid-size-independent fused gradient.
+
+The fused engine (ops/pallas_engine.py) keeps ALL wavefield state VMEM-
+resident for the whole time loop — the fastest possible plan, but bounded
+by VMEM: past ~528x704-padded grids its backward no longer compiles and the
+gradient used to collapse to the XLA fallback (~0.5 GCell/s, below the
+1 GCell/s baseline).  The CUDA reference has no such wall: its kernels
+stream every field through HBM each step (`el_stress.cu:89-104`,
+`Boundary.cu:17-41` work at any grid size).  This module gives the fused
+gradient the same property, TPU-style:
+
+  * the time loop is a `lax.scan` OUTSIDE Pallas; each step launches one
+    "megastep" kernel with a sequential grid over z-tiles;
+  * carried state — 5 primal fields (+8 psi forward) / 5 primal + 5 adjoint
+    fields + 8 adjoint psi (backward) — lives in HBM as one stacked
+    (NF, nz_ext, nxp) array and is DMA'd through VMEM tile-by-tile;
+  * each tile reads `T + 2*PAD` rows (PAD = 16 halo rows) and writes its
+    T interior rows, so stencil chains up to 8 rows deep (the measured
+    reach of reconstruct + phase-split adjoint) and `pltpu.roll`
+    wrap-around contamination (<= 8 rows from the scratch edge) never
+    touch written rows;
+  * boundary strips (`Boundary.cu` layout: left/right columns packed into
+    a (nz_ext, 128) plane, top/bottom rows into a (56, nxp) plane) and the
+    per-step recording rows ride the scan as ys (forward) / xs (backward) —
+    no in-kernel chunked strip DMA needed;
+  * per-cell HBM traffic per backward step is ~50 f32 planes
+    (18 in + 18 out + 5 materials + 2x5 gradient read-modify-write), an
+    ~4 GCell/s roofline at v5e bandwidth — far above the 1 GCell/s bar.
+
+The physics and the phase-split in-kernel adjoint are the SAME code as the
+fused engine (`_step_values`, `_stress/_velocity_phase_values`,
+`_record_rows` with the tile's global-row iota and an ownership window) —
+equality with the XLA engine is inherited and tested per tile count.
+
+z-tiling bookkeeping (all static except the grid index):
+  buffer row b <-> global row gz = b - PAD;  tile i reads buffer rows
+  [i*T, i*T + T + 2*PAD), writes [PAD + i*T, PAD + (i+1)*T); tile 0 / the
+  last tile additionally zero the PAD edge rows.  Top/bottom strip bands
+  (5 rows at static global rows z0/z1) are injected with a guarded dynamic
+  store when the band lies fully inside the tile's extended window; a band
+  straddling the window edge is safely skipped (its overlap is < 5 rows
+  from the scratch edge, which is outside every written row's 8-row reach).
+
+Reference parity: this engine is the TPU counterpart of the reference's
+HBM-resident kernel scheme (`libCUFD.cu:268-332` forward loop,
+`libCUFD.cu:545-653` reconstruct+adjoint loop, `el_stress_adj.cu` /
+`el_velocity_adj.cu` via machine vjps).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sep2023_tpu import cpml as cpml_mod
+from sep2023_tpu.config import SimConfig
+from sep2023_tpu.medium import MatFields, material_fields
+from sep2023_tpu.ops import pallas_engine as eng
+
+LANE = eng.LANE
+PAD = 16            # halo rows per tile side (>= stencil-chain reach 8 + 5)
+STRIP_L = eng.STRIP_L
+TB_ROWS = eng.TB_ROWS
+NF_FWD = 13         # vz vx szz sxx sxz + 8 psi
+NF_BWD = 18         # 5 primal + 5 adjoint fields + 8 adjoint psi
+
+
+def _pad8(n):
+    return eng._pad8(n)
+
+
+def _pad128(n):
+    return eng._pad128(n)
+
+
+def tile_rows(cfg: SimConfig) -> int:
+    """Tile height T (rows written per grid step).  SEP2023_TPU_STREAM_T
+    overrides (tests force small T to exercise multi-tile paths on tiny
+    grids).  The default budgets ~70 (T+2*PAD, nxp) f32 plane-tiles —
+    resident state + Mosaic's vjp temporaries — under ~80 MiB of the
+    100 MiB scoped VMEM."""
+    env = os.environ.get("SEP2023_TPU_STREAM_T")
+    if env:
+        T = int(env)
+    else:
+        nxp = _pad128(cfg.nx)
+        budget = 80 * 2 ** 20
+        e_rows = budget // (70 * nxp * 4)
+        T = int(max(32, min(256, e_rows - 2 * PAD)))
+        T = (T // 8) * 8
+    return min(T, _pad8(cfg.nz))
+
+
+def _layout(cfg: SimConfig):
+    T = tile_rows(cfg)
+    n_tiles = -(-cfg.nz // T)
+    nz_ext = PAD + n_tiles * T + PAD
+    nxp = _pad128(cfg.nx)
+    return T, n_tiles, nz_ext, nxp
+
+
+def _ext_plane(a, nz_ext, nxp):
+    """Embed an (nz, nx) plane at [PAD:PAD+nz, :nx] of a zero (nz_ext, nxp)
+    buffer (ghost/pad rows and lanes stay zero so masked physics, zeroed
+    profiles and zeroed materials keep them inert)."""
+    nz, nx = a.shape
+    out = jnp.zeros((nz_ext, nxp), jnp.float32)
+    return out.at[PAD:PAD + nz, :nx].set(a.astype(jnp.float32))
+
+
+def _profiles_ext(cfg: SimConfig, nz_ext, nxp):
+    """Division-free scaled CPML profiles, zero-padded into the extended
+    layout: pad/ghost rows get ik = a = b = 0, which makes every derived
+    quantity (psi, d_eff) vanish there by construction."""
+    cp = cpml_mod.cpml_scaled(cfg.nz, cfg.nx, cfg.npml, cfg.dz, cfg.dx,
+                              cfg.dt, cfg.f0, dtype=np.float32)
+    zcol = lambda p: jnp.zeros((nz_ext, 1), jnp.float32).at[
+        PAD:PAD + cfg.nz].set(jnp.asarray(p))
+    xrow = lambda p: jnp.zeros((1, nxp), jnp.float32).at[
+        :, :cfg.nx].set(jnp.asarray(p))
+    return (zcol(cp.ikz), zcol(cp.az), zcol(cp.bz),
+            zcol(cp.ikz_h), zcol(cp.az_h), zcol(cp.bz_h),
+            xrow(cp.ikx), xrow(cp.ax), xrow(cp.bx),
+            xrow(cp.ikx_h), xrow(cp.ax_h), xrow(cp.bx_h))
+
+
+def _recw_inputs_padded(cfg: SimConfig, rs, nxp):
+    """Engine recording inputs lane-padded to nxp.  Row maps pad
+    edge-replicated (keeps per-layer uniformity for the cheap lane-roll
+    sampling; padded lanes only ever multiply zero field columns), weight
+    rows pad with zeros."""
+    ins = eng._recw_inputs(cfg, rs)
+    out = [jnp.pad(ins[0], ((0, 0), (0, nxp - cfg.nx)), mode="edge")]
+    if len(ins) > 1:
+        out.append(jnp.pad(ins[1], ((0, 0), (0, nxp - cfg.nx))))
+    return out
+
+
+def _tile_masks(cfg: SimConfig, T, r0, E, nxp, src_z, src_x):
+    """Update mask / source plane / interior mask on the tile's extended
+    window, from the GLOBAL row index gz = buffer_row - PAD."""
+    zi_loc = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    gz = zi_loc + (r0 - PAD)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+    mask = ((gz >= 2) & (gz <= cfg.nz - 3) & (xi >= 2)
+            & (xi <= cfg.nx - 3)).astype(jnp.float32)
+    src_hot = ((gz == src_z) & (xi == src_x)).astype(jnp.float32)
+    interior = ((gz >= cfg.npml) & (gz <= cfg.nz - 1 - cfg.npml)
+                & (xi >= cfg.npml)
+                & (xi <= cfg.nx - 1 - cfg.npml)).astype(jnp.float32)
+    return gz, mask, src_hot, interior
+
+
+def _slice_prof(prof_refs, r0, E):
+    """Tile-sliced profile values: z-profiles (E, 1), x-profiles (1, nxp)."""
+    out = []
+    for j, ref in enumerate(prof_refs):
+        if j < 6:  # z profiles: (nz_ext, 1)
+            out.append(ref[pl.ds(pl.multiple_of(r0, 8), E), :])
+        else:      # x profiles: (1, nxp)
+            out.append(ref[:])
+    return tuple(out)
+
+
+def _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which):
+    """Tile version of field_to_bnd (Boundary.cu:78-101): overwrite the
+    5-deep edge strips of the selected field planes of the tile scratch.
+    Left/right columns come from the tile's rows of the (nz_ext, 128) lr
+    plane (static lane slices); top/bottom bands are guarded dynamic-row
+    stores, skipped when the band straddles the window edge (safe: the
+    straddling part is outside every written row's stencil reach)."""
+    _, z0, z1, x0, x1 = _strip_bounds5(cfg)
+    L = STRIP_L
+    lr_rows = lr_ref[pl.ds(pl.multiple_of(r0, 8), E), :]
+    for f_idx in which:
+        c = f_idx * 2 * L
+        sst[f_idx, :, x0:x0 + L] = lr_rows[:, c:c + L]
+        sst[f_idx, :, x1:x1 + L] = lr_rows[:, c + L:c + 2 * L]
+        for b_glob, row_off in ((z0 + PAD, c), (z1 + PAD, c + L)):
+            lo = b_glob - r0
+            ok = (lo >= 0) & (lo <= E - L)
+            lo_c = jnp.clip(lo, 0, E - L)
+
+            # single-row dynamic stores: Mosaic cannot prove an arbitrary
+            # band offset is sublane-aligned for a 5-row vector store
+            @pl.when(ok)
+            def _(f_idx=f_idx, lo_c=lo_c, row_off=row_off):
+                for j in range(L):
+                    sst[f_idx, pl.ds(lo_c + j, 1), :] = (
+                        tb_ref[row_off + j:row_off + j + 1, :])
+
+
+def _strip_bounds5(cfg):
+    z0, z1, x0, x1 = eng._strip_bounds(cfg)
+    return STRIP_L, z0, z1, x0, x1
+
+
+def _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles):
+    """Pack the PRE-update tile state into the per-step strip planes
+    (field_from_bnd, utilities.cu:362-425): left/right columns of the
+    tile's interior rows into lr_out (10 lanes per field), top/bottom bands
+    into tb_out when fully inside the window."""
+    _, z0, z1, x0, x1 = _strip_bounds5(cfg)
+    L = STRIP_L
+
+    @pl.when(i == 0)
+    def _zero_edges():
+        lr_out[0:PAD, :] = jnp.zeros((PAD, LANE), jnp.float32)
+        tb_out[:] = jnp.zeros_like(tb_out)
+
+    @pl.when(i == n_tiles - 1)
+    def _zero_tail():
+        nz_ext = PAD + n_tiles * T + PAD
+        lr_out[nz_ext - PAD:nz_ext, :] = jnp.zeros((PAD, LANE), jnp.float32)
+
+    row0 = pl.multiple_of(r0 + PAD, 8)
+    for f_idx in range(eng.N_FIELDS):
+        c = f_idx * 2 * L
+        lr_out[pl.ds(row0, T), c:c + L] = sst[f_idx, PAD:PAD + T,
+                                              x0:x0 + L]
+        lr_out[pl.ds(row0, T), c + L:c + 2 * L] = sst[f_idx, PAD:PAD + T,
+                                                      x1:x1 + L]
+        for b_glob, row_off in ((z0 + PAD, c), (z1 + PAD, c + L)):
+            lo = b_glob - r0
+            ok = (lo >= 0) & (lo <= E - L)
+            lo_c = jnp.clip(lo, 0, E - L)
+
+            @pl.when(ok)
+            def _(f_idx=f_idx, lo_c=lo_c, row_off=row_off):
+                for j in range(L):
+                    tb_out[row_off + j:row_off + j + 1, :] = (
+                        sst[f_idx, pl.ds(lo_c + j, 1), :])
+
+
+# ---------------------------------------------------------------------------
+# Forward megastep kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
+                     srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
+    E = T + 2 * PAD
+    state_in = args[0]
+    mats_in = args[1]
+    prof_refs = args[2:14]
+    recw_refs = args[14:14 + n_recw]
+    p = 14 + n_recw
+    state_out = args[p]
+    rec_out = args[p + 1]
+    if save_strips:
+        lr_out, tb_out = args[p + 2:p + 4]
+        p += 4
+    else:
+        lr_out = tb_out = None
+        p += 2
+    sst, mat_t = args[p:p + 2]
+    sems = args[p + 2]
+
+    i = pl.program_id(0)
+    r0 = i * T
+    NC = 4 * eng._n_layers(rs)
+
+    cp_in = pltpu.make_async_copy(state_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], sst,
+                                  sems.at[0])
+    cp_m = pltpu.make_async_copy(mats_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], mat_t,
+                                 sems.at[1])
+    cp_in.start()
+    cp_m.start()
+    cp_in.wait()
+    cp_m.wait()
+
+    gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
+                                       srcz_ref[0], srcx_ref[0])
+    prof = _slice_prof(prof_refs, r0, E)
+    recw = eng._read_recw(recw_refs)
+    mats = tuple(mat_t[m] for m in range(5))
+
+    if save_strips:
+        _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles)
+
+    fields = tuple(sst[f] for f in range(5))
+    psi = tuple(sst[5 + j] for j in range(8))
+    new_fields, new_psi, recs = eng._step_values(
+        cfg, rs, prof, mask, src_hot, rxz_ref[0], fields, psi, mats,
+        amp_ref[0], recw, zi=gz, rec_window=(r0, r0 + T))
+    for f, v in enumerate(new_fields):
+        sst[f] = v
+    for j, v in enumerate(new_psi):
+        sst[5 + j] = v
+
+    @pl.when(i == 0)
+    def _init_rec():
+        rec_out[:] = jnp.zeros_like(rec_out)
+
+    for c in range(NC):
+        rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
+
+    # pad rows stay zero in the carried state
+    @pl.when(i == 0)
+    def _zero_top():
+        for f in range(NF_FWD):
+            sst[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(sst.at[:, 0:PAD, :],
+                                   state_out.at[:, 0:PAD, :], sems.at[2])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == n_tiles - 1)
+    def _zero_bot():
+        for f in range(NF_FWD):
+            sst[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(
+            sst.at[:, E - PAD:E, :],
+            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :], sems.at[2])
+        cp.start()
+        cp.wait()
+
+    cp_out = pltpu.make_async_copy(
+        sst.at[:, PAD:PAD + T, :],
+        state_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], sems.at[0])
+    cp_out.start()
+    cp_out.wait()
+
+
+def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    E = T + 2 * PAD
+    f32 = jnp.float32
+    NC = 4 * eng._n_layers(rs)
+    recw_in = _recw_inputs_padded(cfg, rs, nxp)
+    n_recw = len(recw_in)
+
+    out_shape = [jax.ShapeDtypeStruct((NF_FWD, nz_ext, nxp), f32),
+                 jax.ShapeDtypeStruct((NC, nxp), f32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                 pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if save_strips:
+        out_shape += [jax.ShapeDtypeStruct((nz_ext, LANE), f32),
+                      jax.ShapeDtypeStruct((TB_ROWS, nxp), f32)]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
+    kernel = functools.partial(_fwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
+                               n_recw, save_strips)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)),
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((NF_FWD, E, nxp), f32),
+                        pltpu.VMEM((5, E, nxp), f32),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )
+    interp = eng._interpret()
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )
+
+    def step(state, mats_ext, profs, sz1, sx1, rxz1, amp):
+        return call(sz1, sx1, rxz1, jnp.reshape(amp, (1,)).astype(f32),
+                    state, mats_ext, *profs, *recw_in)
+
+    return step
+
+
+def _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp):
+    f32 = jnp.float32
+    mat = material_fields(lam.astype(f32), mu.astype(f32), rho.astype(f32))
+    return jnp.stack([_ext_plane(p, nz_ext, nxp)
+                      for p in (mat.lam, mat.lp2m, mat.ave_mu,
+                                mat.byc_a, mat.byc_b)])
+
+
+def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
+                    save_strips: bool):
+    """Single-shot streamed forward.  stf1: (nt,).  Returns data (4, R, nt)
+    [+ (lr_all, tb_all, final_state) when save_strips]."""
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    f32 = jnp.float32
+    mats_ext = _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp)
+    profs = _profiles_ext(cfg, nz_ext, nxp)
+    step = _make_fwd_megastep(cfg, rs, save_strips)
+    sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
+    sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
+    rxz1 = jnp.reshape(rxz1, (1,)).astype(f32)
+    state0 = jnp.zeros((NF_FWD, nz_ext, nxp), f32)
+
+    def body(state, amp):
+        outs = step(state, mats_ext, profs, sz1, sx1, rxz1, amp)
+        if save_strips:
+            state2, rec, lr_t, tb_t = outs
+            return state2, (rec, lr_t, tb_t)
+        state2, rec = outs
+        return state2, rec
+
+    final, ys = jax.lax.scan(body, state0, stf1[:cfg.nt - 1].astype(f32))
+    rec_seq = ys[0] if save_strips else ys          # (nt-1, NC, nxp)
+    NC = rec_seq.shape[1]
+    planes = jnp.concatenate(
+        [jnp.zeros((NC, 1, nxp), f32), jnp.moveaxis(rec_seq, 0, 1)],
+        axis=1)[None]                               # (1, NC, nt, nxp)
+    data = eng._extract_data(cfg, rs, planes)[0]    # (4, R, nt)
+    if save_strips:
+        return data, ys[1], ys[2], final
+    return data
+
+
+# ---------------------------------------------------------------------------
+# Backward megastep kernel (reconstruct + phase-split adjoint, full variant)
+# ---------------------------------------------------------------------------
+
+def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
+                     srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
+    E = T + 2 * PAD
+    state_in = args[0]
+    mats_in = args[1]
+    gmat_in = args[2]
+    prof_refs = args[3:15]
+    recw_refs = args[15:15 + n_recw]
+    p = 15 + n_recw
+    lr_ref = args[p]
+    tb_ref = args[p + 1]
+    drec_ref = args[p + 2]
+    state_out = args[p + 3]
+    gmat_out = args[p + 4]
+    dstf_out = args[p + 5]
+    sst, mat_t, gm_t = args[p + 6:p + 9]
+    sems = args[p + 9]
+
+    i = pl.program_id(0)
+    r0 = i * T
+    NC = 4 * eng._n_layers(rs)
+    dt = cfg.dt
+    rdz, rdx = 1.0 / cfg.dz, 1.0 / cfg.dx
+
+    cp_in = pltpu.make_async_copy(state_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], sst,
+                                  sems.at[0])
+    cp_m = pltpu.make_async_copy(mats_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], mat_t,
+                                 sems.at[1])
+    cp_g = pltpu.make_async_copy(gmat_in.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], gm_t,
+                                 sems.at[2])
+    cp_in.start()
+    cp_m.start()
+    cp_g.start()
+    cp_in.wait()
+    cp_m.wait()
+    cp_g.wait()
+
+    src_z = srcz_ref[0]
+    src_x = srcx_ref[0]
+    rxz = rxz_ref[0]
+    amp = amp_ref[0]
+    gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
+                                              src_z, src_x)
+    prof = _slice_prof(prof_refs, r0, E)
+    recw = eng._read_recw(recw_refs)
+    m = tuple(mat_t[k] for k in range(5))
+    (lam, lp2m, avemu, byca, bycb) = m
+
+    # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) ----------------
+    (vz, vx, szz, sxx, sxz) = tuple(sst[f] for f in range(5))
+    szz_tp1, sxx_tp1 = szz, sxx
+    vd = eng._velocity_diffs(szz, sxx, sxz)
+    dvz = vd[0] * rdz + vd[1] * rdx
+    dvx = vd[2] * rdz + vd[3] * rdx
+    sst[0] = vz - interior * (dvz * byca * dt)
+    sst[1] = vx - interior * (dvx * bycb * dt)
+    _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(0, 1))
+    vz, vx = sst[0], sst[1]
+    s_amp = cfg.src_scale * dt * amp
+    szz = szz - src_hot * s_amp
+    sxx = sxx - src_hot * (rxz * s_amp)
+    sd = eng._stress_diffs(vz, vx)
+    dvz_dz = sd[0] * rdz
+    dvx_dx = sd[1] * rdx
+    sst[2] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
+    sst[3] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
+    dvx_dz = sd[2] * rdz
+    dvz_dx = sd[3] * rdx
+    sst[4] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
+    _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(2, 3, 4))
+    fields_t = tuple(sst[f] for f in range(5))
+
+    adj_f = tuple(sst[5 + f] for f in range(5))
+    adj_p = tuple(sst[10 + j] for j in range(8))
+    d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
+    zero4 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(4))
+
+    # ---- phase-split adjoint reusing the reconstruction stencils ----------
+    # (identical construction to pallas_engine._bwd_kernel's phased branch;
+    # per-phase jax.vjp on diffs-as-inputs + closed-form stencil transposes)
+    vfun = lambda vels, stv, vpsi, vdiffs, mats_: (
+        eng._velocity_phase_values(cfg, rs, prof, mask, vels, stv, vpsi,
+                                   vdiffs, mats_, recw, zi=gz))
+    _, vvjp = jax.vjp(vfun, (fields_t[0], fields_t[1]),
+                      (szz_tp1, sxx_tp1), zero4, vd, m)
+    (d_vels, d_stv, d_vpsi_in, d_vdiffs, d_mats_v) = vvjp(
+        ((adj_f[0], adj_f[1]), adj_p[4:], d_rec))
+
+    cot_szz = adj_f[2] + d_stv[0] + eng._dz_plus_t(d_vdiffs[0])
+    cot_sxx = adj_f[3] + d_stv[1] + eng._dx_plus_t(d_vdiffs[3])
+    cot_sxz = (adj_f[4] + eng._dx_minus_t(d_vdiffs[1])
+               + eng._dz_minus_t(d_vdiffs[2]))
+
+    sfun = lambda stresses, spsi, sdiffs, mats_, a: (
+        eng._stress_phase_values(cfg, prof, mask, src_hot, rxz,
+                                 stresses, spsi, sdiffs, mats_, a))
+    _, svjp = jax.vjp(sfun, (fields_t[2], fields_t[3], fields_t[4]),
+                      zero4, sd, m, amp)
+    (d_st, d_spsi_in, d_sdiffs, d_mats_m, d_amp) = svjp(
+        ((cot_szz, cot_sxx, cot_sxz), adj_p[:4]))
+
+    cot_vz = d_vels[0] + eng._dz_minus_t(d_sdiffs[0]) + eng._dx_plus_t(
+        d_sdiffs[3])
+    cot_vx = d_vels[1] + eng._dx_minus_t(d_sdiffs[1]) + eng._dz_plus_t(
+        d_sdiffs[2])
+    d_fields = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
+    d_psi = (*d_spsi_in, *d_vpsi_in)
+    d_mats = tuple(a + b for a, b in zip(d_mats_m, d_mats_v))
+
+    for f, v in enumerate(d_fields):
+        sst[5 + f] = v
+    for j, v in enumerate(d_psi):
+        sst[10 + j] = v
+    for f, v in enumerate(d_mats):
+        gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
+
+    # d_stf: exactly one tile owns the source row — it alone writes
+    own_src = ((src_z + PAD) >= (r0 + PAD)) & ((src_z + PAD) < (r0 + PAD + T))
+
+    @pl.when(own_src)
+    def _write_dstf():
+        dstf_out[0] = d_amp
+
+    @pl.when(i == 0)
+    def _zero_top():
+        for f in range(NF_BWD):
+            sst[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(sst.at[:, 0:PAD, :],
+                                   state_out.at[:, 0:PAD, :], sems.at[2])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == n_tiles - 1)
+    def _zero_bot():
+        for f in range(NF_BWD):
+            sst[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(
+            sst.at[:, E - PAD:E, :],
+            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :], sems.at[2])
+        cp.start()
+        cp.wait()
+
+    cp_out = pltpu.make_async_copy(
+        sst.at[:, PAD:PAD + T, :],
+        state_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], sems.at[0])
+    cp_gout = pltpu.make_async_copy(
+        gm_t, gmat_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], sems.at[1])
+    cp_out.start()
+    cp_gout.start()
+    cp_out.wait()
+    cp_gout.wait()
+
+
+def _make_bwd_megastep(cfg: SimConfig, rs):
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    E = T + 2 * PAD
+    f32 = jnp.float32
+    NC = 4 * eng._n_layers(rs)
+    recw_in = _recw_inputs_padded(cfg, rs, nxp)
+    n_recw = len(recw_in)
+
+    kernel = functools.partial(_bwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
+                               n_recw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.VMEM((NF_BWD, E, nxp), f32),
+                        pltpu.VMEM((5, E, nxp), f32),
+                        pltpu.VMEM((5, T, nxp), f32),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )
+    out_shape = [jax.ShapeDtypeStruct((NF_BWD, nz_ext, nxp), f32),
+                 jax.ShapeDtypeStruct((5, nz_ext, nxp), f32),
+                 jax.ShapeDtypeStruct((1,), f32)]
+    interp = eng._interpret()
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )
+
+    def step(state, gmat, mats_ext, profs, sz1, sx1, rxz1, amp, lr_t, tb_t,
+             drec_t):
+        return call(sz1, sx1, rxz1, jnp.reshape(amp, (1,)).astype(f32),
+                    state, mats_ext, gmat, *profs, *recw_in,
+                    lr_t, tb_t, drec_t)
+
+    return step
+
+
+def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
+                     final, lr_all, tb_all, d_data):
+    """Single-shot streamed backward: reverse scan of the backward megastep.
+    Returns (d_lam, d_mu, d_rho, d_stf(nt,))."""
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    f32 = jnp.float32
+    mats_ext = _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp)
+    profs = _profiles_ext(cfg, nz_ext, nxp)
+    step = _make_bwd_megastep(cfg, rs)
+    sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
+    sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
+    rxz1 = jnp.reshape(rxz1, (1,)).astype(f32)
+
+    # primal fields from the forward's final state; adjoint state zero
+    state0 = jnp.concatenate(
+        [final[:5], jnp.zeros((NF_BWD - 5, nz_ext, nxp), f32)])
+    gmat0 = jnp.zeros((5, nz_ext, nxp), f32)
+
+    # (4, R, nt) cotangent -> (NC, nt, nxp) row planes -> per-step rows
+    dd = eng._place_cotangent(cfg, rs, d_data[None], cfg.nt, nxp)[0]
+    drec_seq = jnp.moveaxis(dd, 1, 0)               # (nt, NC, nxp)
+
+    def rbody(carry, xs):
+        state, gmat = carry
+        lr_t, tb_t, drec_t, amp = xs
+        state2, gmat2, d_amp = step(state, gmat, mats_ext, profs, sz1, sx1,
+                                    rxz1, amp, lr_t, tb_t, drec_t)
+        return (state2, gmat2), d_amp[0]
+
+    xs = (lr_all, tb_all, drec_seq[1:], stf1[:cfg.nt - 1].astype(f32))
+    (_, gmat), d_stf_main = jax.lax.scan(rbody, (state0, gmat0), xs,
+                                         reverse=True)
+
+    # crop the extended layout, restrict to the interior (reconstruction is
+    # only exact there) and chain through the staggered material averaging
+    g = gmat[:, PAD:PAD + cfg.nz, :cfg.nx]
+    mzi = (jnp.arange(cfg.nz) >= cfg.npml) & (jnp.arange(cfg.nz)
+                                              <= cfg.nz - 1 - cfg.npml)
+    mxi = (jnp.arange(cfg.nx) >= cfg.npml) & (jnp.arange(cfg.nx)
+                                              <= cfg.nx - 1 - cfg.npml)
+    msk = (mzi[:, None] & mxi[None, :]).astype(f32)
+    gmat_t = MatFields(lam=g[0] * msk, lp2m=g[1] * msk, ave_mu=g[2] * msk,
+                       byc_a=g[3] * msk, byc_b=g[4] * msk)
+    _, mat_vjp = jax.vjp(material_fields, lam.astype(f32), mu.astype(f32),
+                         rho.astype(f32))
+    d_lam, d_mu, d_rho = mat_vjp(gmat_t)
+    d_stf = jnp.concatenate([d_stf_main, jnp.zeros((1,), f32)])
+    return d_lam, d_mu, d_rho, d_stf
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper + shot batching
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _stream_one(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1):
+    return _stream_forward(cfg, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
+                           save_strips=False)
+
+
+def _so_fwd(cfg, rs, lam, mu, rho, stf1, sz1, sx1, rxz1):
+    data, lr_all, tb_all, final = _stream_forward(
+        cfg, rs, lam, mu, rho, stf1, sz1, sx1, rxz1, save_strips=True)
+    return data, (lam, mu, rho, stf1, sz1, sx1, rxz1, final, lr_all, tb_all)
+
+
+def _so_bwd(cfg, rs, res, d_data):
+    lam, mu, rho, stf1, sz1, sx1, rxz1, final, lr_all, tb_all = res
+    d_lam, d_mu, d_rho, d_stf = _stream_backward(
+        cfg, rs, lam, mu, rho, stf1, sz1, sx1, rxz1, final, lr_all, tb_all,
+        d_data)
+    f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+    return (d_lam.astype(lam.dtype), d_mu.astype(mu.dtype),
+            d_rho.astype(rho.dtype), d_stf.astype(stf1.dtype),
+            f0(sz1), f0(sx1), jnp.zeros_like(jnp.asarray(rxz1)))
+
+
+_stream_one.defvjp(_so_fwd, _so_bwd)
+
+
+def propagate_pallas_streamed(cfg: SimConfig, rs, lam, mu, rho, stf,
+                              src_z, src_x, rxz):
+    """Differentiable streamed propagator, shot-batched: data (S, 4, R, nt)
+    float32.  Same signature/semantics as `pallas_engine.propagate_pallas`,
+    but grid-size-independent: shots run sequentially (`lax.map`) so peak
+    HBM is one shot's strips, and each shot's state streams tile-by-tile
+    through VMEM.  Gradients w.r.t. lam, mu, rho, stf."""
+    rxz = jnp.broadcast_to(jnp.asarray(rxz, jnp.float32), stf.shape[:1])
+
+    def one(xs):
+        stf1, sz1, sx1, rxz1 = xs
+        return _stream_one(cfg, rs, lam, mu, rho, stf1, sz1, sx1, rxz1)
+
+    return jax.lax.map(one, (stf, jnp.asarray(src_z, jnp.int32),
+                             jnp.asarray(src_x, jnp.int32), rxz))
+
+
+def forward_pallas_streamed(cfg: SimConfig, rs, lam, mu, rho, stf,
+                            src_z, src_x, rxz):
+    """Streamed forward only (observed-data generation at any grid size)."""
+    rxz = jnp.broadcast_to(jnp.asarray(rxz, jnp.float32), stf.shape[:1])
+
+    def one(xs):
+        stf1, sz1, sx1, rxz1 = xs
+        return _stream_forward(cfg, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
+                               save_strips=False)
+
+    return jax.lax.map(one, (stf, jnp.asarray(src_z, jnp.int32),
+                             jnp.asarray(src_x, jnp.int32), rxz))

@@ -1,0 +1,193 @@
+"""Streamed Pallas engine (ops/pallas_stream.py) vs the XLA oracle.
+
+All tests force SEP2023_TPU_STREAM_T=16 so even the tiny test grids split
+into several z-tiles — exercising the halo reads, tile-interior writes,
+strip-band ownership guards and the recording ownership window.  Kernels run
+in interpret mode on CPU; the same megasteps compile via Mosaic on TPU
+(bench.py / the tpu-marked suite)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sep2023_tpu as st
+from sep2023_tpu import parallel
+from sep2023_tpu.config import Survey
+from sep2023_tpu.ops import pallas_engine as pe
+from sep2023_tpu.ops import pallas_stream as ps
+
+
+@pytest.fixture(autouse=True)
+def _small_tiles(monkeypatch):
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "16")
+
+
+def _mini_medium(cfg, dtype=jnp.float32):
+    vp_a = jnp.full(cfg.grid.shape, 3000.0).at[26:32, 30:44].add(220.0)
+    med = st.Medium(vp_a, vp_a / jnp.sqrt(3.0),
+                    jnp.full(cfg.grid.shape, 2500.0))
+    return (med.lam.astype(dtype), med.mu.astype(dtype),
+            med.rho.astype(dtype))
+
+
+def _xla_fwd(cfg, lam, mu, rho, stf, geoms):
+    f = jax.jit(lambda *a: jax.vmap(
+        lambda s, g: st.propagate(cfg, a[0], a[1], a[2], s, g))(a[3], a[4]))
+    return np.asarray(f(lam, mu, rho, stf, geoms)).astype(np.float32)
+
+
+def _assert_close(out, ref, tol):
+    for c in range(4):
+        scale = np.abs(ref[:, c]).max()
+        if scale == 0:
+            continue
+        rel = np.abs(out[:, c] - ref[:, c]).max() / scale
+        assert rel < tol, (c, rel)
+
+
+def test_streamed_forward_and_gradient_match_xla():
+    """Row survey across 4 z-tiles: streamed forward and the full streamed
+    boundary-saving gradient (lam, mu, rho, stf) against the XLA engine."""
+    npml = 10
+    cfg = st.SimConfig(nz=44 + 2 * npml, nx=60 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=120, dt=0.002, f0=10.0, npml=npml)
+    assert ps._layout(cfg)[1] >= 4  # multiple tiles
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([2, 30]), src_x=np.array([14, 40]),
+                    rec_z=np.full(24, 38), rec_x=np.arange(16, 40))
+    geoms = parallel.survey_to_geoms(survey, npml, dtype=jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    rs = pe.check_row_survey(survey.rec_z + npml, survey.rec_x + npml)
+    sz = jnp.asarray(survey.src_z + npml)
+    sx = jnp.asarray(survey.src_x + npml)
+    rxz = jnp.asarray(survey.src_rxz)
+
+    out = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    ref = _xla_fwd(cfg, lam, mu, rho, stf, geoms)
+    _assert_close(out, ref, 3e-5)
+
+    obs = jnp.asarray(_xla_fwd(cfg, lam * 1.03, mu * 0.98, rho, stf, geoms))
+
+    def loss_s(lam_, mu_, rho_, stf_):
+        syn = ps.propagate_pallas_streamed(cfg, rs, lam_, mu_, rho_, stf_,
+                                           sz, sx, rxz)
+        return jnp.sum((syn - obs) ** 2)
+
+    def loss_x(lam_, mu_, rho_, stf_):
+        syn = jax.vmap(lambda s, g: st.propagate(cfg, lam_, mu_, rho_,
+                                                 s, g))(stf_, geoms)
+        return jnp.sum((syn.astype(jnp.float32) - obs) ** 2)
+
+    gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(lam, mu, rho, stf)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(lam, mu, rho, stf)
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), gs, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / np.abs(b).max()
+        assert rel < 5e-4, (name, rel)
+
+
+def test_streamed_weighted_curved_fiber_matches_xla():
+    """The paper's DAS acquisition (curved fiber, K-layer FiberSurvey,
+    directional sensitivity weights) on the STREAMED engine, forced through
+    the plan dispatch: forward + lam gradient vs XLA."""
+    from sep2023_tpu import das
+
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=10.0, dx=10.0,
+                       nt=120, dt=0.001, f0=15.0, npml=npml,
+                       das_channel="weighted")
+    cable = das.arc_fiber(80.0, 2.0 / np.pi, center=(260.0, 200.0, 0.0))
+    rec_z, rec_x, das_w = das.cable_to_receivers(cable, cfg.dx, cfg.dz)
+    survey = Survey(src_z=np.array([2, 2]), src_x=np.array([14, 40]),
+                    rec_z=rec_z, rec_x=rec_x)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    lam, mu, rho = _mini_medium(cfg)
+    geoms = st.ShotGeom(
+        src_z=jnp.asarray(survey.src_z + npml, jnp.int32),
+        src_x=jnp.asarray(survey.src_x + npml, jnp.int32),
+        rxz=jnp.asarray(survey.src_rxz, jnp.float32),
+        rec_z=jnp.broadcast_to(jnp.asarray(survey.rec_z + npml, jnp.int32),
+                               (2, survey.n_rec)),
+        rec_x=jnp.broadcast_to(jnp.asarray(survey.rec_x + npml, jnp.int32),
+                               (2, survey.n_rec)),
+        das_w=jnp.broadcast_to(jnp.asarray(das_w, jnp.float32),
+                               (2, *das_w.shape)))
+    plan = pe.plan_fast_path(cfg, survey.rec_z + npml, survey.rec_x + npml,
+                             das_w=das_w)
+    assert isinstance(plan.rs, pe.FiberSurvey) and plan.rs.n_layers >= 2
+
+    sz = jnp.asarray(survey.src_z + npml)
+    sx = jnp.asarray(survey.src_x + npml)
+    rz = jnp.asarray(survey.src_rxz, jnp.float32)
+    out = np.asarray(ps.propagate_pallas_streamed(
+        plan.cfg, plan.rs, lam, mu, rho, stf, sz, sx, rz))
+    ref = _xla_fwd(cfg, lam, mu, rho, stf, geoms)
+    _assert_close(out, ref, 3e-5)
+
+    obs = jnp.asarray(ref * 1.01)
+
+    def loss_p(lam_):
+        syn = ps.propagate_pallas_streamed(plan.cfg, plan.rs, lam_, mu, rho,
+                                           stf, sz, sx, rz)
+        r = (obs - syn)[:, 3]
+        return 0.5 * jnp.sum(r * r)
+
+    def loss_x(lam_):
+        syn = jax.vmap(lambda s, g: st.propagate(cfg, lam_, mu, rho, s, g))(
+            stf, geoms)
+        r = (obs - syn)[:, 3]
+        return 0.5 * jnp.sum(r * r)
+
+    g_p = np.asarray(jax.grad(loss_p)(lam))
+    g_x = np.asarray(jax.grad(loss_x)(lam))
+    assert np.abs(g_p - g_x).max() / np.abs(g_x).max() < 5e-4
+
+
+def test_streamed_transposed_column_survey(monkeypatch):
+    """Borehole column receivers through the plan dispatch with the streamed
+    engine forced (SEP2023_TPU_ENGINE=stream): the transposition wrapper
+    (model swapaxes, stf*rxz source rescale, channel swap) must route
+    through the streamed custom_vjp identically."""
+    monkeypatch.setenv("SEP2023_TPU_ENGINE", "stream")
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=10.0,
+                       nt=120, dt=0.002, f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([6, 20]), src_x=np.array([6, 6]),
+                    rec_z=np.arange(8, 34), rec_x=np.full(26, 48),
+                    src_rxz=np.array([1.0, 3.0]))
+    geoms = parallel.survey_to_geoms(survey, npml, dtype=jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    plan = pe.plan_fast_path(cfg, survey.rec_z + npml, survey.rec_x + npml)
+    assert plan is not None and plan.transposed
+    assert pe.plan_engine_name(plan) == "streamed Pallas"
+    out = np.asarray(pe.propagate_pallas_plan(
+        plan, lam, mu, rho, stf, jnp.asarray(survey.src_z + npml),
+        jnp.asarray(survey.src_x + npml), jnp.asarray(survey.src_rxz)))
+    ref = _xla_fwd(cfg, lam, mu, rho, stf, geoms)
+    _assert_close(out, ref, 3e-5)
+
+
+def test_grad_dispatch_picks_streamed_past_vmem_gate():
+    """plan dispatch: inside the measured VMEM gates the fused kernel runs;
+    on a Marmousi-scale grid `grad_vmem_fits` fails and the dispatcher
+    selects the streamed engine instead of the XLA fallback."""
+    small = st.SimConfig(nz=165, nx=265, dz=20.0, dx=20.0, nt=100, dt=0.002,
+                         f0=10.0, npml=32)
+    big = st.SimConfig(nz=814, nx=2064, dz=10.0, dx=10.0, nt=100, dt=0.001,
+                       f0=10.0, npml=32)
+    rs = pe.RowSurvey(rec_row=60, rec_x0=40, n_rec=100)
+    assert pe.grad_vmem_fits(small)
+    assert not pe.grad_vmem_fits(big)
+    assert pe._grad_prop(small, rs) is pe.propagate_pallas
+    assert pe._grad_prop(big, rs) is ps.propagate_pallas_streamed
+    # streamed layout at Marmousi scale: sane tile count, full coverage
+    T, n_tiles, nz_ext, nxp = ps._layout(big)
+    assert n_tiles * T >= big.nz and nxp >= big.nx
