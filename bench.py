@@ -129,6 +129,39 @@ def main():
     cells_rock = cfg_r.nz * cfg_r.nx * (cfg_r.nt - 1)
     gcell_rock = cells_rock / t_rock / 1e9
 
+    # streamed-engine gradient PAST the fused backward's VMEM wall: (a) the
+    # old Mosaic failure point (560x720 padded), (b) a Marmousi-style survey
+    # grid (750x2000 physical -> 814x2064 padded).  Before the streamed
+    # engine these collapsed to the ~0.5 GCell/s XLA fallback.
+    from sep2023_tpu.ops import pallas_stream as ps
+
+    def _stream_gcell(nz_p, nx_p, nt_s, depth=2):
+        cfg_s = st.SimConfig(nz=nz_p, nx=nx_p, dz=10.0, dx=10.0, nt=nt_s,
+                             dt=0.001, f0=10.0, npml=32)
+        rs_s = pe.RowSurvey(rec_row=nz_p - 44, rec_x0=42, n_rec=nx_p - 84)
+        vp_s = jnp.full((nz_p, nx_p), 3000.0, jnp.float32)
+        lam_s = (vp_s ** 2 / 3.0 * 2200.0).astype(jnp.float32)
+        mu_s = (vp_s ** 2 / 3.0 * 2200.0).astype(jnp.float32)
+        rho_s = jnp.full((nz_p, nx_p), 2200.0, jnp.float32)
+        stf_s = jnp.broadcast_to(
+            jnp.asarray(st.ricker(cfg_s.f0, nt_s, cfg_s.dt), jnp.float32),
+            (1, nt_s))
+        sz_s = jnp.asarray([33])
+        sx_s = jnp.asarray([nx_p // 2])
+        rxz_s = jnp.ones((1,), jnp.float32)
+
+        def loss(l, m, r, s):
+            syn = ps.propagate_pallas_streamed(cfg_s, rs_s, l, m, r, s,
+                                               sz_s, sx_s, rxz_s)
+            return 0.5 * jnp.sum(syn * syn)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        t, _ = _time_pipelined(g, lam_s, mu_s, rho_s, stf_s, depth=depth)
+        return nz_p * nx_p * (nt_s - 1) / t / 1e9
+
+    gcell_s560 = _stream_gcell(560, 720, 1001)
+    gcell_marm = _stream_gcell(814, 2064, 601)
+
     # acoustic fused gradient (the secondary physics mode, ac_*_adj.cu
     # counterpart) at the same workload shape
     lam_ac = (med.rho * 2000.0 ** 2).astype(jnp.float32)
@@ -160,6 +193,8 @@ def main():
             "gradient_GCell_per_s": round(gcell_grad, 3),
             "rock_gradient_s_265x385x4001": round(t_rock, 4),
             "rock_gradient_GCell_per_s": round(gcell_rock, 3),
+            "streamed_gradient_560x720_GCell_per_s": round(gcell_s560, 3),
+            "streamed_gradient_814x2064_GCell_per_s": round(gcell_marm, 3),
             "acoustic_gradient_GCell_per_s": round(gcell_ac, 3),
             "device": str(jax.devices()[0]),
         },

@@ -221,7 +221,8 @@ def _bwd(cfg, res, d_data):
 propagate_acoustic.defvjp(_fwd, _bwd)
 
 
-def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom: AcGeom, residual):
+def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom: AcGeom, residual,
+                   return_illum: bool = False):
     """Time-derivative RTM imaging condition (`image_vel_time.cu:25-37`):
 
         I(z, x) = sum_t  -2 / vp * (p_{t+1} - p_t) * p_adj_t
@@ -232,6 +233,12 @@ def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom: AcGeom, residual):
     injected at the receivers (the standalone CLI's acoustic RTM path,
     main.cu:322+).  Returns the image on the padded grid, interior-masked
     like the reference kernel's [nPml, n-nPml-1] window.
+
+    return_illum=True also returns the per-cell SOURCE-wavefield energy
+    sum_t p_t^2 (accumulated from the same boundary-saving reconstruction,
+    at zero extra propagation cost) — the denominator for
+    `imaging.illumination_compensate`, conditioning the image_vel kernel
+    (image_vel.cu:26-27) against acquisition-geometry amplitude bias.
     """
     dtype = vp.dtype
     lam = rho * vp ** 2
@@ -247,9 +254,10 @@ def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom: AcGeom, residual):
     zero_psi = _zero_state(cfg.nz, cfg.nx, dtype).psi
     adj0 = jax.tree.map(jnp.zeros_like, _zero_state(cfg.nz, cfg.nx, dtype))
     img0 = jnp.zeros_like(vp)
+    ill0 = jnp.zeros_like(vp)
 
     def rbody(carry, xs):
-        s_tp1, adj, img = carry
+        s_tp1, adj, img, ill = carry
         bnd, d_rec, amp = xs
         p_tp1 = s_tp1.f.p
         f = _velocity_reverse(s_tp1.f, byc_a, byc_b, mask_i, cfg)
@@ -264,12 +272,15 @@ def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom: AcGeom, residual):
         _, vjp_fn = jax.vjp(lambda s: step_fn(s, amp), s_t)
         (d_s,) = vjp_fn((adj, d_rec))
         img = img + (-2.0 / vp) * (p_tp1 - f.p) * d_s.f.p
-        return (s_t, d_s, img), None
+        ill = ill + f.p * f.p
+        return (s_t, d_s, img, ill), None
 
     xs = (bnds, d_rec_seq, stf[:cfg.nt - 1])
-    (_, _, img), _ = jax.lax.scan(rbody, (final, adj0, img0), xs,
-                                  reverse=True)
+    (_, _, img, ill), _ = jax.lax.scan(rbody, (final, adj0, img0, ill0), xs,
+                                       reverse=True)
     mzi, mxi = mask_i
+    if return_illum:
+        return img * (mzi * mxi), ill * (mzi * mxi)
     return img * (mzi * mxi)
 
 

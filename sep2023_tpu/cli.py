@@ -71,6 +71,10 @@ def cmd_forward(args):
     cfg, survey, geoms, stf = benchmark_problem(
         nz=args.nz, nx=args.nx, dz=args.dz, dx=args.dx, nt=args.nt,
         dt=args.dt, f0=args.f0, npml=args.npml, wavelet=args.wavelet)
+    # wavelet end-taper, matching the reference's upload path
+    # (cuda_window(..., 0.001, ...), Src_Rec.cu:130-142)
+    from sep2023_tpu.ops import signal as sg
+    stf = stf * sg.taper_window(cfg.nt, cfg.dt, ratio=0.001, dtype=dtype)
     vp, vs, rho = models.anomaly_vp_vs_rho(args.nz, args.nx)
     med = st.Medium(jnp.asarray(st.medium.pad_model_np(vp, cfg.npml), dtype),
                     jnp.asarray(st.medium.pad_model_np(vs, cfg.npml), dtype),
@@ -118,8 +122,13 @@ def cmd_forward(args):
                               survey.rec_x + cfg.npml)
           if jax.default_backend() == "tpu" else None)
     if rs is not None:
-        engine = "fused Pallas"
-        fwd = lambda lam, mu, rho_, s, g: pe.forward_pallas(
+        if pe.fwd_vmem_fits(cfg):
+            engine, fwd_fn = "fused Pallas", pe.forward_pallas
+        else:
+            # VMEM-resident state no longer fits: stream tiles through VMEM
+            from sep2023_tpu.ops import pallas_stream as ps
+            engine, fwd_fn = "streamed Pallas", ps.forward_pallas_streamed
+        fwd = lambda lam, mu, rho_, s, g: fwd_fn(
             cfg, rs, lam, mu, rho_, s,
             jnp.asarray(survey.src_z + cfg.npml),
             jnp.asarray(survey.src_x + cfg.npml),
@@ -175,7 +184,7 @@ def _resolve_mesh(args, n_shots):
 
 def build_stage_loss(cfg, survey, geoms, *, use_pallas, mesh, shot_chunk,
                      channels, objective="l2", filter_corners=None,
-                     per_trace=False, dynamic_bandpass=False):
+                     per_trace=False, dynamic_bandpass=False, window=None):
     """One loss builder for every (engine x sharding x misfit x conditioning)
     combination — the per-stage closures of the multiscale loop all route
     through here (a regression in one path breaks all stages, loudly).
@@ -191,11 +200,15 @@ def build_stage_loss(cfg, survey, geoms, *, use_pallas, mesh, shot_chunk,
     from sep2023_tpu.ops import misfit as mfops
 
     if (per_trace or objective != "l2" or filter_corners is not None
-            or dynamic_bandpass):
+            or dynamic_bandpass or window is not None):
+        # NB with per_trace the (S, R) win_start/win_end aux supersedes the
+        # scalar window (the reference's per-trace entries override if_win
+        # the same way, Src_Rec.cu:145-200)
         fn = mfops.make_preprocessed_l2(
             channels=tuple(channels), dt=cfg.dt,
             filter_corners=filter_corners, per_trace=per_trace,
-            objective=objective, dynamic_bandpass=dynamic_bandpass)
+            objective=objective, dynamic_bandpass=dynamic_bandpass,
+            window=window)
     else:
         fn = None
     n_aux = (3 if per_trace else 0) + (1 if dynamic_bandpass else 0)
@@ -246,6 +259,13 @@ def cmd_invert(args):
             args.survey_json = pd["survey_fname"]
         if not args.data_dir and pd.get("data_dir_name"):
             args.data_dir = pd["data_dir_name"]
+        if not args.bands and pd.get("filter"):
+            # para `filter` [f0,f1,f2,f3] (Parameter.cpp:139-177): run one
+            # band-passed stage with the file's corners
+            args.bands = ",".join(str(float(v)) for v in pd["filter"])
+            print(f"band-pass from para filter: {args.bands}")
+        if args.win is None and pd.get("if_win") and "win_start" in pd:
+            args.win = f"{pd['win_start']},{pd['win_end']}"
         print(f"para loaded from {args.para_json}: grid {pcfg.nz}x{pcfg.nx} "
               f"(padded), nt={pcfg.nt}, dt={pcfg.dt}, npml={pcfg.npml}")
     cfg, survey, geoms, stf = benchmark_problem(
@@ -262,6 +282,20 @@ def cmd_invert(args):
                         dtype), (survey.n_shots, cfg.nt))
         print(f"survey loaded from {args.survey_json}: "
               f"{survey.n_shots} shots, {survey.n_rec} receivers")
+    # taper the wavelet ends exactly as the reference does on upload
+    # (cuda_window(..., 0.001, ...), Src_Rec.cu:130-142)
+    from sep2023_tpu.ops import signal as sg
+    stf = stf * sg.taper_window(cfg.nt, cfg.dt, ratio=0.001, dtype=dtype)
+    win_tuple = None
+    if args.win:
+        try:
+            w0, w1 = (float(v) for v in args.win.split(","))
+        except ValueError:
+            raise SystemExit(f"--win must be 'start,end' samples, "
+                             f"got {args.win!r}")
+        win_tuple = (w0, w1)
+        print(f"scalar taper window [{w0:g}, {w1:g}] samples (if_win, "
+              "utilities.cu:790-884)")
     grid = cfg.grid
     os.makedirs(args.exp_name, exist_ok=True)
 
@@ -273,11 +307,34 @@ def cmd_invert(args):
     mask = H.default_mask(grid, freeze_top_rows=4)
     head = H.HEADS[args.head](grid, init_params, mask=mask, bounds=bounds)
 
+    # --- engine + mesh selection ----------------------------------------
+    # resolved BEFORE data generation so twin obs and --src-update
+    # synthetics run through the SAME engine/mesh/chunking as the stage
+    # losses (no unsharded all-shots vmap bypass)
+    n_shots_orig = survey.n_shots
+    mesh = _resolve_mesh(args, survey.n_shots)
+    from sep2023_tpu.ops import pallas_engine as pe
+    use_pallas = args.engine == "pallas" or (
+        args.engine == "auto" and not args.x64
+        and jax.default_backend() == "tpu")
+    planu = parallel.try_pallas_plan(cfg, survey) if use_pallas else None
+    if use_pallas and planu is None:
+        use_pallas = False
+    # grids past the fused backward's VMEM range transparently run the
+    # streamed engine (propagate_pallas_plan dispatch); the XLA fallback is
+    # only for exotic (non-plannable) acquisitions and x64 validation runs
+    print(f"engine: {pe.plan_engine_name(planu[0]) if use_pallas else 'XLA'}")
+
+    def _make_fwd():
+        return jax.jit(parallel.make_forward(
+            cfg, survey, use_pallas=use_pallas, mesh=mesh,
+            shot_chunk=args.shot_chunk, dtype=dtype))
+
+    fwd = _make_fwd()
+
     # --- observed data (twin experiment) --------------------------------
     lam_t_pad, mu_t_pad, rho_t_pad = head.apply(
         {k: jnp.asarray(v, dtype) for k, v in true_params.items()})
-    fwd = jax.jit(lambda lam, mu, rho_, s, g: jax.vmap(
-        lambda si, gi: st.propagate(cfg, lam, mu, rho_, si, gi))(s, g))
     data_dir = args.data_dir or os.path.join(args.exp_name, "Data")
     if (not args.generate_data
             and os.path.exists(os.path.join(data_dir, "Shot_pr0.bin"))):
@@ -285,14 +342,14 @@ def cmd_invert(args):
         # a prior --generate_data run (or by the reference engine itself —
         # the Shot_*.bin format is identical), loaded via the native reader
         print(f"loading observed data from {data_dir} ...")
-        obs = jnp.asarray(sio.read_shots(data_dir, survey.n_shots,
-                                         survey.n_rec, cfg.nt), dtype)
+        obs = jnp.asarray(sio.read_shots_survey(data_dir, survey, cfg.nt),
+                          dtype)
     else:
         print("generating observed data ...")
         obs = jax.block_until_ready(
-            fwd(lam_t_pad, mu_t_pad, rho_t_pad, stf, geoms))
+            fwd(lam_t_pad, mu_t_pad, rho_t_pad, stf)).astype(dtype)
     if args.generate_data:
-        sio.write_shots(data_dir, np.asarray(obs))
+        sio.write_shots_survey(data_dir, np.asarray(obs), survey)
         _export_config(data_dir, cfg, survey)
         print(f"data written to {data_dir}; exiting (--generate_data)")
         return
@@ -304,22 +361,28 @@ def cmd_invert(args):
             np.asarray(obs[:, 3]))  # balance on the DAS channel
         print("per-trace energy weights computed from observed data "
               "(weightObsTraces, fwi_util.jl:196+)")
-    per_trace = (survey.win_start is not None
-                 or survey.trace_weights is not None)
+    # ragged spreads fold their live-trace mask into the per-trace weights
+    # (padded replica traces must carry zero weight, Src_Rec.cu:87-116)
+    tw_live = survey.live_trace_weights()
+    per_trace = survey.win_start is not None or tw_live is not None
     S, R = survey.n_shots, survey.n_rec
     if per_trace:
         ws = (survey.win_start if survey.win_start is not None
               else np.zeros((S, R)))
         we = (survey.win_end if survey.win_end is not None
               else np.full((S, R), cfg.nt - 1))
-        tw = (survey.trace_weights if survey.trace_weights is not None
-              else np.ones((S, R)))
+        tw = tw_live if tw_live is not None else np.ones((S, R))
         trace_aux = (jnp.asarray(ws, dtype), jnp.asarray(we, dtype),
                      jnp.asarray(tw, dtype))
-        print("per-trace windows/weights active")
+        print("per-trace windows/weights active"
+              + (" (incl. ragged live mask)" if survey.ragged else ""))
     else:
         trace_aux = ()
-    w = (jnp.asarray(survey.src_weights, dtype)
+    # per-shot src_weight follows the REFERENCE semantics: the weight
+    # multiplies the residual (utilities.cu:838), so the misfit scales with
+    # weight^2 — the loss builders take per-shot MISFIT factors, hence the
+    # square here (pinned by test_cli.test_src_weight_semantics; PARITY §2.3)
+    w = (jnp.asarray(survey.src_weights, dtype) ** 2
          if survey.src_weights is not None
          else jnp.ones((survey.n_shots,), dtype))
 
@@ -327,9 +390,7 @@ def cmd_invert(args):
     if bad:
         raise SystemExit(f"unknown channel(s) {bad}; choose from {st.CHANNELS}")
 
-    # --- engine + mesh selection ----------------------------------------
-    n_shots_orig = survey.n_shots
-    mesh = _resolve_mesh(args, survey.n_shots)
+    # --- shot padding for the mesh --------------------------------------
     if mesh is not None:
         n_dev = mesh.devices.size
         stf, geoms, obs, w, trace_aux = parallel.pad_shots(
@@ -339,24 +400,17 @@ def cmd_invert(args):
         survey = parallel.pad_survey(survey, n_dev)
         print(f"multi-chip: {n_dev}-device shot mesh "
               f"({stf.shape[0]} shots incl. padding)")
-
-    from sep2023_tpu.ops import pallas_engine as pe
-    use_pallas = args.engine == "pallas" or (
-        args.engine == "auto" and not args.x64
-        and jax.default_backend() == "tpu"
-        and pe.grad_vmem_fits(cfg))
-    if use_pallas and pe.plan_fast_path(
-            cfg, survey.rec_z + cfg.npml, survey.rec_x + cfg.npml,
-            allow_transpose=bool(np.all(survey.src_rxz != 0))) is None:
-        use_pallas = False
-    print(f"engine: {'fused Pallas' if use_pallas else 'XLA'}")
+        # later synthetics (--src-update, scratch dumps) run on the PADDED
+        # shot set — rebuild the shared forward on it
+        fwd = _make_fwd()
 
     def make_data_loss(corners, dynamic=False):
         return build_stage_loss(
             cfg, survey, geoms, use_pallas=use_pallas, mesh=mesh,
             shot_chunk=args.shot_chunk, channels=args.channels,
             objective=args.misfit, filter_corners=corners,
-            per_trace=per_trace, dynamic_bandpass=dynamic)
+            per_trace=per_trace, dynamic_bandpass=dynamic,
+            window=win_tuple)
 
     # observed data and wavelets are threaded as ARGUMENTS (aux), not
     # closures: closed-over device arrays become compiled-in constants
@@ -394,9 +448,26 @@ def cmd_invert(args):
             print(f"resumed from {snaps[-1]}")
 
     # multiscale frequency continuation: the reference's per-stage band-pass
-    # list (Main-001:46-51); each stage re-filters obs+syn with a wider band
-    stages = ([None] if not args.multiscale else
-              [(0.0, 1e-4, 2.0, hf) for hf in (2.5, 3.5, 4.5, 5.5, 6.5, 7.5)])
+    # list (Main-001:46-51).  --bands "f0,f1,f2,f3;..." configures the
+    # corner schedule (stage count = list length); --multiscale alone keeps
+    # the classic 2.5..7.5 Hz ramp; a para-JSON `filter` entry becomes a
+    # single-stage band.
+    if args.bands:
+        try:
+            stages = [tuple(float(v) for v in b.split(","))
+                      for b in args.bands.split(";") if b.strip()]
+        except ValueError:
+            raise SystemExit(f"--bands must be 'f0,f1,f2,f3;...', "
+                             f"got {args.bands!r}")
+        if not stages or any(len(b) != 4 for b in stages):
+            raise SystemExit("each --bands stage needs exactly 4 corner "
+                             "frequencies f0,f1,f2,f3 (Main-001:46-51)")
+        args.multiscale = True
+    elif args.multiscale:
+        stages = [(0.0, 1e-4, 2.0, hf) for hf in (2.5, 3.5, 4.5, 5.5, 6.5,
+                                                  7.5)]
+    else:
+        stages = [None]
     iters_per_stage = max(1, args.niter // len(stages))
     iter_offset = 0
 
@@ -429,7 +500,7 @@ def cmd_invert(args):
                          if k != "stf"})
             lam_c, mu_c, rho_c = head.apply(
                 {k: jnp.asarray(v, dtype) for k, v in full.items()})
-            syn_c = fwd(lam_c, mu_c, rho_c, stf, geoms)
+            syn_c = fwd(lam_c, mu_c, rho_c, stf)
 
             def upd(o, s_, w_):
                 W = sg.source_update_filter(o[3], s_[3])
@@ -491,16 +562,17 @@ def cmd_invert(args):
         full.update({k: v for k, v in start_params.items() if k != "stf"})
         lam, mu, rho = head.apply(
             {k: jnp.asarray(v, dtype) for k, v in full.items()})
-        syn = np.asarray(fwd(lam, mu, rho, current_stf(), geoms))
+        syn = np.asarray(fwd(lam, mu, rho, current_stf()))
         res_d = np.array(np.asarray(obs) - syn)
         res_d[..., 0] = 0.0
         os.makedirs(args.scratch_dir, exist_ok=True)
         n0 = n_shots_orig  # drop mesh-padding replicas from the dumps
-        sio.write_shots(os.path.join(args.scratch_dir, "Syn"), syn[:n0])
-        sio.write_shots(os.path.join(args.scratch_dir, "Residual"),
-                        res_d[:n0])
-        sio.write_shots(os.path.join(args.scratch_dir, "CondObs"),
-                        np.asarray(obs)[:n0])
+        sio.write_shots_survey(os.path.join(args.scratch_dir, "Syn"),
+                               syn[:n0], survey)
+        sio.write_shots_survey(os.path.join(args.scratch_dir, "Residual"),
+                               res_d[:n0], survey)
+        sio.write_shots_survey(os.path.join(args.scratch_dir, "CondObs"),
+                               np.asarray(obs)[:n0], survey)
         print(f"scratch dumps written to {args.scratch_dir}")
 
 
@@ -557,11 +629,13 @@ def cmd_rtm(args):
                 obs = propagate_acoustic(cfg, rho * vpt_ ** 2, rho, stf1, g)
                 syn = propagate_acoustic(cfg, rho * vpb_ ** 2, rho, stf1, g)
                 from sep2023_tpu.acoustic import rtm_image_time
-                return rtm_image_time(cfg, vpb_, rho, stf1, g, obs - syn)
+                return rtm_image_time(cfg, vpb_, rho, stf1, g, obs - syn,
+                                      return_illum=True)
 
-            return jnp.sum(jax.vmap(per_shot)(stf, ac), axis=0)
+            im, il = jax.vmap(per_shot)(stf, ac)
+            return jnp.sum(im, axis=0), jnp.sum(il, axis=0)
 
-        img = image_all(vpt, vpb)
+        img, illum = image_all(vpt, vpb)
         condition = "time-derivative (image_vel_time.cu)"
     else:
         vpt, vpb = pad(vp_t), pad(vp_bg)
@@ -606,6 +680,17 @@ def cmd_rtm(args):
                 return jnp.sum(jax.vmap(per_shot)(stf, geoms), axis=0)
 
         img = image_all(vpt, vpb, vst, vsb)
+        # per-cell source-energy illumination for the compensated product
+        lam_b = (vpb ** 2 - 2.0 * vsb ** 2) * rho
+        mu_b = vsb ** 2 * rho
+
+        @jax.jit
+        def illum_all():
+            return jnp.sum(jax.vmap(
+                lambda s, g: imaging.source_illumination(
+                    cfg, lam_b, mu_b, rho, s, g))(stf, geoms), axis=0)
+
+        illum = illum_all()
         condition = ("zero-lag (image_vel.cu, fused engine)" if plan
                      else "zero-lag (image_vel.cu)")
 
@@ -625,8 +710,10 @@ def cmd_rtm(args):
     out = args.out or "rtm_image.npz"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     np.savez(out, image=img, image_muted=muted,
+             illumination=np.asarray(illum),
              image_compensated=np.asarray(
-                 imaging.illumination_compensate(jnp.asarray(img))),
+                 imaging.illumination_compensate(jnp.asarray(img),
+                                                 jnp.asarray(illum))),
              vp_true=vp_t, vp_background=vp_bg, z_reflector=z_refl)
     print(f"wrote {out}")
 
@@ -722,6 +809,15 @@ def main(argv=None):
     i.add_argument("--multiscale", action="store_true",
                    help="frequency-continuation over the reference's "
                         "band-pass stages (Main-001:46-51)")
+    i.add_argument("--bands", default="",
+                   help="custom multiscale schedule "
+                        "'f0,f1,f2,f3;f0,f1,f2,f3;...' — one band-pass "
+                        "stage per ;-separated corner quadruple "
+                        "(Main-001:46-51); implies --multiscale")
+    i.add_argument("--win", default=None,
+                   help="scalar taper window 'start,end' in samples applied "
+                        "to obs+syn (the para if_win flag, "
+                        "utilities.cu:790-884)")
     i.add_argument("--resume", action="store_true",
                    help="resume from the latest Results/model_*.npz")
     i.add_argument("--save-mat", action="store_true",

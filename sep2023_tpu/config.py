@@ -98,7 +98,15 @@ class Survey:
     npml offset is applied internally (the reference applies it when parsing
     survey_file.json, `Src_Rec.cu:87-116`).
 
-    All shots share the receiver spread (as in `fwi_utils.py:87-124`).
+    rec_z/rec_x are either (R,) — every shot shares the spread, the
+    `fwi_utils.py:87-124` layout — or (S, R_max) for per-shot heterogeneous
+    ("ragged") spreads, the general case the reference parses per shot
+    (`Src_Rec.cu:87-116`: nrec, z_rec, x_rec per shot<i>).  Ragged spreads
+    are padded to R_max by replicating the shot's last receiver; `rec_live`
+    (S, R_max) is 0 on padding and MUST multiply into the trace weights so
+    padded traces never contribute to the misfit (the loss builders /
+    drivers do this via `live_trace_weights`).
+
     src_rxz is the sxx/szz source moment ratio (default 1.0: isotropic
     explosive source, `utilities.cu:524-552`).
 
@@ -109,13 +117,14 @@ class Survey:
 
     src_z: np.ndarray  # (S,) int
     src_x: np.ndarray  # (S,) int
-    rec_z: np.ndarray  # (R,) int
-    rec_x: np.ndarray  # (R,) int
+    rec_z: np.ndarray  # (R,) int or (S, R_max) int
+    rec_x: np.ndarray  # (R,) int or (S, R_max) int
     src_rxz: Optional[np.ndarray] = None   # (S,) float
     win_start: Optional[np.ndarray] = None  # (S, R) samples
     win_end: Optional[np.ndarray] = None    # (S, R) samples
     trace_weights: Optional[np.ndarray] = None  # (S, R)
     src_weights: Optional[np.ndarray] = None    # (S,)
+    rec_live: Optional[np.ndarray] = None       # (S, R_max) 0/1, ragged only
 
     def __post_init__(self):
         self.src_z = np.asarray(self.src_z, dtype=np.int32)
@@ -126,6 +135,8 @@ class Survey:
             self.src_rxz = np.ones(self.src_z.shape, dtype=np.float32)
         else:
             self.src_rxz = np.asarray(self.src_rxz, dtype=np.float32)
+        if self.rec_live is not None:
+            self.rec_live = np.asarray(self.rec_live, dtype=np.float32)
 
     @property
     def n_shots(self) -> int:
@@ -133,25 +144,50 @@ class Survey:
 
     @property
     def n_rec(self) -> int:
-        return int(self.rec_z.shape[0])
+        return int(self.rec_z.shape[-1])
+
+    @property
+    def ragged(self) -> bool:
+        return self.rec_z.ndim == 2
+
+    def shot_rec(self, i: int):
+        """(rec_z, rec_x, n_live) of shot i (padding stripped)."""
+        rz = self.rec_z[i] if self.ragged else self.rec_z
+        rx = self.rec_x[i] if self.ragged else self.rec_x
+        n = (int(self.rec_live[i].sum())
+             if (self.ragged and self.rec_live is not None) else len(rz))
+        return rz[:n], rx[:n], n
+
+    def live_trace_weights(self) -> Optional[np.ndarray]:
+        """(S, R) trace weights with ragged padding zeroed, or None when no
+        conditioning applies.  Every misfit over a ragged survey must use
+        this so replicated padding traces carry zero weight."""
+        w = self.trace_weights
+        if self.rec_live is not None:
+            w = self.rec_live if w is None else w * self.rec_live
+        return w
 
     # -- reference-schema JSON round trip ------------------------------------
     def to_json(self, fname: str) -> None:
         survey = {"nShots": self.n_shots}
         for i in range(self.n_shots):
+            rz, rx, n_live = self.shot_rec(i)
             shot = {
                 "z_src": int(self.src_z[i]),
                 "x_src": int(self.src_x[i]),
-                "nrec": self.n_rec,
-                "z_rec": self.rec_z.tolist(),
-                "x_rec": self.rec_x.tolist(),
+                "nrec": n_live,
+                "z_rec": rz.tolist(),
+                "x_rec": rx.tolist(),
                 "src_rxz": float(self.src_rxz[i]),
             }
             if self.win_start is not None:
-                shot["win_start"] = np.asarray(self.win_start[i]).tolist()
-                shot["win_end"] = np.asarray(self.win_end[i]).tolist()
+                shot["win_start"] = np.asarray(
+                    self.win_start[i][:n_live]).tolist()
+                shot["win_end"] = np.asarray(
+                    self.win_end[i][:n_live]).tolist()
             if self.trace_weights is not None:
-                shot["weights"] = np.asarray(self.trace_weights[i]).tolist()
+                shot["weights"] = np.asarray(
+                    self.trace_weights[i][:n_live]).tolist()
             if self.src_weights is not None:
                 shot["src_weight"] = float(self.src_weights[i])
             survey[f"shot{i}"] = shot
@@ -160,22 +196,56 @@ class Survey:
 
     @classmethod
     def from_json(cls, fname: str) -> "Survey":
+        """Parse a reference-schema survey file, INCLUDING heterogeneous
+        per-shot receiver spreads (`Src_Rec.cu:87-116` reads nrec / z_rec /
+        x_rec per shot<i>): identical spreads collapse to the shared (R,)
+        layout; differing ones become a padded ragged (S, R_max) survey
+        with `rec_live` masking the padding."""
         with open(fname) as fp:
             d = json.load(fp)
         n = d["nShots"]
         shots = [d[f"shot{i}"] for i in range(n)]
-        opt = lambda key: (np.array([s[key] for s in shots])
-                           if key in shots[0] else None)
+        rec_zs = [np.asarray(s["z_rec"]) for s in shots]
+        rec_xs = [np.asarray(s["x_rec"]) for s in shots]
+        shared = all(
+            len(rz) == len(rec_zs[0]) and (rz == rec_zs[0]).all()
+            and (rx == rec_xs[0]).all()
+            for rz, rx in zip(rec_zs, rec_xs))
+        # per-trace aux arrays are padded alongside the spreads (weight 0 on
+        # padding comes from rec_live via live_trace_weights)
+        r_max = max(len(rz) for rz in rec_zs)
+
+        def pad_to(a, fill_last=True):
+            a = np.asarray(a, dtype=np.float64)
+            if len(a) == r_max:
+                return a
+            fill = a[-1] if fill_last else 0.0
+            return np.concatenate([a, np.full(r_max - len(a), fill)])
+
+        def opt(key):
+            if key not in shots[0]:
+                return None
+            return np.array([pad_to(s[key]) for s in shots])
+
+        if shared:
+            rec_z, rec_x, rec_live = rec_zs[0], rec_xs[0], None
+        else:
+            rec_z = np.array([pad_to(rz) for rz in rec_zs], dtype=np.int64)
+            rec_x = np.array([pad_to(rx) for rx in rec_xs], dtype=np.int64)
+            rec_live = np.array(
+                [np.arange(r_max) < len(rz) for rz in rec_zs], np.float32)
         return cls(
             src_z=np.array([s["z_src"] for s in shots]),
             src_x=np.array([s["x_src"] for s in shots]),
-            rec_z=np.array(shots[0]["z_rec"]),
-            rec_x=np.array(shots[0]["x_rec"]),
+            rec_z=rec_z,
+            rec_x=rec_x,
             src_rxz=np.array([s.get("src_rxz", 1.0) for s in shots]),
             win_start=opt("win_start"),
             win_end=opt("win_end"),
             trace_weights=opt("weights"),
-            src_weights=opt("src_weight"),
+            src_weights=(np.array([s["src_weight"] for s in shots])
+                         if "src_weight" in shots[0] else None),
+            rec_live=rec_live,
         )
 
 

@@ -43,15 +43,55 @@ def rtm_image(cfg: SimConfig, vp, vs, rho, stf, geom, residual_data,
     return jax.grad(loss)(vp)
 
 
-def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom, residual_data):
+def rtm_image_time(cfg: SimConfig, vp, rho, stf, geom, residual_data,
+                   return_illum: bool = False):
     """Time-derivative RTM imaging condition on the acoustic pressure field
     (`image_vel_time.cu:25-37`): I = sum_t -2/vp (p_{t+1}-p_t) p_adj.  See
-    acoustic.rtm_image_time (geom is an acoustic.AcGeom)."""
+    acoustic.rtm_image_time (geom is an acoustic.AcGeom);
+    return_illum=True also returns the per-cell source energy sum_t p_t^2."""
     from sep2023_tpu.acoustic import rtm_image_time as _rt
-    return _rt(cfg, vp, rho, stf, geom, residual_data)
+    return _rt(cfg, vp, rho, stf, geom, residual_data,
+               return_illum=return_illum)
 
 
-def illumination_compensate(image, eps: float = 1e-3):
-    """Simple source-illumination normalization for RTM images."""
+def source_illumination(cfg: SimConfig, lam, mu, rho, stf, geom):
+    """Per-cell source-wavefield energy sum_t (szz+sxx)^2 of one elastic
+    shot: the illumination denominator for the zero-lag Vp image
+    (conditioning image_vel.cu:26-27's kernel).  One extra forward scan per
+    shot — the imaging driver amortizes it over its per-shot image loop."""
+    from sep2023_tpu.medium import material_fields
+    from sep2023_tpu.propagator import (_consts, elastic_step, zero_state)
+
+    dtype = lam.dtype
+    mat = material_fields(lam, mu, rho)
+    cp, mask_f, mask_i = _consts(cfg, dtype)
+    cp = jax.tree.map(jnp.asarray, cp)
+
+    def body(carry, amp):
+        s, ill = carry
+        s2, _ = elastic_step(s, mat, amp, geom, cp, mask_f, cfg)
+        pr = s2.f.szz + s2.f.sxx
+        return (s2, ill + pr * pr), None
+
+    state0 = zero_state(cfg.nz, cfg.nx, dtype)
+    (_, ill), _ = jax.lax.scan(body, (state0, jnp.zeros_like(lam)),
+                               stf[:cfg.nt - 1])
+    mzi, mxi = mask_i
+    return ill * (mzi * mxi)
+
+
+def illumination_compensate(image, illum, eps: float = 1e-3):
+    """TRUE source-illumination compensation: divide the stacked image
+    per cell by the accumulated source-wavefield energy with a stabilized
+    denominator, balancing deep (weakly illuminated) reflectors against
+    shallow ones.  `illum` comes from `source_illumination` (elastic) or
+    `rtm_image_time(..., return_illum=True)` (acoustic), summed over shots
+    like the image itself."""
+    return image / (illum + eps * jnp.max(illum) + 1e-30)
+
+
+def normalize_image(image, eps: float = 1e-3):
+    """Scalar RMS rescale of an image (display normalization only — NOT
+    illumination compensation; use `illumination_compensate` for that)."""
     scale = jnp.sqrt(jnp.mean(image ** 2))
     return image / (jnp.abs(image).max() * eps + scale + 1e-30)

@@ -68,6 +68,38 @@ def read_shots(data_dir: str, n_shots: int, nrec: int, nt: int,
     return np.stack([read_shot(data_dir, sid, nrec, nt) for sid in ids])
 
 
+def write_shots_survey(data_dir: str, data: np.ndarray, survey,
+                       shot_ids: Sequence[int] | None = None) -> None:
+    """write_shots for a (possibly ragged) Survey: each shot's file holds
+    its OWN nrec_i traces (padding stripped), the exact per-shot layout the
+    reference writes (`libCUFD.cu:755-768`)."""
+    if not getattr(survey, "ragged", False):
+        write_shots(data_dir, data, shot_ids)
+        return
+    ids = (list(range(data.shape[0])) if shot_ids is None
+           else list(shot_ids))
+    for i, sid in enumerate(ids):
+        _, _, n_live = survey.shot_rec(i)
+        write_shot(data_dir, sid, data[i, :, :n_live])
+
+
+def read_shots_survey(data_dir: str, survey, nt: int) -> np.ndarray:
+    """read_shots for a (possibly ragged) Survey: per-shot files of nrec_i
+    traces are padded back to (S, 4, R_max, nt) by replicating the last
+    trace (matching the padded geometry, whose extra receivers replicate the
+    last one; they carry zero weight either way)."""
+    if not getattr(survey, "ragged", False):
+        return read_shots(data_dir, survey.n_shots, survey.n_rec, nt)
+    r_max = survey.n_rec
+    out = np.zeros((survey.n_shots, len(CHANNELS), r_max, nt), np.float32)
+    for i in range(survey.n_shots):
+        _, _, n_live = survey.shot_rec(i)
+        d = read_shot(data_dir, i, n_live, nt)
+        out[i, :, :n_live] = d
+        out[i, :, n_live:] = d[:, -1:]
+    return out
+
+
 def save_model_npz(path: str, **arrays) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in arrays.items()})
 

@@ -110,6 +110,28 @@ def twin_experiment_setup(head: str, nz: int, nx: int,
     return true, sm(true), bounds, ("vp", "vs", "rho")
 
 
+def overthrust_vp(nz: int, nx: int, v_top: float = 2400.0,
+                  v_step: float = 350.0, n_layers: int = 4,
+                  fold_amp: float = 0.08, thrust_throw: float = 0.12
+                  ) -> np.ndarray:
+    """Overthrust-style Vp model: gently folded layers cut by a dipping
+    thrust fault that uplifts the hanging wall — a programmatic stand-in
+    for the SEG/EAGE Overthrust slice the reference's second fiber-geometry
+    generator targets (`DAS_Geometry_Overthrust.m`; its Models/ grids are
+    git-ignored upstream).  Amplitudes are fractions of nz."""
+    z, x = np.mgrid[0:nz, 0:nx].astype(np.float64)
+    # anticline fold of the layer boundaries + thrust offset on a dipping
+    # fault x = x_f(z)
+    fold = fold_amp * nz * np.sin(np.pi * (x / nx - 0.15))
+    fault_x = 0.55 * nx + 0.8 * (z - nz / 2)  # dipping fault trace
+    hanging = (x > fault_x).astype(np.float64)
+    throw = thrust_throw * nz * hanging
+    z_eff = z + fold + throw
+    layer = np.clip((z_eff / nz * n_layers).astype(np.int64), 0,
+                    n_layers - 1)
+    return v_top + v_step * layer.astype(np.float64)
+
+
 def reservoir_pcs(nz: int = 201, nx: int = 321
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """PCS reservoir model for the rock-physics experiments (Main-004/005):

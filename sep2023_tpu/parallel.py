@@ -54,7 +54,10 @@ def shot_mesh(n_devices: Optional[int] = None, axis: str = "shot") -> Mesh:
 
 def survey_to_geoms(survey: Survey, npml: int, dtype=jnp.float32) -> ShotGeom:
     """Batched ShotGeom (leading shot axis) with the npml offset applied
-    (Src_Rec.cu:87-116 does the same when parsing the survey JSON)."""
+    (Src_Rec.cu:87-116 does the same when parsing the survey JSON).  Ragged
+    surveys carry their per-shot padded (S, R_max) spreads straight through
+    (padding replicates real receivers; zero its weights via
+    `survey.live_trace_weights()`)."""
     S = survey.n_shots
     return ShotGeom(
         src_z=jnp.asarray(survey.src_z + npml, jnp.int32),
@@ -84,15 +87,20 @@ def pad_shots(stf, geoms: ShotGeom, obs, weights, n_devices: int,
 def pad_survey(survey: Survey, n_devices: int) -> Survey:
     """Replicate the last shot's source entries so the survey's shot count
     matches `pad_shots`' padded arrays (needed by the Pallas loss builders,
-    which derive per-shot source vectors from the survey)."""
+    which derive per-shot source vectors from the survey).  Ragged surveys
+    replicate the last shot's receiver rows / live mask too."""
     S = survey.n_shots
     rem = (-S) % n_devices
     if rem == 0:
         return survey
     rep = lambda a: np.concatenate([a, np.repeat(a[-1:], rem, axis=0)])
+    ragged = survey.ragged
     return Survey(src_z=rep(survey.src_z), src_x=rep(survey.src_x),
-                  rec_z=survey.rec_z, rec_x=survey.rec_x,
-                  src_rxz=rep(survey.src_rxz))
+                  rec_z=rep(survey.rec_z) if ragged else survey.rec_z,
+                  rec_x=rep(survey.rec_x) if ragged else survey.rec_x,
+                  src_rxz=rep(survey.src_rxz),
+                  rec_live=(rep(survey.rec_live)
+                            if survey.rec_live is not None else None))
 
 
 def default_shot_misfit(channels: Sequence[str] = ("ett",)):
@@ -107,27 +115,28 @@ def _chunked_sum(chunk_loss, shot_args, weights, shot_chunk: int):
     With more than one chunk the chunk loss is rematerialized
     (jax.checkpoint): only one chunk's boundary-strip residuals are live
     during the backward pass (~0.5 GB/shot at Main-004 scale), at the price
-    of one extra forward per chunk.  Ragged tails are padded with
-    zero-weight replicas of the last shot."""
+    of one extra forward per chunk.  A ragged tail runs as ONE smaller
+    trailing evaluation (not zero-weight replica padding): a 31-shot /
+    chunk-6 gradient does exactly 31 propagations."""
     S = weights.shape[0]
     chunk = shot_chunk if shot_chunk and shot_chunk < S else S
-    n = -(-S // chunk)
-    if n == 1:
+    if chunk == S:
         return chunk_loss(shot_args, weights)
     remat_loss = jax.checkpoint(chunk_loss)
-    pad = n * chunk - S
-    if pad:
-        rep = lambda a: jnp.concatenate(
-            [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
-        shot_args = jax.tree.map(rep, shot_args)
-        weights = jnp.concatenate(
-            [weights, jnp.zeros((pad,), weights.dtype)])
-    resh = lambda a: a.reshape(n, chunk, *a.shape[1:])
-    shot_args = jax.tree.map(resh, shot_args)
-    w = weights.reshape(n, chunk)
-    totals = jax.lax.map(lambda xs: remat_loss(xs[0], xs[1]),
-                         (shot_args, w))
-    return jnp.sum(totals)
+    n_full = S // chunk
+    used = n_full * chunk
+    total = 0.0
+    if n_full:
+        head = jax.tree.map(
+            lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:]),
+            shot_args)
+        w = weights[:used].reshape(n_full, chunk)
+        total = jnp.sum(jax.lax.map(
+            lambda xs: remat_loss(xs[0], xs[1]), (head, w)))
+    if used < S:
+        tail = jax.tree.map(lambda a: a[used:], shot_args)
+        total = total + remat_loss(tail, weights[used:])
+    return total
 
 
 def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
@@ -156,15 +165,52 @@ def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
 
 
 def _pallas_plan(cfg: SimConfig, survey: Survey, das_w=None):
+    """FastPlan for the survey plus, for RAGGED surveys, the (S, R_max)
+    per-shot gather indices into the UNION receiver spread: the kernel
+    records every distinct receiver position once per shot and each shot
+    picks out its own spread afterwards (zero-weight padding handles the
+    count differences) — the Pallas counterpart of the reference's per-shot
+    receiver cubes (`Src_Rec.cu:204-259`)."""
     from sep2023_tpu.ops import pallas_engine as pe
+
+    allow_t = bool(np.all(survey.src_rxz != 0))
+    if survey.ragged:
+        if das_w is not None:
+            raise ValueError("ragged surveys with directional fiber weights "
+                             "need the XLA engine")
+        rz = survey.rec_z + cfg.npml
+        rx = survey.rec_x + cfg.npml
+        pairs = np.stack([rz.ravel(), rx.ravel()], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        plan = pe.plan_fast_path(cfg, uniq[:, 0], uniq[:, 1],
+                                 allow_transpose=allow_t)
+        if plan is None:
+            raise ValueError("ragged survey's union spread does not satisfy "
+                             "any Pallas fast path")
+        return plan, jnp.asarray(inv.reshape(rz.shape), jnp.int32)
 
     plan = pe.plan_fast_path(
         cfg, survey.rec_z + cfg.npml, survey.rec_x + cfg.npml, das_w=das_w,
-        allow_transpose=bool(np.all(survey.src_rxz != 0)))
+        allow_transpose=allow_t)
     if plan is None:
         raise ValueError("survey does not satisfy any Pallas fast path "
                          "(row / fiber / transposed layouts)")
-    return plan
+    return plan, None
+
+
+def try_pallas_plan(cfg: SimConfig, survey: Survey, das_w=None):
+    """(plan, union_idx) when the survey fits a Pallas fast path, else
+    None — the driver's engine-selection probe."""
+    try:
+        return _pallas_plan(cfg, survey, das_w)
+    except ValueError:
+        return None
+
+
+def _gather_union(syn, uidx_c):
+    """(S, 4, R_union, nt) kernel output -> each shot's own (padded) spread
+    via its (R_max,) union indices."""
+    return jnp.take_along_axis(syn, uidx_c[:, None, :, None], axis=2)
 
 
 def make_pallas_misfit(cfg: SimConfig, survey: Survey,
@@ -180,7 +226,7 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
     residual memory by processing shots in rematerialized `lax.map` chunks."""
     from sep2023_tpu.ops import pallas_engine as pe
 
-    plan = _pallas_plan(cfg, survey, das_w)
+    plan, uidx = _pallas_plan(cfg, survey, das_w)
     sz = jnp.asarray(survey.src_z + cfg.npml, jnp.int32)
     sx = jnp.asarray(survey.src_x + cfg.npml, jnp.int32)
     rz = jnp.asarray(survey.src_rxz, jnp.float32)
@@ -188,14 +234,18 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
 
     def loss(lam, mu, rho, stf, obs, weights, *trace_aux):
         def chunk_loss(shot_args, w_c):
-            stf_c, sz_c, sx_c, rz_c, obs_c, aux_c = shot_args
+            stf_c, sz_c, sx_c, rz_c, uidx_c, obs_c, aux_c = shot_args
             syn = pe.propagate_pallas_plan(plan, lam, mu, rho, stf_c, sz_c,
                                            sx_c, rz_c)
+            if uidx is not None:
+                syn = _gather_union(syn, uidx_c)
             per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
             return jnp.sum(w_c * per_shot)
 
+        u = (uidx if uidx is not None
+             else jnp.zeros((stf.shape[0], 1), jnp.int32))
         return _chunked_sum(chunk_loss,
-                            (stf, sz, sx, rz, obs, tuple(trace_aux)),
+                            (stf, sz, sx, rz, u, obs, tuple(trace_aux)),
                             weights, shot_chunk)
 
     return loss
@@ -247,35 +297,127 @@ def make_pallas_sharded_misfit(cfg: SimConfig, survey: Survey, mesh: Mesh,
     The shot count must be a multiple of the mesh size (use `pad_shots`)."""
     from sep2023_tpu.ops import pallas_engine as pe
 
-    plan = _pallas_plan(cfg, survey, das_w)
+    plan, uidx = _pallas_plan(cfg, survey, das_w)
     sz = jnp.asarray(survey.src_z + cfg.npml, jnp.int32)
     sx = jnp.asarray(survey.src_x + cfg.npml, jnp.int32)
     rz = jnp.asarray(survey.src_rxz, jnp.float32)
+    if uidx is None:
+        uidx = jnp.zeros((sz.shape[0], 1), jnp.int32)
+        gather = False
+    else:
+        gather = True
     fn = misfit_fn or default_shot_misfit(channels)
 
     @functools.partial(
         _shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis)) + (P(axis),) * n_trace_aux,
+                  P(axis), P(axis), P(axis)) + (P(axis),) * n_trace_aux,
         out_specs=P(), check_vma=False)
-    def sharded(lam, mu, rho, stf, sz_, sx_, rz_, obs, weights, *trace_aux):
+    def sharded(lam, mu, rho, stf, sz_, sx_, rz_, uidx_, obs, weights,
+                *trace_aux):
         def chunk_loss(shot_args, w_c):
-            stf_c, sz_c, sx_c, rz_c, obs_c, aux_c = shot_args
+            stf_c, sz_c, sx_c, rz_c, uidx_c, obs_c, aux_c = shot_args
             syn = pe.propagate_pallas_plan(plan, lam, mu, rho, stf_c, sz_c,
                                            sx_c, rz_c)
+            if gather:
+                syn = _gather_union(syn, uidx_c)
             per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
             return jnp.sum(w_c * per_shot)
 
         total = _chunked_sum(chunk_loss,
-                             (stf, sz_, sx_, rz_, obs, tuple(trace_aux)),
+                             (stf, sz_, sx_, rz_, uidx_, obs,
+                              tuple(trace_aux)),
                              weights, shot_chunk)
         return jax.lax.psum(total, axis)
 
     def loss(lam, mu, rho, stf, obs, weights, *trace_aux):
-        return sharded(lam, mu, rho, stf, sz, sx, rz, obs, weights,
+        return sharded(lam, mu, rho, stf, sz, sx, rz, uidx, obs, weights,
                        *trace_aux)
 
     return loss
+
+
+def _chunked_map(fn, shot_args, S: int, shot_chunk: int):
+    """Map fn over contiguous shot chunks and concatenate the (leading-S)
+    outputs; ragged tails run as one smaller trailing call (peak memory
+    bounded by shot_chunk, no replica waste)."""
+    chunk = shot_chunk if shot_chunk and shot_chunk < S else S
+    if chunk == S:
+        return fn(shot_args)
+    n_full = S // chunk
+    used = n_full * chunk
+    head = jax.tree.map(
+        lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:]), shot_args)
+    out = jax.lax.map(fn, head)
+    out = out.reshape(used, *out.shape[2:])
+    if used < S:
+        tail = fn(jax.tree.map(lambda a: a[used:], shot_args))
+        out = jnp.concatenate([out, tail], axis=0)
+    return out
+
+
+def make_forward(cfg: SimConfig, survey: Survey, *, use_pallas=False,
+                 mesh: Optional[Mesh] = None, shot_chunk: int = 0,
+                 axis: str = "shot", das_w=None, dtype=jnp.float32):
+    """Observed-data generation forward through the SAME engine + mesh +
+    chunking selection as the stage losses (build_stage_loss): twin-
+    experiment obs and `--src-update` synthetics no longer bypass the
+    production path with an unsharded all-shots vmap.
+
+    Returns fwd(lam, mu, rho, stf) -> (S, 4, R, nt) float32-or-dtype.
+    Ragged surveys come back on their padded (S, R_max) spreads."""
+    from sep2023_tpu.ops import pallas_engine as pe
+
+    geoms = survey_to_geoms(survey, cfg.npml, dtype=dtype)
+    S = survey.n_shots
+    if use_pallas:
+        plan, uidx = _pallas_plan(cfg, survey, das_w)
+        sz = jnp.asarray(survey.src_z + cfg.npml, jnp.int32)
+        sx = jnp.asarray(survey.src_x + cfg.npml, jnp.int32)
+        rz = jnp.asarray(survey.src_rxz, jnp.float32)
+        u = (uidx if uidx is not None else jnp.zeros((S, 1), jnp.int32))
+
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+
+    def fwd(lam, mu, rho, stf):
+        def chunk_fn(model, args):
+            lam_, mu_, rho_ = model
+            if use_pallas:
+                stf_c, sz_c, sx_c, rz_c, u_c = args
+                syn = pe.propagate_pallas_plan(plan, lam_, mu_, rho_, stf_c,
+                                               sz_c, sx_c, rz_c)
+                if uidx is not None:
+                    syn = _gather_union(syn, u_c)
+                return syn
+            stf_c, g_c = args
+            return jax.vmap(lambda s, g: propagate(cfg, lam_, mu_, rho_,
+                                                   s, g))(stf_c, g_c)
+
+        model = (lam, mu, rho)
+        shot_args = ((stf, sz, sx, rz, u) if use_pallas else (stf, geoms))
+        if mesh is None:
+            return _chunked_map(functools.partial(chunk_fn, model),
+                                shot_args, S, shot_chunk)
+
+        pad = (-S) % n_dev
+        if pad:
+            shot_args = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0),
+                shot_args)
+
+        @functools.partial(_shard_map, mesh=mesh,
+                           in_specs=((P(), P(), P()),
+                                     jax.tree.map(lambda _: P(axis),
+                                                  shot_args)),
+                           out_specs=P(axis), check_vma=False)
+        def sharded(model_, args):
+            return _chunked_map(functools.partial(chunk_fn, model_), args,
+                                (S + pad) // n_dev, shot_chunk)
+
+        return sharded(model, shot_args)[:S]
+
+    return fwd
 
 
 def mesh_2d(n_shot: int, n_x: int, devices=None) -> Mesh:

@@ -184,6 +184,106 @@ def test_rtm_driver_images_reflector(tmp_path, physics):
               "--nt", "350", "--npml", "8", "--out", out])
     with np.load(out) as z:
         img, muted, z_refl = z["image"], z["image_muted"], int(z["z_reflector"])
+        comp, illum = z["image_compensated"], z["illumination"]
     assert np.isfinite(img).all() and np.abs(img).max() > 0
     prof = np.abs(muted[8:-8, 8:-8]).mean(axis=1)
     assert abs(int(prof.argmax()) - z_refl) <= 4, (prof.argmax(), z_refl)
+
+    # TRUE illumination compensation (per-cell source energy, not a scalar
+    # rescale): energy decays away from the near-surface sources, so
+    # dividing by it must RAISE the deep reflector's amplitude relative to
+    # the shallow section
+    core = np.s_[8:-8, 16:-16]
+    ill = illum[core]
+    assert np.isfinite(illum).all() and ill.min() >= 0 and ill.max() > 0
+    assert ill[:6].mean() > ill[-6:].mean()  # shallow > deep energy
+    shallow = np.s_[10:z_refl - 8]
+    deep = np.s_[z_refl - 3:z_refl + 4]
+    mute_rows = np.abs(muted[8:-8, 16:-16]).mean(axis=1)
+    comp_rows = np.abs((comp * (np.abs(muted) > 0))[8:-8, 16:-16]).mean(axis=1)
+    ratio_raw = mute_rows[deep].max() / (mute_rows[shallow].mean() + 1e-30)
+    ratio_comp = comp_rows[deep].max() / (comp_rows[shallow].mean() + 1e-30)
+    assert ratio_comp > ratio_raw, (ratio_comp, ratio_raw)
+
+
+def test_custom_bands_schedule(tmp_path, capsys):
+    """--bands configures the multiscale corner schedule (Main-001:46-51):
+    a 2-stage custom schedule runs exactly 2 band stages and converges."""
+    e = str(tmp_path / "bands")
+    cli.main(["invert", *TINY[:-3], "--niter", "4", "--x64",
+              "--exp-name", e, "--n-devices", "1",
+              "--bands", "0,1e-4,2,4;0,1e-4,2,8"])
+    out = capsys.readouterr().out
+    assert "multiscale stage 2/2" in out
+    assert "band (0.0, 0.0001, 2.0, 8.0)" in out
+    h = _hist(e)
+    assert len(h) >= 1 and np.isfinite(h).all()
+    # a malformed schedule fails loudly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(["invert", *TINY, "--exp-name", e, "--bands", "1,2,3"])
+
+
+def test_scalar_window_changes_misfit(tmp_path):
+    """--win (the para if_win scalar taper, utilities.cu:790-884) must
+    change the recorded loss trajectory vs the unwindowed run."""
+    e1 = str(tmp_path / "nowin")
+    e2 = str(tmp_path / "win")
+    base = ["invert", *TINY, "--n-devices", "1"]
+    cli.main([*base, "--exp-name", e1])
+    cli.main([*base, "--exp-name", e2, "--win", "0,60"])
+    h1, h2 = _hist(e1), _hist(e2)
+    assert np.isfinite(h2).all() and h2[0] > 0
+    assert abs(h1[0] - h2[0]) / h1[0] > 1e-3  # the window really applies
+
+
+def test_src_weight_semantics(tmp_path):
+    """Per-shot src_weight scales the RESIDUAL (utilities.cu:838): doubling
+    every weight must quadruple the initial misfit (misfit ∝ w²)."""
+    import json
+
+    def survey_json(path, wgt):
+        d = {"nShots": 2}
+        for i, sx in enumerate((14, 30)):
+            d[f"shot{i}"] = {"z_src": 1, "x_src": sx, "nrec": 20,
+                             "z_rec": [24] * 20,
+                             "x_rec": list(range(12, 32)),
+                             "src_weight": wgt}
+        with open(path, "w") as fp:
+            json.dump(d, fp)
+
+    s1 = str(tmp_path / "s1.json")
+    s2 = str(tmp_path / "s2.json")
+    survey_json(s1, 1.0)
+    survey_json(s2, 2.0)
+    base = ["invert", *TINY[:-3], "--niter", "1", "--x64",
+            "--n-devices", "1"]
+    e1, e2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    cli.main([*base, "--exp-name", e1, "--survey-json", s1])
+    cli.main([*base, "--exp-name", e2, "--survey-json", s2])
+    h1, h2 = _hist(e1), _hist(e2)
+    assert abs(h2[0] / h1[0] - 4.0) < 1e-6, (h1[0], h2[0])
+
+
+def test_forward_driver_writes_reference_data(tmp_path, capsys):
+    """`forward` (Main-000): generates observed data, reports throughput,
+    and exports the reference-schema Shot_*.bin + para/survey JSON pair —
+    for both physics modes."""
+    d = str(tmp_path / "fdata")
+    cli.main(["forward", "--nz", "28", "--nx", "48", "--nt", "60",
+              "--npml", "8", "--data-dir", d])
+    out = capsys.readouterr().out
+    assert "GCell/s" in out
+    assert os.path.exists(os.path.join(d, "Shot_ett0.bin"))
+    from sep2023_tpu.config import Survey, sim_config_from_json
+    cfg = sim_config_from_json(os.path.join(d, "para_file.json"))
+    sv = Survey.from_json(os.path.join(d, "survey_file.json"))
+    raw = np.fromfile(os.path.join(d, "Shot_pr0.bin"), np.float32)
+    assert raw.size == sv.n_rec * cfg.nt
+    assert np.isfinite(raw).all() and np.abs(raw).max() > 0
+
+    da = str(tmp_path / "fdata_ac")
+    cli.main(["forward", "--nz", "28", "--nx", "48", "--nt", "60",
+              "--npml", "8", "--data-dir", da, "--physics", "acoustic"])
+    raw = np.fromfile(os.path.join(da, "Shot_pr0.bin"), np.float32)
+    assert np.isfinite(raw).all() and np.abs(raw).max() > 0

@@ -195,3 +195,84 @@ def test_curved_fiber_gauge_fwi_gradient():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g[npml + 2:cfg.nz - npml, npml + 2:cfg.nx - npml]).max() > 0
+
+
+def test_spline_fiber_geometry():
+    """spline_fiber (the Overthrust generator, DAS_Geometry_Overthrust.m:
+    28-50): passes through the end control points, resamples to equal arc
+    length, and carries normalized tangential-projection weights."""
+    cp = np.array([[0.0, 100.0, 0.0], [40.0, 80.0, 0.0],
+                   [80.0, 110.0, 0.0], [120.0, 90.0, 0.0]])
+    cable = das.spline_fiber(cp)
+    assert cable.shape == (das.N_CABLE_PTS, 9)
+    np.testing.assert_allclose(cable[0, :3], cp[0], atol=1e-6)
+    np.testing.assert_allclose(cable[-1, :3], cp[-1], atol=1e-6)
+    seg = np.linalg.norm(np.diff(cable[:, :3], axis=0), axis=1)
+    assert seg.std() / seg.mean() < 0.05  # equal arc-length spacing
+    # weights: w1 = Tx^2, w4 = Ty^2, w6 = Tz^2 sum to |T|^2 = 1
+    np.testing.assert_allclose(cable[:, 3] + cable[:, 6] + cable[:, 8],
+                               1.0, atol=1e-9)
+    # in-plane cable: no z-weights
+    np.testing.assert_allclose(cable[:, 5], 0.0, atol=1e-12)
+    np.testing.assert_allclose(cable[:, 7], 0.0, atol=1e-12)
+
+
+def test_spline_fiber_overthrust_fwi_plan():
+    """End-to-end Overthrust-style acquisition (DAS_Geometry_Overthrust.m
+    flow): a spline cable draped over models.overthrust_vp, recorded with
+    directional weights — plans as a K-layer FiberSurvey on the fused
+    engine and matches the XLA engine."""
+    import jax
+
+    import sep2023_tpu as st
+    from sep2023_tpu import models
+    from sep2023_tpu.ops import pallas_engine as pe
+
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=10.0, dx=10.0,
+                       nt=120, dt=0.001, f0=15.0, npml=npml,
+                       das_channel="weighted")
+    vp = models.overthrust_vp(40, 56, v_top=2200.0, v_step=250.0)
+    vp_pad = jnp.asarray(st.medium.pad_model_np(vp, npml), jnp.float32)
+    med = st.Medium(vp_pad, vp_pad / jnp.sqrt(3.0),
+                    jnp.full(cfg.grid.shape, 2300.0, jnp.float32))
+    cfg.check_stability(float(vp.max()))
+
+    # undulating cable through control points over the structure
+    cp = np.array([[140.0, 180.0, 0.0], [220.0, 150.0, 0.0],
+                   [300.0, 200.0, 0.0], [380.0, 170.0, 0.0]])
+    cable = das.spline_fiber(cp)
+    rec_z, rec_x, das_w = das.cable_to_receivers(cable, cfg.dx, cfg.dz)
+    assert len(np.unique(rec_z)) > 2  # genuinely multi-row
+
+    survey_zx = (rec_z + npml, rec_x + npml)
+    plan = pe.plan_fast_path(cfg, *survey_zx, das_w=das_w)
+    assert plan is not None and isinstance(plan.rs, pe.FiberSurvey)
+
+    src_z = jnp.asarray([2 + npml, 2 + npml])
+    src_x = jnp.asarray([14 + npml, 40 + npml])
+    rxz = jnp.ones((2,), jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    out = np.asarray(pe.propagate_pallas_plan(
+        plan, med.lam.astype(jnp.float32), med.mu.astype(jnp.float32),
+        med.rho.astype(jnp.float32), stf, src_z, src_x, rxz))
+
+    geom = st.ShotGeom(
+        src_z=src_z.astype(jnp.int32), src_x=src_x.astype(jnp.int32),
+        rxz=rxz,
+        rec_z=jnp.broadcast_to(jnp.asarray(rec_z + npml, jnp.int32),
+                               (2, len(rec_z))),
+        rec_x=jnp.broadcast_to(jnp.asarray(rec_x + npml, jnp.int32),
+                               (2, len(rec_x))),
+        das_w=jnp.broadcast_to(jnp.asarray(das_w, jnp.float32),
+                               (2, *das_w.shape)))
+    ref = np.asarray(jax.jit(lambda *a: jax.vmap(
+        lambda s, g: st.propagate(cfg, a[0], a[1], a[2], s, g))(a[3], a[4]))(
+            med.lam.astype(jnp.float32), med.mu.astype(jnp.float32),
+            med.rho.astype(jnp.float32), stf, geom)).astype(np.float32)
+    for c in range(4):
+        scale = np.abs(ref[:, c]).max()
+        rel = np.abs(out[:, c] - ref[:, c]).max() / scale
+        assert rel < 3e-5, (c, rel)
