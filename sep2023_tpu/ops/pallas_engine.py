@@ -416,10 +416,10 @@ def _record_rows(cfg: SimConfig, rs, recw, vz, vx, szz, sxx, zi=None,
     for k in range(K):
         rm = rowmaps[k:k + 1, :]  # (1, nx) int32
         if window is None:
-            own = 1.0
+            wnd = lambda h: h
         else:
             own = ((rm >= window[0]) & (rm < window[1])).astype(jnp.float32)
-        wnd = lambda h, o=own: h * o
+            wnd = lambda h, o=own: h * o
         uniform = uniform_l[k]
         hot = wnd((zi == rm).astype(jnp.float32))
         samp = lambda f, h=hot: jnp.sum(f * h, axis=0, keepdims=True)
@@ -1254,7 +1254,7 @@ propagate_pallas.defvjp(_pp_fwd, _pp_bwd)
 # ---------------------------------------------------------------------------
 
 def _ac_step_values(cfg: SimConfig, rs, prof, mask, src_hot, fields, psi,
-                    mats, amp, recw):
+                    mats, amp, recw, zi=None, rec_window=None):
     """One acoustic leapfrog step (pressure -> source -> velocities),
     matching acoustic.ac_step's staggering exactly."""
     (p, vz, vx) = fields
@@ -1285,7 +1285,8 @@ def _ac_step_values(cfg: SimConfig, rs, prof, mask, src_hot, fields, psi,
 
     # reuse the elastic row recorder with (szz=p, sxx=0): channel planes
     # come out as (pr=p, vx, vz, ett) — the caller keeps the first three
-    recs = _record_rows(cfg, rs, recw, vz, vx, p, jnp.zeros_like(p))
+    recs = _record_rows(cfg, rs, recw, vz, vx, p, jnp.zeros_like(p),
+                        zi=zi, window=rec_window)
     return (p, vz, vx), (p_vzdz, p_vxdx, p_pdz, p_pdx), recs
 
 
@@ -1309,7 +1310,7 @@ def _ac_pressure_phase_values(cfg, prof, mask, src_hot, p, ppsi, vdiffs,
 
 
 def _ac_velocity_phase_values(cfg, rs, prof, mask, vels, p_new, vpsi,
-                              pdiffs, bycs, recw):
+                              pdiffs, bycs, recw, zi=None, rec_window=None):
     """Acoustic velocity half-step + recording on precomputed pressure
     stencil differences (of the post-source p)."""
     (vz, vx) = vels
@@ -1324,7 +1325,8 @@ def _ac_velocity_phase_values(cfg, rs, prof, mask, vels, p_new, vpsi,
     p_pdx = bxh * p_pdx + axh * d_px
     dpx = d_px * ikxh + p_pdx
     vx = vx + mask * (dpx * bycb * dt)
-    recs = _record_rows(cfg, rs, recw, vz, vx, p_new, jnp.zeros_like(p_new))
+    recs = _record_rows(cfg, rs, recw, vz, vx, p_new, jnp.zeros_like(p_new),
+                        zi=zi, window=rec_window)
     return (vz, vx), (p_pdz, p_pdx), recs
 
 

@@ -205,36 +205,8 @@ def _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles):
     (field_from_bnd, utilities.cu:362-425): left/right columns of the
     tile's interior rows into lr_out (10 lanes per field), top/bottom bands
     into tb_out when fully inside the window."""
-    _, z0, z1, x0, x1 = _strip_bounds5(cfg)
-    L = STRIP_L
-
-    @pl.when(i == 0)
-    def _zero_edges():
-        lr_out[0:PAD, :] = jnp.zeros((PAD, LANE), jnp.float32)
-        tb_out[:] = jnp.zeros_like(tb_out)
-
-    @pl.when(i == n_tiles - 1)
-    def _zero_tail():
-        nz_ext = PAD + n_tiles * T + PAD
-        lr_out[nz_ext - PAD:nz_ext, :] = jnp.zeros((PAD, LANE), jnp.float32)
-
-    row0 = pl.multiple_of(r0 + PAD, 8)
-    for f_idx in range(eng.N_FIELDS):
-        c = f_idx * 2 * L
-        lr_out[pl.ds(row0, T), c:c + L] = sst[f_idx, PAD:PAD + T,
-                                              x0:x0 + L]
-        lr_out[pl.ds(row0, T), c + L:c + 2 * L] = sst[f_idx, PAD:PAD + T,
-                                                      x1:x1 + L]
-        for b_glob, row_off in ((z0 + PAD, c), (z1 + PAD, c + L)):
-            lo = b_glob - r0
-            ok = (lo >= 0) & (lo <= E - L)
-            lo_c = jnp.clip(lo, 0, E - L)
-
-            @pl.when(ok)
-            def _(f_idx=f_idx, lo_c=lo_c, row_off=row_off):
-                for j in range(L):
-                    tb_out[row_off + j:row_off + j + 1, :] = (
-                        sst[f_idx, pl.ds(lo_c + j, 1), :])
+    _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
+                        eng.N_FIELDS)
 
 
 # ---------------------------------------------------------------------------
@@ -728,3 +700,497 @@ def forward_pallas_streamed(cfg: SimConfig, rs, lam, mu, rho, stf,
 
     return jax.lax.map(one, (stf, jnp.asarray(src_z, jnp.int32),
                              jnp.asarray(src_x, jnp.int32), rxz))
+
+
+# ---------------------------------------------------------------------------
+# Acoustic streamed engine (secondary physics mode at any grid size; the
+# streamed counterpart of pallas_engine.propagate_pallas_acoustic)
+# ---------------------------------------------------------------------------
+
+AC_NF_FWD = 7    # p vz vx + 4 psi
+AC_NF_BWD = 10   # 3 primal + 3 adjoint + 4 adjoint psi
+AC_TB_ROWS = eng.AC_TB_ROWS
+AC_N_FIELDS = eng.AC_N_FIELDS
+
+
+def _ac_interior_tile(cfg, gz, xi):
+    """The TIGHTER acoustic reconstruction region ([npml+2, n-3-npml],
+    acoustic._consts mask_i) on the tile's extended window."""
+    return ((gz >= cfg.npml + 2) & (gz <= cfg.nz - 3 - cfg.npml)
+            & (xi >= cfg.npml + 2)
+            & (xi <= cfg.nx - 3 - cfg.npml)).astype(jnp.float32)
+
+
+def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
+                        srcz_ref, srcx_ref, amp_ref, *args):
+    E = T + 2 * PAD
+    state_in = args[0]
+    mats_in = args[1]
+    prof_refs = args[2:14]
+    recw_refs = args[14:14 + n_recw]
+    p = 14 + n_recw
+    state_out = args[p]
+    rec_out = args[p + 1]
+    if save_strips:
+        lr_out, tb_out = args[p + 2:p + 4]
+        p += 4
+    else:
+        lr_out = tb_out = None
+        p += 2
+    sst, mat_t = args[p:p + 2]
+    sems = args[p + 2]
+
+    i = pl.program_id(0)
+    r0 = i * T
+    NC = 4 * eng._n_layers(rs)
+
+    cp_in = pltpu.make_async_copy(
+        state_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], sst, sems.at[0])
+    cp_m = pltpu.make_async_copy(
+        mats_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], mat_t, sems.at[1])
+    cp_in.start()
+    cp_m.start()
+    cp_in.wait()
+    cp_m.wait()
+
+    gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
+                                       srcz_ref[0], srcx_ref[0])
+    prof = _slice_prof(prof_refs, r0, E)
+    recw = eng._read_recw(recw_refs)
+    mats = tuple(mat_t[m] for m in range(3))
+
+    if save_strips:
+        _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
+                            AC_N_FIELDS)
+
+    fields = tuple(sst[f] for f in range(3))
+    psi = tuple(sst[3 + j] for j in range(4))
+    new_fields, new_psi, recs = eng._ac_step_values(
+        cfg, rs, prof, mask, src_hot, fields, psi, mats, amp_ref[0], recw,
+        zi=gz, rec_window=(r0, r0 + T))
+    for f, v in enumerate(new_fields):
+        sst[f] = v
+    for j, v in enumerate(new_psi):
+        sst[3 + j] = v
+
+    @pl.when(i == 0)
+    def _init_rec():
+        rec_out[:] = jnp.zeros_like(rec_out)
+
+    for c in range(NC):
+        rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
+
+    @pl.when(i == 0)
+    def _zero_top():
+        for f in range(AC_NF_FWD):
+            sst[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(sst.at[:, 0:PAD, :],
+                                   state_out.at[:, 0:PAD, :], sems.at[2])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == n_tiles - 1)
+    def _zero_bot():
+        for f in range(AC_NF_FWD):
+            sst[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(
+            sst.at[:, E - PAD:E, :],
+            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :],
+            sems.at[2])
+        cp.start()
+        cp.wait()
+
+    cp_out = pltpu.make_async_copy(
+        sst.at[:, PAD:PAD + T, :],
+        state_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :],
+        sems.at[0])
+    cp_out.start()
+    cp_out.wait()
+
+
+def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
+                        n_fields):
+    """_save_strips_tile generalized to n_fields planes (3 acoustic /
+    5 elastic)."""
+    _, z0, z1, x0, x1 = _strip_bounds5(cfg)
+    L = STRIP_L
+
+    @pl.when(i == 0)
+    def _zero_edges():
+        lr_out[0:PAD, :] = jnp.zeros((PAD, LANE), jnp.float32)
+        tb_out[:] = jnp.zeros_like(tb_out)
+
+    @pl.when(i == n_tiles - 1)
+    def _zero_tail():
+        nz_ext = PAD + n_tiles * T + PAD
+        lr_out[nz_ext - PAD:nz_ext, :] = jnp.zeros((PAD, LANE), jnp.float32)
+
+    row0 = pl.multiple_of(r0 + PAD, 8)
+    for f_idx in range(n_fields):
+        c = f_idx * 2 * L
+        lr_out[pl.ds(row0, T), c:c + L] = sst[f_idx, PAD:PAD + T,
+                                              x0:x0 + L]
+        lr_out[pl.ds(row0, T), c + L:c + 2 * L] = sst[f_idx, PAD:PAD + T,
+                                                      x1:x1 + L]
+        for b_glob, row_off in ((z0 + PAD, c), (z1 + PAD, c + L)):
+            lo = b_glob - r0
+            ok = (lo >= 0) & (lo <= E - L)
+            lo_c = jnp.clip(lo, 0, E - L)
+
+            @pl.when(ok)
+            def _(f_idx=f_idx, lo_c=lo_c, row_off=row_off):
+                for j in range(L):
+                    tb_out[row_off + j:row_off + j + 1, :] = (
+                        sst[f_idx, pl.ds(lo_c + j, 1), :])
+
+
+def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    E = T + 2 * PAD
+    f32 = jnp.float32
+    NC = 4 * eng._n_layers(rs)
+    recw_in = _recw_inputs_padded(cfg, rs, nxp)
+    n_recw = len(recw_in)
+
+    out_shape = [jax.ShapeDtypeStruct((AC_NF_FWD, nz_ext, nxp), f32),
+                 jax.ShapeDtypeStruct((NC, nxp), f32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                 pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if save_strips:
+        out_shape += [jax.ShapeDtypeStruct((nz_ext, LANE), f32),
+                      jax.ShapeDtypeStruct((AC_TB_ROWS, nxp), f32)]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
+    kernel = functools.partial(_ac_fwd_mega_kernel, cfg, rs, T, n_tiles,
+                               nxp, n_recw, save_strips)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)),
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((AC_NF_FWD, E, nxp), f32),
+                        pltpu.VMEM((3, E, nxp), f32),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )
+    interp = eng._interpret()
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )
+
+    def step(state, mats_ext, profs, sz1, sx1, amp):
+        return call(sz1, sx1, jnp.reshape(amp, (1,)).astype(f32),
+                    state, mats_ext, *profs, *recw_in)
+
+    return step
+
+
+def _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp):
+    mats = eng._ac_mats(lam, rho)
+    return jnp.stack([_ext_plane(p, nz_ext, nxp) for p in mats])
+
+
+def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
+                       save_strips: bool):
+    """Single-shot streamed acoustic forward: data (3, R, nt) channels
+    (pr, vx, vz) [+ (lr_all, tb_all, final) when save_strips]."""
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    f32 = jnp.float32
+    mats_ext = _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp)
+    profs = _profiles_ext(cfg, nz_ext, nxp)
+    step = _make_ac_fwd_megastep(cfg, rs, save_strips)
+    sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
+    sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
+    state0 = jnp.zeros((AC_NF_FWD, nz_ext, nxp), f32)
+
+    def body(state, amp):
+        outs = step(state, mats_ext, profs, sz1, sx1, amp)
+        if save_strips:
+            state2, rec, lr_t, tb_t = outs
+            return state2, (rec, lr_t, tb_t)
+        state2, rec = outs
+        return state2, rec
+
+    final, ys = jax.lax.scan(body, state0, stf1[:cfg.nt - 1].astype(f32))
+    rec_seq = ys[0] if save_strips else ys
+    NC = rec_seq.shape[1]
+    planes = jnp.concatenate(
+        [jnp.zeros((NC, 1, nxp), f32), jnp.moveaxis(rec_seq, 0, 1)],
+        axis=1)[None]
+    data = eng._extract_data(cfg, rs, planes)[0][:3]   # (pr, vx, vz)
+    if save_strips:
+        return data, ys[1], ys[2], final
+    return data
+
+
+def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
+                        srcz_ref, srcx_ref, amp_ref, *args):
+    E = T + 2 * PAD
+    state_in = args[0]
+    mats_in = args[1]
+    gmat_in = args[2]
+    prof_refs = args[3:15]
+    recw_refs = args[15:15 + n_recw]
+    p = 15 + n_recw
+    lr_ref = args[p]
+    tb_ref = args[p + 1]
+    drec_ref = args[p + 2]
+    state_out = args[p + 3]
+    gmat_out = args[p + 4]
+    dstf_out = args[p + 5]
+    sst, mat_t, gm_t = args[p + 6:p + 9]
+    sems = args[p + 9]
+
+    i = pl.program_id(0)
+    r0 = i * T
+    NC = 4 * eng._n_layers(rs)
+    dt = cfg.dt
+    rdz, rdx = 1.0 / cfg.dz, 1.0 / cfg.dx
+
+    cp_in = pltpu.make_async_copy(
+        state_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], sst, sems.at[0])
+    cp_m = pltpu.make_async_copy(
+        mats_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], mat_t, sems.at[1])
+    cp_g = pltpu.make_async_copy(
+        gmat_in.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], gm_t,
+        sems.at[2])
+    cp_in.start()
+    cp_m.start()
+    cp_g.start()
+    cp_in.wait()
+    cp_m.wait()
+    cp_g.wait()
+
+    src_z = srcz_ref[0]
+    src_x = srcx_ref[0]
+    amp = amp_ref[0]
+    gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp, src_z, src_x)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+    interior = _ac_interior_tile(cfg, gz, xi)
+    prof = _slice_prof(prof_refs, r0, E)
+    recw = eng._read_recw(recw_refs)
+    (lam, byca, bycb) = tuple(mat_t[k] for k in range(3))
+
+    # ---- reconstruct state_t (acoustic ordering, _ac_bwd_kernel) ----------
+    (pf, vz, vx) = tuple(sst[f] for f in range(3))
+    p_tp1 = pf
+    pdiffs = (eng._dz_minus(pf), eng._dx_plus(pf))
+    sst[1] = vz - interior * (pdiffs[0] * rdz * byca * dt)
+    sst[2] = vx - interior * (pdiffs[1] * rdx * bycb * dt)
+    _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(1, 2))
+    vz, vx = sst[1], sst[2]
+    pf = pf - src_hot * (cfg.src_scale * dt * amp)
+    vdiffs = (eng._dz_plus(vz), eng._dx_minus(vx))
+    sst[0] = pf - interior * (
+        lam * (vdiffs[0] * rdz + vdiffs[1] * rdx) * dt)
+    _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(0,))
+    fields_t = tuple(sst[f] for f in range(3))
+
+    adj_f = tuple(sst[3 + f] for f in range(3))
+    adj_p = tuple(sst[6 + j] for j in range(4))
+    d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
+    zero2 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(2))
+
+    # ---- phase-split adjoint (same construction as _ac_bwd_kernel) --------
+    vfun = lambda vels, pn, vpsi, pd, bycs: (
+        eng._ac_velocity_phase_values(cfg, rs, prof, mask, vels, pn,
+                                      vpsi, pd, bycs, recw, zi=gz))
+    _, vvjp = jax.vjp(vfun, (fields_t[1], fields_t[2]), p_tp1,
+                      zero2, pdiffs, (byca, bycb))
+    (d_vels, d_p_rec, d_vpsi_in, d_pdiffs, d_bycs) = vvjp(
+        ((adj_f[1], adj_f[2]), adj_p[2:], d_rec))
+    cot_p = (adj_f[0] + d_p_rec + eng._dz_minus_t(d_pdiffs[0])
+             + eng._dx_plus_t(d_pdiffs[1]))
+    pfun = lambda p_, ppsi, vd, lam_, a: (
+        eng._ac_pressure_phase_values(cfg, prof, mask, src_hot, p_,
+                                      ppsi, vd, lam_, a))
+    _, pvjp = jax.vjp(pfun, fields_t[0], zero2, vdiffs, lam, amp)
+    (d_p_t, d_ppsi_in, d_vdiffs, d_lam, d_amp) = pvjp((cot_p, adj_p[:2]))
+    cot_vz = d_vels[0] + eng._dz_plus_t(d_vdiffs[0])
+    cot_vx = d_vels[1] + eng._dx_minus_t(d_vdiffs[1])
+    d_fields = (d_p_t, cot_vz, cot_vx)
+    d_psi = (*d_ppsi_in, *d_vpsi_in)
+    d_mats = (d_lam, d_bycs[0], d_bycs[1])
+
+    for f, v in enumerate(d_fields):
+        sst[3 + f] = v
+    for j, v in enumerate(d_psi):
+        sst[6 + j] = v
+    for f, v in enumerate(d_mats):
+        gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
+
+    own_src = (src_z >= r0) & (src_z < r0 + T)
+
+    @pl.when(own_src)
+    def _write_dstf():
+        dstf_out[0] = d_amp
+
+    @pl.when(i == 0)
+    def _zero_top():
+        for f in range(AC_NF_BWD):
+            sst[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(sst.at[:, 0:PAD, :],
+                                   state_out.at[:, 0:PAD, :], sems.at[2])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == n_tiles - 1)
+    def _zero_bot():
+        for f in range(AC_NF_BWD):
+            sst[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(
+            sst.at[:, E - PAD:E, :],
+            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :],
+            sems.at[2])
+        cp.start()
+        cp.wait()
+
+    cp_out = pltpu.make_async_copy(
+        sst.at[:, PAD:PAD + T, :],
+        state_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :],
+        sems.at[0])
+    cp_gout = pltpu.make_async_copy(
+        gm_t, gmat_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :],
+        sems.at[1])
+    cp_out.start()
+    cp_gout.start()
+    cp_out.wait()
+    cp_gout.wait()
+
+
+def _make_ac_bwd_megastep(cfg: SimConfig, rs):
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    E = T + 2 * PAD
+    f32 = jnp.float32
+    NC = 4 * eng._n_layers(rs)
+    recw_in = _recw_inputs_padded(cfg, rs, nxp)
+    n_recw = len(recw_in)
+
+    kernel = functools.partial(_ac_bwd_mega_kernel, cfg, rs, T, n_tiles,
+                               nxp, n_recw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.VMEM((AC_NF_BWD, E, nxp), f32),
+                        pltpu.VMEM((3, E, nxp), f32),
+                        pltpu.VMEM((3, T, nxp), f32),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )
+    out_shape = [jax.ShapeDtypeStruct((AC_NF_BWD, nz_ext, nxp), f32),
+                 jax.ShapeDtypeStruct((3, nz_ext, nxp), f32),
+                 jax.ShapeDtypeStruct((1,), f32)]
+    interp = eng._interpret()
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+    )
+
+    def step(state, gmat, mats_ext, profs, sz1, sx1, amp, lr_t, tb_t,
+             drec_t):
+        return call(sz1, sx1, jnp.reshape(amp, (1,)).astype(f32),
+                    state, mats_ext, gmat, *profs, *recw_in,
+                    lr_t, tb_t, drec_t)
+
+    return step
+
+
+def _ac_stream_backward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
+                        final, lr_all, tb_all, d_data):
+    from sep2023_tpu.medium import _shift_left, _shift_up
+
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    f32 = jnp.float32
+    mats_ext = _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp)
+    profs = _profiles_ext(cfg, nz_ext, nxp)
+    step = _make_ac_bwd_megastep(cfg, rs)
+    sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
+    sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
+
+    state0 = jnp.concatenate(
+        [final[:3], jnp.zeros((AC_NF_BWD - 3, nz_ext, nxp), f32)])
+    gmat0 = jnp.zeros((3, nz_ext, nxp), f32)
+
+    # (3, R, nt) cotangent + a zero ett plane -> per-step (NC, nxp) rows
+    d4 = jnp.concatenate(
+        [d_data.astype(f32), jnp.zeros((1,) + d_data.shape[1:], f32)])
+    dd = eng._place_cotangent(cfg, rs, d4[None], cfg.nt, nxp)[0]
+    drec_seq = jnp.moveaxis(dd, 1, 0)
+
+    def rbody(carry, xs):
+        state, gmat = carry
+        lr_t, tb_t, drec_t, amp = xs
+        state2, gmat2, d_amp = step(state, gmat, mats_ext, profs, sz1, sx1,
+                                    amp, lr_t, tb_t, drec_t)
+        return (state2, gmat2), d_amp[0]
+
+    xs = (lr_all, tb_all, drec_seq[1:], stf1[:cfg.nt - 1].astype(f32))
+    (_, gmat), d_stf_main = jax.lax.scan(rbody, (state0, gmat0), xs,
+                                         reverse=True)
+
+    g = gmat[:, PAD:PAD + cfg.nz, :cfg.nx]
+    mzi = (jnp.arange(cfg.nz) >= cfg.npml + 2) & (jnp.arange(cfg.nz)
+                                                  <= cfg.nz - 3 - cfg.npml)
+    mxi = (jnp.arange(cfg.nx) >= cfg.npml + 2) & (jnp.arange(cfg.nx)
+                                                  <= cfg.nx - 3 - cfg.npml)
+    m = (mzi[:, None] & mxi[None, :]).astype(f32)
+    rho32 = rho.astype(f32)
+    _, byc_vjp = jax.vjp(
+        lambda r: (2.0 / (_shift_up(r) + r), 2.0 / (_shift_left(r) + r)),
+        rho32)
+    (d_rho,) = byc_vjp((g[1] * m, g[2] * m))
+    d_stf = jnp.concatenate([d_stf_main, jnp.zeros((1,), f32)])
+    return g[0] * m, d_rho, d_stf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ac_stream_one(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1):
+    return _ac_stream_forward(cfg, rs, lam, rho, stf1, sz1, sx1,
+                              save_strips=False)
+
+
+def _aso_fwd(cfg, rs, lam, rho, stf1, sz1, sx1):
+    data, lr_all, tb_all, final = _ac_stream_forward(
+        cfg, rs, lam, rho, stf1, sz1, sx1, save_strips=True)
+    return data, (lam, rho, stf1, sz1, sx1, final, lr_all, tb_all)
+
+
+def _aso_bwd(cfg, rs, res, d_data):
+    lam, rho, stf1, sz1, sx1, final, lr_all, tb_all = res
+    d_lam, d_rho, d_stf = _ac_stream_backward(
+        cfg, rs, lam, rho, stf1, sz1, sx1, final, lr_all, tb_all, d_data)
+    f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+    return (d_lam.astype(lam.dtype), d_rho.astype(rho.dtype),
+            d_stf.astype(stf1.dtype), f0(sz1), f0(sx1))
+
+
+_ac_stream_one.defvjp(_aso_fwd, _aso_bwd)
+
+
+def propagate_pallas_acoustic_streamed(cfg: SimConfig, rs, lam, rho, stf,
+                                       src_z, src_x):
+    """Differentiable streamed acoustic propagator, shot-batched: data
+    (S, 3, R, nt) channels (pr, vx, vz).  Same semantics as
+    `pallas_engine.propagate_pallas_acoustic`, grid-size-independent."""
+    def one(xs):
+        stf1, sz1, sx1 = xs
+        return _ac_stream_one(cfg, rs, lam, rho, stf1, sz1, sx1)
+
+    return jax.lax.map(one, (stf, jnp.asarray(src_z, jnp.int32),
+                             jnp.asarray(src_x, jnp.int32)))

@@ -191,3 +191,58 @@ def test_grad_dispatch_picks_streamed_past_vmem_gate():
     # streamed layout at Marmousi scale: sane tile count, full coverage
     T, n_tiles, nz_ext, nxp = ps._layout(big)
     assert n_tiles * T >= big.nz and nxp >= big.nx
+
+
+def test_streamed_acoustic_matches_xla():
+    """Acoustic streamed engine (3-field megasteps) vs the XLA acoustic
+    oracle: forward and (lam, rho, stf) gradient across multiple tiles."""
+    from sep2023_tpu.acoustic import AcGeom, propagate_acoustic
+
+    npml = 10
+    cfg = st.SimConfig(nz=44 + 2 * npml, nx=60 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=120, dt=0.002, f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[30:38, 40:52].add(250.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([2, 30]), src_x=np.array([14, 40]),
+                    rec_z=np.full(24, 38), rec_x=np.arange(16, 40))
+    rs = pe.check_row_survey(survey.rec_z + npml, survey.rec_x + npml)
+    sz = jnp.asarray(survey.src_z + npml)
+    sx = jnp.asarray(survey.src_x + npml)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    ac = AcGeom(src_z=sz.astype(jnp.int32), src_x=sx.astype(jnp.int32),
+                rec_z=jnp.broadcast_to(
+                    jnp.asarray(survey.rec_z + npml, jnp.int32), (2, 24)),
+                rec_x=jnp.broadcast_to(
+                    jnp.asarray(survey.rec_x + npml, jnp.int32), (2, 24)))
+
+    out = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    f = jax.jit(lambda *a: jax.vmap(
+        lambda s, g: propagate_acoustic(cfg, a[0], a[1], s, g))(a[2], a[3]))
+    ref = np.asarray(f(lam, rho, stf, ac)).astype(np.float32)
+    assert out.shape == ref.shape
+    for c in range(3):
+        rel = np.abs(out[:, c] - ref[:, c]).max() / np.abs(ref[:, c]).max()
+        assert rel < 3e-5, (c, rel)
+
+    obs = jnp.asarray(ref * 1.02)
+
+    def loss_s(lam_, rho_, stf_):
+        syn = ps.propagate_pallas_acoustic_streamed(cfg, rs, lam_, rho_,
+                                                    stf_, sz, sx)
+        return jnp.sum((syn - obs) ** 2)
+
+    def loss_x(lam_, rho_, stf_):
+        syn = jax.vmap(lambda s, g: propagate_acoustic(cfg, lam_, rho_,
+                                                       s, g))(stf_, ac)
+        return jnp.sum((syn.astype(jnp.float32) - obs) ** 2)
+
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(lam, rho, stf)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(lam, rho, stf)
+    for name, a, b in zip(("lam", "rho", "stf"), gs, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / np.abs(b).max()
+        assert rel < 5e-4, (name, rel)
