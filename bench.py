@@ -155,7 +155,7 @@ def main():
                                                sz_s, sx_s, rxz_s)
             return 0.5 * jnp.sum(syn * syn)
 
-        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        g = ps.tpu_jit(jax.grad(loss, argnums=(0, 1, 2)))
         t, _ = _time_pipelined(g, lam_s, mu_s, rho_s, stf_s, depth=depth)
         return nz_p * nx_p * (nt_s - 1) / t / 1e9
 

@@ -326,7 +326,8 @@ def cmd_invert(args):
     print(f"engine: {pe.plan_engine_name(planu[0]) if use_pallas else 'XLA'}")
 
     def _make_fwd():
-        return jax.jit(parallel.make_forward(
+        from sep2023_tpu.ops.pallas_stream import tpu_jit
+        return tpu_jit(parallel.make_forward(
             cfg, survey, use_pallas=use_pallas, mesh=mesh,
             shot_chunk=args.shot_chunk, dtype=dtype))
 
@@ -481,7 +482,8 @@ def cmd_invert(args):
     if args.multiscale:
         from sep2023_tpu.ops import signal as sg
         shared_loss = make_param_loss(make_data_loss(None, dynamic=True))
-        shared_vg = jax.jit(jax.value_and_grad(shared_loss))
+        from sep2023_tpu.ops.pallas_stream import tpu_jit
+        shared_vg = tpu_jit(jax.value_and_grad(shared_loss))
 
         def stage_bp_aux(corners):
             H = np.asarray(sg.bandpass_amplitude(cfg.nt, cfg.dt, *corners))

@@ -78,21 +78,57 @@ def _pad128(n):
     return eng._pad128(n)
 
 
+SCOPED_VMEM_KIB = int(os.environ.get("SEP2023_TPU_SCOPED_VMEM_KIB",
+                                     131072))
+
+
+def compile_options():
+    """Per-jit compiler options for programs embedding the streamed
+    megasteps.  XLA's TPU buffer assignment promotes mid-sized while-loop
+    carries / kernel outputs into scoped VMEM and can exceed its default
+    scoped limit instead of falling back to HBM ("It should not be possible
+    to run out of scoped vmem — please file a bug"); raising the limit to
+    128 MiB (the physical v5e VMEM) both fixes the failure and lets the
+    carry live in VMEM when it fits.  Apply via
+    `jax.jit(fn, compiler_options=compile_options())` (TPU backends only —
+    see `tpu_jit`)."""
+    return {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB}
+
+
+def tpu_jit(fn, **jit_kwargs):
+    """jax.jit that carries the streamed engine's TPU compiler options on
+    TPU backends (a plain jit elsewhere)."""
+    if jax.default_backend() == "tpu":
+        return jax.jit(fn, compiler_options=compile_options(), **jit_kwargs)
+    return jax.jit(fn, **jit_kwargs)
+
+
+VMEM_LIMIT = 110 * 2 ** 20   # Mosaic scoped limit (v5e carries 128 MiB)
+
+
 def tile_rows(cfg: SimConfig) -> int:
     """Tile height T (rows written per grid step).  SEP2023_TPU_STREAM_T
     overrides (tests force small T to exercise multi-tile paths on tiny
-    grids).  The default budgets ~70 (T+2*PAD, nxp) f32 plane-tiles —
-    resident state + Mosaic's vjp temporaries — under ~80 MiB of the
-    100 MiB scoped VMEM."""
+    grids).  The default solves the pipelined backward's VMEM budget —
+    double-buffered state (2x18) + materials (2x5) slots of (T+2*PAD, nxp)
+    rows, the (T, nxp) out stage (18) + gradient (5) buffers, and ~30
+    plane-tiles of Mosaic vjp temporaries — against ~100 MiB of the
+    110 MiB scoped limit, then BALANCES the tile count: T shrinks to
+    ceil(nz / n_tiles) so the last tile carries no more ghost rows than
+    the rest (T=256 on nz=560 would otherwise process 768 rows for 560
+    real ones — 37% waste)."""
     env = os.environ.get("SEP2023_TPU_STREAM_T")
     if env:
         T = int(env)
     else:
         nxp = _pad128(cfg.nx)
-        budget = 80 * 2 ** 20
-        e_rows = budget // (70 * nxp * 4)
-        T = int(max(32, min(256, e_rows - 2 * PAD)))
-        T = (T // 8) * 8
+        budget = 100 * 2 ** 20
+        row_bytes = nxp * 4
+        # (2*18 + 2*5 + 30) extended planes + (18 + 5) T-row planes
+        T = int(budget // row_bytes - 76 * 2 * PAD) // (76 + 23)
+        T = max(32, min(256, (T // 8) * 8))
+        n_tiles = -(-cfg.nz // T)
+        T = -(-(-(-cfg.nz // n_tiles)) // 8) * 8   # ceil(nz/n, 8-aligned)
     return min(T, _pad8(cfg.nz))
 
 
@@ -210,7 +246,129 @@ def _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles):
 
 
 # ---------------------------------------------------------------------------
-# Forward megastep kernel
+# Pipelined DMA machinery (shared by the elastic megastep kernels)
+# ---------------------------------------------------------------------------
+
+class _Slot:
+    """Slot view of a (2, ...) double-buffered scratch ref so the tile
+    helpers written for plain scratch (`sst[f, rows, lanes]`) work
+    unchanged: indexing prepends the (traced) slot index."""
+
+    def __init__(self, ref, slot):
+        self._ref = ref
+        self._slot = slot
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return self._ref[(self._slot, *idx)]
+
+    def __setitem__(self, idx, v):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        self._ref[(self._slot, *idx)] = v
+
+    @property
+    def at(self):
+        return _SlotAt(self._ref, self._slot)
+
+
+class _SlotAt:
+    def __init__(self, ref, slot):
+        self._ref = ref
+        self._slot = slot
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return self._ref.at[(self._slot, *idx)]
+
+
+def _in_dma(src_hbm, dst2, slot, tile, T, E, sem2):
+    """Prefetchable tile-rows load: src[:, tile*T : tile*T+E, :] -> slot.
+    The descriptor is reconstructed identically at wait time."""
+    return pltpu.make_async_copy(
+        src_hbm.at[:, pl.ds(pl.multiple_of(tile * T, 8), E), :],
+        dst2.at[slot], sem2.at[slot])
+
+
+def _stage_out_dma(stage, dst_hbm, tile, T, sem):
+    return pltpu.make_async_copy(
+        stage, dst_hbm.at[:, pl.ds(pl.multiple_of(tile * T + PAD, 8), T), :],
+        sem)
+
+
+def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
+                       s_sems, m_sems):
+    """2-slot input pipeline: prime tile 0 at i=0, prefetch tile i+1 into
+    the other slot, wait tile i's loads.  Output staging (a separate
+    (NF, T, nxp) buffer) keeps the slots free of out-DMA dependencies, so
+    the prefetch never stalls on a drain."""
+    p = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    q = 1 - p
+
+    @pl.when(i == 0)
+    def _prime():
+        _in_dma(state_in, sst2, 0, 0, T, E, s_sems).start()
+        _in_dma(mats_in, mat2, 0, 0, T, E, m_sems).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _prefetch():
+        _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).start()
+        _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).start()
+
+    _in_dma(state_in, sst2, p, i, T, E, s_sems).wait()
+    _in_dma(mats_in, mat2, p, i, T, E, m_sems).wait()
+    return p
+
+
+def _pipeline_epilogue(i, n_tiles, stage, state_out, T, out_sem):
+    """Drain-before-overwrite + start this tile's staged output.  The
+    stage is reused next iteration, so the previous out must have drained
+    by then — it had the whole compute to do so (wait placed by the caller
+    just before the stage stores)."""
+    _stage_out_dma(stage, state_out, i, T, out_sem).start()
+
+    @pl.when(i == n_tiles - 1)
+    def _drain():
+        _stage_out_dma(stage, state_out, i, T, out_sem).wait()
+
+
+def _wait_prev_out(i, stage, state_out, T, out_sem):
+    @pl.when(i >= 1)
+    def _():
+        _stage_out_dma(stage, state_out, i - 1, T, out_sem).wait()
+
+
+def _write_state_pads(nf, sst_p, state_out, i, n_tiles, T, E, nxp, aux_sem):
+    """Keep the carried state's PAD edge rows zero: tile 0 / the last tile
+    zero their outer halo rows in the (now dead) input slot and DMA them
+    out (the slot is not reused until two iterations later)."""
+    r0 = i * T
+
+    @pl.when(i == 0)
+    def _zero_top():
+        for f in range(nf):
+            sst_p[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(sst_p.at[:, 0:PAD, :],
+                                   state_out.at[:, 0:PAD, :], aux_sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == n_tiles - 1)
+    def _zero_bot():
+        for f in range(nf):
+            sst_p[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
+        cp = pltpu.make_async_copy(
+            sst_p.at[:, E - PAD:E, :],
+            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :],
+            aux_sem)
+        cp.start()
+        cp.wait()
+
+
+# ---------------------------------------------------------------------------
+# Forward megastep kernel (pipelined)
 # ---------------------------------------------------------------------------
 
 def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
@@ -220,82 +378,64 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
     mats_in = args[1]
     prof_refs = args[2:14]
     recw_refs = args[14:14 + n_recw]
-    p = 14 + n_recw
-    state_out = args[p]
-    rec_out = args[p + 1]
+    p_ = 14 + n_recw
+    state_out = args[p_]
+    rec_out = args[p_ + 1]
     if save_strips:
-        lr_out, tb_out = args[p + 2:p + 4]
-        p += 4
+        lr_out, tb_out = args[p_ + 2:p_ + 4]
+        p_ += 4
     else:
         lr_out = tb_out = None
-        p += 2
-    sst, mat_t = args[p:p + 2]
-    sems = args[p + 2]
+        p_ += 2
+    sst2, mat2, stage = args[p_:p_ + 3]
+    s_sems, m_sems, out_sem, aux_sem = args[p_ + 3:p_ + 7]
 
-    i = pl.program_id(0)
-    r0 = i * T
     NC = 4 * eng._n_layers(rs)
-
-    cp_in = pltpu.make_async_copy(state_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], sst,
-                                  sems.at[0])
-    cp_m = pltpu.make_async_copy(mats_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], mat_t,
-                                 sems.at[1])
-    cp_in.start()
-    cp_m.start()
-    cp_in.wait()
-    cp_m.wait()
-
-    gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
-                                       srcz_ref[0], srcx_ref[0])
-    prof = _slice_prof(prof_refs, r0, E)
     recw = eng._read_recw(recw_refs)
-    mats = tuple(mat_t[m] for m in range(5))
+    rec_out[:] = jnp.zeros_like(rec_out)
 
-    if save_strips:
-        _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles)
+    # the tile loop lives INSIDE the kernel so the 2-slot DMA pipeline
+    # actually spans tiles (DMAs persist across fori_loop iterations; grid
+    # iterations would drain them)
+    def tile_body(i, _):
+        r0 = i * T
+        p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                               T, E, s_sems, m_sems)
+        sst = _Slot(sst2, p)
+        mat_t = _Slot(mat2, p)
 
-    fields = tuple(sst[f] for f in range(5))
-    psi = tuple(sst[5 + j] for j in range(8))
-    new_fields, new_psi, recs = eng._step_values(
-        cfg, rs, prof, mask, src_hot, rxz_ref[0], fields, psi, mats,
-        amp_ref[0], recw, zi=gz, rec_window=(r0, r0 + T))
-    for f, v in enumerate(new_fields):
-        sst[f] = v
-    for j, v in enumerate(new_psi):
-        sst[5 + j] = v
+        gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
+                                           srcz_ref[0], srcx_ref[0])
+        prof = _slice_prof(prof_refs, r0, E)
+        mats = tuple(mat_t[m] for m in range(5))
 
-    @pl.when(i == 0)
-    def _init_rec():
-        rec_out[:] = jnp.zeros_like(rec_out)
+        if save_strips:
+            _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i,
+                              n_tiles)
 
-    for c in range(NC):
-        rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
+        fields = tuple(sst[f] for f in range(5))
+        psi = tuple(sst[5 + j] for j in range(8))
+        new_fields, new_psi, recs = eng._step_values(
+            cfg, rs, prof, mask, src_hot, rxz_ref[0], fields, psi, mats,
+            amp_ref[0], recw, zi=gz, rec_window=(r0, r0 + T))
 
-    # pad rows stay zero in the carried state
-    @pl.when(i == 0)
-    def _zero_top():
-        for f in range(NF_FWD):
-            sst[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
-        cp = pltpu.make_async_copy(sst.at[:, 0:PAD, :],
-                                   state_out.at[:, 0:PAD, :], sems.at[2])
-        cp.start()
-        cp.wait()
+        # results go to the out STAGE (interior rows only); the input slot
+        # is left untouched so its reuse needs no out drain
+        _wait_prev_out(i, stage, state_out, T, out_sem)
+        for f, v in enumerate(new_fields):
+            stage[f] = v[PAD:PAD + T, :]
+        for j, v in enumerate(new_psi):
+            stage[5 + j] = v[PAD:PAD + T, :]
 
-    @pl.when(i == n_tiles - 1)
-    def _zero_bot():
-        for f in range(NF_FWD):
-            sst[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
-        cp = pltpu.make_async_copy(
-            sst.at[:, E - PAD:E, :],
-            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :], sems.at[2])
-        cp.start()
-        cp.wait()
+        for c in range(NC):
+            rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
 
-    cp_out = pltpu.make_async_copy(
-        sst.at[:, PAD:PAD + T, :],
-        state_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], sems.at[0])
-    cp_out.start()
-    cp_out.wait()
+        _write_state_pads(NF_FWD, sst, state_out, i, n_tiles, T, E, nxp,
+                          aux_sem)
+        _pipeline_epilogue(i, n_tiles, stage, state_out, T, out_sem)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
@@ -319,13 +459,17 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
                                n_recw, save_strips)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        grid=(1,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)),
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((NF_FWD, E, nxp), f32),
-                        pltpu.VMEM((5, E, nxp), f32),
-                        pltpu.SemaphoreType.DMA((3,))],
+        scratch_shapes=[pltpu.VMEM((2, NF_FWD, E, nxp), f32),
+                        pltpu.VMEM((2, 5, E, nxp), f32),
+                        pltpu.VMEM((NF_FWD, T, nxp), f32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
     )
     interp = eng._interpret()
     call = pl.pallas_call(
@@ -335,7 +479,7 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
         interpret=interp,
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
     def step(state, mats_ext, profs, sz1, sx1, rxz1, amp):
@@ -391,6 +535,18 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
 # Backward megastep kernel (reconstruct + phase-split adjoint, full variant)
 # ---------------------------------------------------------------------------
 
+def _gm_in_dma(gmat_in, gm_t, tile, T, sem):
+    return pltpu.make_async_copy(
+        gmat_in.at[:, pl.ds(pl.multiple_of(tile * T + PAD, 8), T), :],
+        gm_t, sem)
+
+
+def _gm_out_dma(gm_t, gmat_out, tile, T, sem):
+    return pltpu.make_async_copy(
+        gm_t, gmat_out.at[:, pl.ds(pl.multiple_of(tile * T + PAD, 8), T), :],
+        sem)
+
+
 def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
@@ -399,149 +555,139 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
     gmat_in = args[2]
     prof_refs = args[3:15]
     recw_refs = args[15:15 + n_recw]
-    p = 15 + n_recw
-    lr_ref = args[p]
-    tb_ref = args[p + 1]
-    drec_ref = args[p + 2]
-    state_out = args[p + 3]
-    gmat_out = args[p + 4]
-    dstf_out = args[p + 5]
-    sst, mat_t, gm_t = args[p + 6:p + 9]
-    sems = args[p + 9]
+    p_ = 15 + n_recw
+    lr_ref = args[p_]
+    tb_ref = args[p_ + 1]
+    drec_ref = args[p_ + 2]
+    state_out = args[p_ + 3]
+    gmat_out = args[p_ + 4]
+    dstf_out = args[p_ + 5]
+    sst2, mat2, stage, gm_t = args[p_ + 6:p_ + 10]
+    s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_ + 10:p_ + 16]
 
-    i = pl.program_id(0)
-    r0 = i * T
     NC = 4 * eng._n_layers(rs)
     dt = cfg.dt
     rdz, rdx = 1.0 / cfg.dz, 1.0 / cfg.dx
-
-    cp_in = pltpu.make_async_copy(state_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], sst,
-                                  sems.at[0])
-    cp_m = pltpu.make_async_copy(mats_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], mat_t,
-                                 sems.at[1])
-    cp_g = pltpu.make_async_copy(gmat_in.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], gm_t,
-                                 sems.at[2])
-    cp_in.start()
-    cp_m.start()
-    cp_g.start()
-    cp_in.wait()
-    cp_m.wait()
-    cp_g.wait()
-
+    recw = eng._read_recw(recw_refs)
     src_z = srcz_ref[0]
     src_x = srcx_ref[0]
     rxz = rxz_ref[0]
     amp = amp_ref[0]
-    gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
-                                              src_z, src_x)
-    prof = _slice_prof(prof_refs, r0, E)
-    recw = eng._read_recw(recw_refs)
-    m = tuple(mat_t[k] for k in range(5))
-    (lam, lp2m, avemu, byca, bycb) = m
 
-    # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) ----------------
-    (vz, vx, szz, sxx, sxz) = tuple(sst[f] for f in range(5))
-    szz_tp1, sxx_tp1 = szz, sxx
-    vd = eng._velocity_diffs(szz, sxx, sxz)
-    dvz = vd[0] * rdz + vd[1] * rdx
-    dvx = vd[2] * rdz + vd[3] * rdx
-    sst[0] = vz - interior * (dvz * byca * dt)
-    sst[1] = vx - interior * (dvx * bycb * dt)
-    _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(0, 1))
-    vz, vx = sst[0], sst[1]
-    s_amp = cfg.src_scale * dt * amp
-    szz = szz - src_hot * s_amp
-    sxx = sxx - src_hot * (rxz * s_amp)
-    sd = eng._stress_diffs(vz, vx)
-    dvz_dz = sd[0] * rdz
-    dvx_dx = sd[1] * rdx
-    sst[2] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
-    sst[3] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
-    dvx_dz = sd[2] * rdz
-    dvz_dx = sd[3] * rdx
-    sst[4] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
-    _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(2, 3, 4))
-    fields_t = tuple(sst[f] for f in range(5))
+    # tile loop inside the kernel: the DMA pipeline spans tiles
+    def tile_body(i, _):
+        r0 = i * T
+        p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                               T, E, s_sems, m_sems)
+        sst = _Slot(sst2, p)
+        mat_t = _Slot(mat2, p)
 
-    adj_f = tuple(sst[5 + f] for f in range(5))
-    adj_p = tuple(sst[10 + j] for j in range(8))
-    d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
-    zero4 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(4))
+        # gm_t is single-buffered: its previous out must drain before the
+        # reload (a few-microsecond stall on a small buffer)
+        @pl.when(i >= 1)
+        def _gm_drain():
+            _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
+        cp_g = _gm_in_dma(gmat_in, gm_t, i, T, gi_sem)
+        cp_g.start()
+        cp_g.wait()
 
-    # ---- phase-split adjoint reusing the reconstruction stencils ----------
-    # (identical construction to pallas_engine._bwd_kernel's phased branch;
-    # per-phase jax.vjp on diffs-as-inputs + closed-form stencil transposes)
-    vfun = lambda vels, stv, vpsi, vdiffs, mats_: (
-        eng._velocity_phase_values(cfg, rs, prof, mask, vels, stv, vpsi,
-                                   vdiffs, mats_, recw, zi=gz))
-    _, vvjp = jax.vjp(vfun, (fields_t[0], fields_t[1]),
-                      (szz_tp1, sxx_tp1), zero4, vd, m)
-    (d_vels, d_stv, d_vpsi_in, d_vdiffs, d_mats_v) = vvjp(
-        ((adj_f[0], adj_f[1]), adj_p[4:], d_rec))
+        gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
+                                                  src_z, src_x)
+        prof = _slice_prof(prof_refs, r0, E)
+        m = tuple(mat_t[k] for k in range(5))
+        (lam, lp2m, avemu, byca, bycb) = m
 
-    cot_szz = adj_f[2] + d_stv[0] + eng._dz_plus_t(d_vdiffs[0])
-    cot_sxx = adj_f[3] + d_stv[1] + eng._dx_plus_t(d_vdiffs[3])
-    cot_sxz = (adj_f[4] + eng._dx_minus_t(d_vdiffs[1])
-               + eng._dz_minus_t(d_vdiffs[2]))
+        # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) ----------------
+        (vz, vx, szz, sxx, sxz) = tuple(sst[f] for f in range(5))
+        szz_tp1, sxx_tp1 = szz, sxx
+        vd = eng._velocity_diffs(szz, sxx, sxz)
+        dvz = vd[0] * rdz + vd[1] * rdx
+        dvx = vd[2] * rdz + vd[3] * rdx
+        sst[0] = vz - interior * (dvz * byca * dt)
+        sst[1] = vx - interior * (dvx * bycb * dt)
+        _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(0, 1))
+        vz, vx = sst[0], sst[1]
+        s_amp = cfg.src_scale * dt * amp
+        szz = szz - src_hot * s_amp
+        sxx = sxx - src_hot * (rxz * s_amp)
+        sd = eng._stress_diffs(vz, vx)
+        dvz_dz = sd[0] * rdz
+        dvx_dx = sd[1] * rdx
+        sst[2] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
+        sst[3] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
+        dvx_dz = sd[2] * rdz
+        dvz_dx = sd[3] * rdx
+        sst[4] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
+        _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(2, 3, 4))
+        fields_t = tuple(sst[f] for f in range(5))
 
-    sfun = lambda stresses, spsi, sdiffs, mats_, a: (
-        eng._stress_phase_values(cfg, prof, mask, src_hot, rxz,
-                                 stresses, spsi, sdiffs, mats_, a))
-    _, svjp = jax.vjp(sfun, (fields_t[2], fields_t[3], fields_t[4]),
-                      zero4, sd, m, amp)
-    (d_st, d_spsi_in, d_sdiffs, d_mats_m, d_amp) = svjp(
-        ((cot_szz, cot_sxx, cot_sxz), adj_p[:4]))
+        adj_f = tuple(sst[5 + f] for f in range(5))
+        adj_p = tuple(sst[10 + j] for j in range(8))
+        d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
+        zero4 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(4))
 
-    cot_vz = d_vels[0] + eng._dz_minus_t(d_sdiffs[0]) + eng._dx_plus_t(
-        d_sdiffs[3])
-    cot_vx = d_vels[1] + eng._dx_minus_t(d_sdiffs[1]) + eng._dz_plus_t(
-        d_sdiffs[2])
-    d_fields = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
-    d_psi = (*d_spsi_in, *d_vpsi_in)
-    d_mats = tuple(a + b for a, b in zip(d_mats_m, d_mats_v))
+        # ---- phase-split adjoint reusing the reconstruction stencils ----------
+        # (identical construction to pallas_engine._bwd_kernel's phased branch;
+        # per-phase jax.vjp on diffs-as-inputs + closed-form stencil transposes)
+        vfun = lambda vels, stv, vpsi, vdiffs, mats_: (
+            eng._velocity_phase_values(cfg, rs, prof, mask, vels, stv, vpsi,
+                                       vdiffs, mats_, recw, zi=gz))
+        _, vvjp = jax.vjp(vfun, (fields_t[0], fields_t[1]),
+                          (szz_tp1, sxx_tp1), zero4, vd, m)
+        (d_vels, d_stv, d_vpsi_in, d_vdiffs, d_mats_v) = vvjp(
+            ((adj_f[0], adj_f[1]), adj_p[4:], d_rec))
 
-    for f, v in enumerate(d_fields):
-        sst[5 + f] = v
-    for j, v in enumerate(d_psi):
-        sst[10 + j] = v
-    for f, v in enumerate(d_mats):
-        gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
+        cot_szz = adj_f[2] + d_stv[0] + eng._dz_plus_t(d_vdiffs[0])
+        cot_sxx = adj_f[3] + d_stv[1] + eng._dx_plus_t(d_vdiffs[3])
+        cot_sxz = (adj_f[4] + eng._dx_minus_t(d_vdiffs[1])
+                   + eng._dz_minus_t(d_vdiffs[2]))
 
-    # d_stf: exactly one tile owns the source row — it alone writes
-    own_src = ((src_z + PAD) >= (r0 + PAD)) & ((src_z + PAD) < (r0 + PAD + T))
+        sfun = lambda stresses, spsi, sdiffs, mats_, a: (
+            eng._stress_phase_values(cfg, prof, mask, src_hot, rxz,
+                                     stresses, spsi, sdiffs, mats_, a))
+        _, svjp = jax.vjp(sfun, (fields_t[2], fields_t[3], fields_t[4]),
+                          zero4, sd, m, amp)
+        (d_st, d_spsi_in, d_sdiffs, d_mats_m, d_amp) = svjp(
+            ((cot_szz, cot_sxx, cot_sxz), adj_p[:4]))
 
-    @pl.when(own_src)
-    def _write_dstf():
-        dstf_out[0] = d_amp
+        cot_vz = d_vels[0] + eng._dz_minus_t(d_sdiffs[0]) + eng._dx_plus_t(
+            d_sdiffs[3])
+        cot_vx = d_vels[1] + eng._dx_minus_t(d_sdiffs[1]) + eng._dz_plus_t(
+            d_sdiffs[2])
+        d_fields = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
+        d_psi = (*d_spsi_in, *d_vpsi_in)
+        d_mats = tuple(a + b for a, b in zip(d_mats_m, d_mats_v))
 
-    @pl.when(i == 0)
-    def _zero_top():
-        for f in range(NF_BWD):
-            sst[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
-        cp = pltpu.make_async_copy(sst.at[:, 0:PAD, :],
-                                   state_out.at[:, 0:PAD, :], sems.at[2])
-        cp.start()
-        cp.wait()
+        # results -> the out STAGE: reconstructed primal interiors + the new
+        # adjoint state (the input slot stays clean for pipelined reuse)
+        _wait_prev_out(i, stage, state_out, T, out_sem)
+        for f in range(5):
+            stage[f] = sst[f, PAD:PAD + T, :]
+        for f, v in enumerate(d_fields):
+            stage[5 + f] = v[PAD:PAD + T, :]
+        for j, v in enumerate(d_psi):
+            stage[10 + j] = v[PAD:PAD + T, :]
+        for f, v in enumerate(d_mats):
+            gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
 
-    @pl.when(i == n_tiles - 1)
-    def _zero_bot():
-        for f in range(NF_BWD):
-            sst[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
-        cp = pltpu.make_async_copy(
-            sst.at[:, E - PAD:E, :],
-            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :], sems.at[2])
-        cp.start()
-        cp.wait()
+        # d_stf: exactly one tile owns the source row — it alone writes
+        own_src = ((src_z + PAD) >= (r0 + PAD)) & ((src_z + PAD) < (r0 + PAD + T))
 
-    cp_out = pltpu.make_async_copy(
-        sst.at[:, PAD:PAD + T, :],
-        state_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], sems.at[0])
-    cp_gout = pltpu.make_async_copy(
-        gm_t, gmat_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], sems.at[1])
-    cp_out.start()
-    cp_gout.start()
-    cp_out.wait()
-    cp_gout.wait()
+        @pl.when(own_src)
+        def _write_dstf():
+            dstf_out[0] = d_amp
+
+        _write_state_pads(NF_BWD, sst, state_out, i, n_tiles, T, E, nxp,
+                          aux_sem)
+        _pipeline_epilogue(i, n_tiles, stage, state_out, T, out_sem)
+        _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
+
+        @pl.when(i == n_tiles - 1)
+        def _gm_final():
+            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _make_bwd_megastep(cfg: SimConfig, rs):
@@ -556,17 +702,23 @@ def _make_bwd_megastep(cfg: SimConfig, rs):
                                n_recw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        grid=(1,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 3
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
-        scratch_shapes=[pltpu.VMEM((NF_BWD, E, nxp), f32),
-                        pltpu.VMEM((5, E, nxp), f32),
+        scratch_shapes=[pltpu.VMEM((2, NF_BWD, E, nxp), f32),
+                        pltpu.VMEM((2, 5, E, nxp), f32),
+                        pltpu.VMEM((NF_BWD, T, nxp), f32),
                         pltpu.VMEM((5, T, nxp), f32),
-                        pltpu.SemaphoreType.DMA((3,))],
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
     )
     out_shape = [jax.ShapeDtypeStruct((NF_BWD, nz_ext, nxp), f32),
                  jax.ShapeDtypeStruct((5, nz_ext, nxp), f32),
@@ -579,7 +731,7 @@ def _make_bwd_megastep(cfg: SimConfig, rs):
         interpret=interp,
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
     def step(state, gmat, mats_ext, profs, sz1, sx1, rxz1, amp, lr_t, tb_t,

@@ -50,7 +50,11 @@ class ScipyObjective:
             self._vg = value_and_grad_fn
         else:
             vg = jax.value_and_grad(loss_fn)
-            self._vg = jax.jit(vg) if jit else vg
+            if jit:
+                from sep2023_tpu.ops.pallas_stream import tpu_jit
+                self._vg = tpu_jit(vg)
+            else:
+                self._vg = vg
         self.bounds = self.pack_bounds(bounds) if bounds else None
         self._cached_x = None
         self.f = None
@@ -174,7 +178,9 @@ def lbfgs_on_device(loss_fn, params0: Dict[str, jnp.ndarray], n_iter: int,
     opt = optax.lbfgs(memory_size=memory_size)
     state = opt.init(params)
 
-    @jax.jit
+    from sep2023_tpu.ops.pallas_stream import tpu_jit
+
+    @tpu_jit
     def step(params, state, *a):
         # bind aux inside the jit so the data stays an argument (a closure
         # over device arrays would bake it into the program as a constant)
