@@ -123,7 +123,8 @@ class ElasticPropagator:
             lam, mu, rr = self._padded(vp, vs, rho)
             return loss(lam, mu, rr, stf_, geoms, obs, w)
 
-        val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3)))(
+        from sep2023_tpu.ops.pallas_stream import tpu_jit
+        val, grads = tpu_jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3)))(
             vp0, vs0, rho0, stf)
         g_vp, g_vs, g_rho, g_stf = grads
         return {

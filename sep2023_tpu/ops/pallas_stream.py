@@ -300,33 +300,46 @@ def _stage_out_dma(stage, dst_hbm, tile, T, sem):
 
 def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
                        s_sems, m_sems):
-    """2-slot input pipeline: prime tile 0 at i=0, prefetch tile i+1 into
-    the other slot, wait tile i's loads.  Output staging (a separate
-    (NF, T, nxp) buffer) keeps the slots free of out-DMA dependencies, so
-    the prefetch never stalls on a drain."""
+    """2-slot input pipeline over an IN-PLACE (aliased) state buffer.
+
+    Tile i's loads were waited at the END of iteration i-1 (i=0 primes
+    inline); this prologue only STARTS tile i+1's prefetch, which then
+    runs under tile i's compute.  The wait for that prefetch happens in
+    `_pipeline_epilogue` BEFORE tile i's output DMA starts — that ordering
+    is what makes input/output aliasing safe: the 16 halo rows tile i+1
+    reads overlap the rows tile i writes, so the read must be secured
+    first (all later tiles read disjoint rows)."""
     p = jax.lax.rem(i, jnp.asarray(2, i.dtype))
     q = 1 - p
 
     @pl.when(i == 0)
     def _prime():
-        _in_dma(state_in, sst2, 0, 0, T, E, s_sems).start()
-        _in_dma(mats_in, mat2, 0, 0, T, E, m_sems).start()
+        cp_s = _in_dma(state_in, sst2, 0, 0, T, E, s_sems)
+        cp_m = _in_dma(mats_in, mat2, 0, 0, T, E, m_sems)
+        cp_s.start()
+        cp_m.start()
+        cp_s.wait()
+        cp_m.wait()
 
     @pl.when(i + 1 < n_tiles)
     def _prefetch():
         _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).start()
         _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).start()
 
-    _in_dma(state_in, sst2, p, i, T, E, s_sems).wait()
-    _in_dma(mats_in, mat2, p, i, T, E, m_sems).wait()
     return p
 
 
-def _pipeline_epilogue(i, n_tiles, stage, state_out, T, out_sem):
-    """Drain-before-overwrite + start this tile's staged output.  The
-    stage is reused next iteration, so the previous out must have drained
-    by then — it had the whole compute to do so (wait placed by the caller
-    just before the stage stores)."""
+def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
+                       state_out, T, E, s_sems, m_sems, out_sem):
+    """Secure tile i+1's prefetched input (the aliasing hazard gate), then
+    start this tile's staged output; the final tile drains its own out."""
+    q = 1 - jax.lax.rem(i, jnp.asarray(2, i.dtype))
+
+    @pl.when(i + 1 < n_tiles)
+    def _secure_next():
+        _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).wait()
+        _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).wait()
+
     _stage_out_dma(stage, state_out, i, T, out_sem).start()
 
     @pl.when(i == n_tiles - 1)
@@ -432,7 +445,9 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
 
         _write_state_pads(NF_FWD, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
-        _pipeline_epilogue(i, n_tiles, stage, state_out, T, out_sem)
+        _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                           stage, state_out, T, E, s_sems, m_sems,
+                           out_sem)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -477,6 +492,10 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interp,
+        # the carried state is updated IN PLACE (input 4 = the state array
+        # after the 4 scalar-prefetch args): the scan carry then needs no
+        # XLA copy per step (measured 40% of device time without aliasing)
+        input_output_aliases={4: 0},
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT),
@@ -679,7 +698,9 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
 
         _write_state_pads(NF_BWD, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
-        _pipeline_epilogue(i, n_tiles, stage, state_out, T, out_sem)
+        _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                           stage, state_out, T, E, s_sems, m_sems,
+                           out_sem)
         _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
 
         @pl.when(i == n_tiles - 1)
@@ -729,6 +750,9 @@ def _make_bwd_megastep(cfg: SimConfig, rs):
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interp,
+        # in-place carries: state (input 4) -> output 0, gmat (input 6) ->
+        # output 1; kills the per-step XLA carry copies (see fwd builder)
+        input_output_aliases={4: 0, 6: 1},
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT),
