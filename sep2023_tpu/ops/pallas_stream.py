@@ -904,84 +904,60 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
     mats_in = args[1]
     prof_refs = args[2:14]
     recw_refs = args[14:14 + n_recw]
-    p = 14 + n_recw
-    state_out = args[p]
-    rec_out = args[p + 1]
+    p_ = 14 + n_recw
+    state_out = args[p_]
+    rec_out = args[p_ + 1]
     if save_strips:
-        lr_out, tb_out = args[p + 2:p + 4]
-        p += 4
+        lr_out, tb_out = args[p_ + 2:p_ + 4]
+        p_ += 4
     else:
         lr_out = tb_out = None
-        p += 2
-    sst, mat_t = args[p:p + 2]
-    sems = args[p + 2]
+        p_ += 2
+    sst2, mat2, stage = args[p_:p_ + 3]
+    s_sems, m_sems, out_sem, aux_sem = args[p_ + 3:p_ + 7]
 
-    i = pl.program_id(0)
-    r0 = i * T
     NC = 4 * eng._n_layers(rs)
-
-    cp_in = pltpu.make_async_copy(
-        state_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], sst, sems.at[0])
-    cp_m = pltpu.make_async_copy(
-        mats_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], mat_t, sems.at[1])
-    cp_in.start()
-    cp_m.start()
-    cp_in.wait()
-    cp_m.wait()
-
-    gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
-                                       srcz_ref[0], srcx_ref[0])
-    prof = _slice_prof(prof_refs, r0, E)
     recw = eng._read_recw(recw_refs)
-    mats = tuple(mat_t[m] for m in range(3))
+    rec_out[:] = jnp.zeros_like(rec_out)
 
-    if save_strips:
-        _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
-                            AC_N_FIELDS)
+    def tile_body(i, _):
+        r0 = i * T
+        p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                               T, E, s_sems, m_sems)
+        sst = _Slot(sst2, p)
+        mat_t = _Slot(mat2, p)
 
-    fields = tuple(sst[f] for f in range(3))
-    psi = tuple(sst[3 + j] for j in range(4))
-    new_fields, new_psi, recs = eng._ac_step_values(
-        cfg, rs, prof, mask, src_hot, fields, psi, mats, amp_ref[0], recw,
-        zi=gz, rec_window=(r0, r0 + T))
-    for f, v in enumerate(new_fields):
-        sst[f] = v
-    for j, v in enumerate(new_psi):
-        sst[3 + j] = v
+        gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
+                                           srcz_ref[0], srcx_ref[0])
+        prof = _slice_prof(prof_refs, r0, E)
+        mats = tuple(mat_t[m] for m in range(3))
 
-    @pl.when(i == 0)
-    def _init_rec():
-        rec_out[:] = jnp.zeros_like(rec_out)
+        if save_strips:
+            _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i,
+                                n_tiles, AC_N_FIELDS)
 
-    for c in range(NC):
-        rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
+        fields = tuple(sst[f] for f in range(3))
+        psi = tuple(sst[3 + j] for j in range(4))
+        new_fields, new_psi, recs = eng._ac_step_values(
+            cfg, rs, prof, mask, src_hot, fields, psi, mats, amp_ref[0],
+            recw, zi=gz, rec_window=(r0, r0 + T))
 
-    @pl.when(i == 0)
-    def _zero_top():
-        for f in range(AC_NF_FWD):
-            sst[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
-        cp = pltpu.make_async_copy(sst.at[:, 0:PAD, :],
-                                   state_out.at[:, 0:PAD, :], sems.at[2])
-        cp.start()
-        cp.wait()
+        _wait_prev_out(i, stage, state_out, T, out_sem)
+        for f, v in enumerate(new_fields):
+            stage[f] = v[PAD:PAD + T, :]
+        for j, v in enumerate(new_psi):
+            stage[3 + j] = v[PAD:PAD + T, :]
 
-    @pl.when(i == n_tiles - 1)
-    def _zero_bot():
-        for f in range(AC_NF_FWD):
-            sst[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
-        cp = pltpu.make_async_copy(
-            sst.at[:, E - PAD:E, :],
-            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :],
-            sems.at[2])
-        cp.start()
-        cp.wait()
+        for c in range(NC):
+            rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
 
-    cp_out = pltpu.make_async_copy(
-        sst.at[:, PAD:PAD + T, :],
-        state_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :],
-        sems.at[0])
-    cp_out.start()
-    cp_out.wait()
+        _write_state_pads(AC_NF_FWD, sst, state_out, i, n_tiles, T, E, nxp,
+                          aux_sem)
+        _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                           stage, state_out, T, E, s_sems, m_sems, out_sem)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
@@ -1041,13 +1017,17 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
                                nxp, n_recw, save_strips)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        grid=(1,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)),
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((AC_NF_FWD, E, nxp), f32),
-                        pltpu.VMEM((3, E, nxp), f32),
-                        pltpu.SemaphoreType.DMA((3,))],
+        scratch_shapes=[pltpu.VMEM((2, AC_NF_FWD, E, nxp), f32),
+                        pltpu.VMEM((2, 3, E, nxp), f32),
+                        pltpu.VMEM((AC_NF_FWD, T, nxp), f32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
     )
     interp = eng._interpret()
     call = pl.pallas_call(
@@ -1055,9 +1035,11 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interp,
+        # in-place state carry (input 3 = state after the 3 scalars)
+        input_output_aliases={3: 0},
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
     def step(state, mats_ext, profs, sz1, sx1, amp):
@@ -1113,131 +1095,113 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
     gmat_in = args[2]
     prof_refs = args[3:15]
     recw_refs = args[15:15 + n_recw]
-    p = 15 + n_recw
-    lr_ref = args[p]
-    tb_ref = args[p + 1]
-    drec_ref = args[p + 2]
-    state_out = args[p + 3]
-    gmat_out = args[p + 4]
-    dstf_out = args[p + 5]
-    sst, mat_t, gm_t = args[p + 6:p + 9]
-    sems = args[p + 9]
+    p_ = 15 + n_recw
+    lr_ref = args[p_]
+    tb_ref = args[p_ + 1]
+    drec_ref = args[p_ + 2]
+    state_out = args[p_ + 3]
+    gmat_out = args[p_ + 4]
+    dstf_out = args[p_ + 5]
+    sst2, mat2, stage, gm_t = args[p_ + 6:p_ + 10]
+    s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_ + 10:p_ + 16]
 
-    i = pl.program_id(0)
-    r0 = i * T
     NC = 4 * eng._n_layers(rs)
     dt = cfg.dt
     rdz, rdx = 1.0 / cfg.dz, 1.0 / cfg.dx
-
-    cp_in = pltpu.make_async_copy(
-        state_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], sst, sems.at[0])
-    cp_m = pltpu.make_async_copy(
-        mats_in.at[:, pl.ds(pl.multiple_of(r0, 8), E), :], mat_t, sems.at[1])
-    cp_g = pltpu.make_async_copy(
-        gmat_in.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :], gm_t,
-        sems.at[2])
-    cp_in.start()
-    cp_m.start()
-    cp_g.start()
-    cp_in.wait()
-    cp_m.wait()
-    cp_g.wait()
-
+    recw = eng._read_recw(recw_refs)
     src_z = srcz_ref[0]
     src_x = srcx_ref[0]
     amp = amp_ref[0]
-    gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp, src_z, src_x)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
-    interior = _ac_interior_tile(cfg, gz, xi)
-    prof = _slice_prof(prof_refs, r0, E)
-    recw = eng._read_recw(recw_refs)
-    (lam, byca, bycb) = tuple(mat_t[k] for k in range(3))
 
-    # ---- reconstruct state_t (acoustic ordering, _ac_bwd_kernel) ----------
-    (pf, vz, vx) = tuple(sst[f] for f in range(3))
-    p_tp1 = pf
-    pdiffs = (eng._dz_minus(pf), eng._dx_plus(pf))
-    sst[1] = vz - interior * (pdiffs[0] * rdz * byca * dt)
-    sst[2] = vx - interior * (pdiffs[1] * rdx * bycb * dt)
-    _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(1, 2))
-    vz, vx = sst[1], sst[2]
-    pf = pf - src_hot * (cfg.src_scale * dt * amp)
-    vdiffs = (eng._dz_plus(vz), eng._dx_minus(vx))
-    sst[0] = pf - interior * (
-        lam * (vdiffs[0] * rdz + vdiffs[1] * rdx) * dt)
-    _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(0,))
-    fields_t = tuple(sst[f] for f in range(3))
+    def tile_body(i, _):
+        r0 = i * T
+        p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                               T, E, s_sems, m_sems)
+        sst = _Slot(sst2, p)
+        mat_t = _Slot(mat2, p)
 
-    adj_f = tuple(sst[3 + f] for f in range(3))
-    adj_p = tuple(sst[6 + j] for j in range(4))
-    d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
-    zero2 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(2))
+        @pl.when(i >= 1)
+        def _gm_drain():
+            _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
+        cp_g = _gm_in_dma(gmat_in, gm_t, i, T, gi_sem)
+        cp_g.start()
+        cp_g.wait()
 
-    # ---- phase-split adjoint (same construction as _ac_bwd_kernel) --------
-    vfun = lambda vels, pn, vpsi, pd, bycs: (
-        eng._ac_velocity_phase_values(cfg, rs, prof, mask, vels, pn,
-                                      vpsi, pd, bycs, recw, zi=gz))
-    _, vvjp = jax.vjp(vfun, (fields_t[1], fields_t[2]), p_tp1,
-                      zero2, pdiffs, (byca, bycb))
-    (d_vels, d_p_rec, d_vpsi_in, d_pdiffs, d_bycs) = vvjp(
-        ((adj_f[1], adj_f[2]), adj_p[2:], d_rec))
-    cot_p = (adj_f[0] + d_p_rec + eng._dz_minus_t(d_pdiffs[0])
-             + eng._dx_plus_t(d_pdiffs[1]))
-    pfun = lambda p_, ppsi, vd, lam_, a: (
-        eng._ac_pressure_phase_values(cfg, prof, mask, src_hot, p_,
-                                      ppsi, vd, lam_, a))
-    _, pvjp = jax.vjp(pfun, fields_t[0], zero2, vdiffs, lam, amp)
-    (d_p_t, d_ppsi_in, d_vdiffs, d_lam, d_amp) = pvjp((cot_p, adj_p[:2]))
-    cot_vz = d_vels[0] + eng._dz_plus_t(d_vdiffs[0])
-    cot_vx = d_vels[1] + eng._dx_minus_t(d_vdiffs[1])
-    d_fields = (d_p_t, cot_vz, cot_vx)
-    d_psi = (*d_ppsi_in, *d_vpsi_in)
-    d_mats = (d_lam, d_bycs[0], d_bycs[1])
+        gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp, src_z, src_x)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+        interior = _ac_interior_tile(cfg, gz, xi)
+        prof = _slice_prof(prof_refs, r0, E)
+        (lam, byca, bycb) = tuple(mat_t[k] for k in range(3))
 
-    for f, v in enumerate(d_fields):
-        sst[3 + f] = v
-    for j, v in enumerate(d_psi):
-        sst[6 + j] = v
-    for f, v in enumerate(d_mats):
-        gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
+        # ---- reconstruct state_t (acoustic ordering, _ac_bwd_kernel) ------
+        (pf, vz, vx) = tuple(sst[f] for f in range(3))
+        p_tp1 = pf
+        pdiffs = (eng._dz_minus(pf), eng._dx_plus(pf))
+        sst[1] = vz - interior * (pdiffs[0] * rdz * byca * dt)
+        sst[2] = vx - interior * (pdiffs[1] * rdx * bycb * dt)
+        _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(1, 2))
+        vz, vx = sst[1], sst[2]
+        pf = pf - src_hot * (cfg.src_scale * dt * amp)
+        vdiffs = (eng._dz_plus(vz), eng._dx_minus(vx))
+        sst[0] = pf - interior * (
+            lam * (vdiffs[0] * rdz + vdiffs[1] * rdx) * dt)
+        _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(0,))
+        fields_t = tuple(sst[f] for f in range(3))
 
-    own_src = (src_z >= r0) & (src_z < r0 + T)
+        adj_f = tuple(sst[3 + f] for f in range(3))
+        adj_p = tuple(sst[6 + j] for j in range(4))
+        d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
+        zero2 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(2))
 
-    @pl.when(own_src)
-    def _write_dstf():
-        dstf_out[0] = d_amp
+        # ---- phase-split adjoint (same construction as _ac_bwd_kernel) ----
+        vfun = lambda vels, pn, vpsi, pd, bycs: (
+            eng._ac_velocity_phase_values(cfg, rs, prof, mask, vels, pn,
+                                          vpsi, pd, bycs, recw, zi=gz))
+        _, vvjp = jax.vjp(vfun, (fields_t[1], fields_t[2]), p_tp1,
+                          zero2, pdiffs, (byca, bycb))
+        (d_vels, d_p_rec, d_vpsi_in, d_pdiffs, d_bycs) = vvjp(
+            ((adj_f[1], adj_f[2]), adj_p[2:], d_rec))
+        cot_p = (adj_f[0] + d_p_rec + eng._dz_minus_t(d_pdiffs[0])
+                 + eng._dx_plus_t(d_pdiffs[1]))
+        pfun = lambda pp, ppsi, vd, lam_, a: (
+            eng._ac_pressure_phase_values(cfg, prof, mask, src_hot, pp,
+                                          ppsi, vd, lam_, a))
+        _, pvjp = jax.vjp(pfun, fields_t[0], zero2, vdiffs, lam, amp)
+        (d_p_t, d_ppsi_in, d_vdiffs, d_lam, d_amp) = pvjp((cot_p, adj_p[:2]))
+        cot_vz = d_vels[0] + eng._dz_plus_t(d_vdiffs[0])
+        cot_vx = d_vels[1] + eng._dx_minus_t(d_vdiffs[1])
+        d_fields = (d_p_t, cot_vz, cot_vx)
+        d_psi = (*d_ppsi_in, *d_vpsi_in)
+        d_mats = (d_lam, d_bycs[0], d_bycs[1])
 
-    @pl.when(i == 0)
-    def _zero_top():
-        for f in range(AC_NF_BWD):
-            sst[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
-        cp = pltpu.make_async_copy(sst.at[:, 0:PAD, :],
-                                   state_out.at[:, 0:PAD, :], sems.at[2])
-        cp.start()
-        cp.wait()
+        _wait_prev_out(i, stage, state_out, T, out_sem)
+        for f in range(3):
+            stage[f] = sst[f, PAD:PAD + T, :]
+        for f, v in enumerate(d_fields):
+            stage[3 + f] = v[PAD:PAD + T, :]
+        for j, v in enumerate(d_psi):
+            stage[6 + j] = v[PAD:PAD + T, :]
+        for f, v in enumerate(d_mats):
+            gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
 
-    @pl.when(i == n_tiles - 1)
-    def _zero_bot():
-        for f in range(AC_NF_BWD):
-            sst[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
-        cp = pltpu.make_async_copy(
-            sst.at[:, E - PAD:E, :],
-            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :],
-            sems.at[2])
-        cp.start()
-        cp.wait()
+        own_src = (src_z >= r0) & (src_z < r0 + T)
 
-    cp_out = pltpu.make_async_copy(
-        sst.at[:, PAD:PAD + T, :],
-        state_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :],
-        sems.at[0])
-    cp_gout = pltpu.make_async_copy(
-        gm_t, gmat_out.at[:, pl.ds(pl.multiple_of(r0 + PAD, 8), T), :],
-        sems.at[1])
-    cp_out.start()
-    cp_gout.start()
-    cp_out.wait()
-    cp_gout.wait()
+        @pl.when(own_src)
+        def _write_dstf():
+            dstf_out[0] = d_amp
+
+        _write_state_pads(AC_NF_BWD, sst, state_out, i, n_tiles, T, E, nxp,
+                          aux_sem)
+        _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                           stage, state_out, T, E, s_sems, m_sems, out_sem)
+        _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
+
+        @pl.when(i == n_tiles - 1)
+        def _gm_final():
+            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _make_ac_bwd_megastep(cfg: SimConfig, rs):
@@ -1252,17 +1216,23 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs):
                                nxp, n_recw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        grid=(1,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 3
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
-        scratch_shapes=[pltpu.VMEM((AC_NF_BWD, E, nxp), f32),
-                        pltpu.VMEM((3, E, nxp), f32),
+        scratch_shapes=[pltpu.VMEM((2, AC_NF_BWD, E, nxp), f32),
+                        pltpu.VMEM((2, 3, E, nxp), f32),
+                        pltpu.VMEM((AC_NF_BWD, T, nxp), f32),
                         pltpu.VMEM((3, T, nxp), f32),
-                        pltpu.SemaphoreType.DMA((3,))],
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
     )
     out_shape = [jax.ShapeDtypeStruct((AC_NF_BWD, nz_ext, nxp), f32),
                  jax.ShapeDtypeStruct((3, nz_ext, nxp), f32),
@@ -1273,9 +1243,11 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs):
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interp,
+        # in-place carries: state (input 3) -> out 0, gmat (input 5) -> out 1
+        input_output_aliases={3: 0, 5: 1},
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
     def step(state, gmat, mats_ext, profs, sz1, sx1, amp, lr_t, tb_t,
