@@ -9,7 +9,8 @@ chip.  Run via
     SEP2023_TPU_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q
 
 (wired into .claude/skills/verify; skipped automatically on CPU).  Budget
-~10 min: every test pays at least one cold remote compile.
+~15 min: every test pays at least one cold remote compile (5 tests,
+validated green on a v5e chip in round 3).
 """
 import numpy as np
 import pytest
