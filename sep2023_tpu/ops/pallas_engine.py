@@ -1881,6 +1881,28 @@ def plan_engine_name(plan: "FastPlan") -> str:
             else "streamed Pallas")
 
 
+def forward_pallas_plan(plan: FastPlan, lam, mu, rho, stf,
+                        src_z, src_x, rxz):
+    """Forward-ONLY propagation under a FastPlan (observed-data generation):
+    picks the fused forward while its 13-plane state fits VMEM
+    (`fwd_vmem_fits` — far beyond the gradient wall), else the streamed
+    forward.  Same transposition wrapper as `propagate_pallas_plan`."""
+    mode = os.environ.get("SEP2023_TPU_ENGINE", "auto")
+    if mode != "stream" and (mode == "fused"
+                             or fwd_vmem_fits(plan.cfg, _n_layers(plan.rs))):
+        fwd = forward_pallas
+    else:
+        from sep2023_tpu.ops import pallas_stream as ps
+        fwd = ps.forward_pallas_streamed
+    if not plan.transposed:
+        return fwd(plan.cfg, plan.rs, lam, mu, rho, stf, src_z, src_x, rxz)
+    T = lambda a: jnp.swapaxes(a, 0, 1)
+    rxz = jnp.asarray(rxz, stf.dtype)
+    data = fwd(plan.cfg, plan.rs, T(lam), T(mu), T(rho),
+               stf * rxz[:, None], src_x, src_z, 1.0 / rxz)
+    return data[:, jnp.asarray([0, 2, 1, 3])]
+
+
 def propagate_pallas_plan(plan: FastPlan, lam, mu, rho, stf,
                           src_z, src_x, rxz):
     """Differentiable Pallas propagation under a FastPlan.  Arguments are on

@@ -384,8 +384,10 @@ def make_forward(cfg: SimConfig, survey: Survey, *, use_pallas=False,
             lam_, mu_, rho_ = model
             if use_pallas:
                 stf_c, sz_c, sx_c, rz_c, u_c = args
-                syn = pe.propagate_pallas_plan(plan, lam_, mu_, rho_, stf_c,
-                                               sz_c, sx_c, rz_c)
+                # forward-only dispatch: the fused forward covers grids far
+                # past the GRADIENT VMEM wall (no boundary strips saved)
+                syn = pe.forward_pallas_plan(plan, lam_, mu_, rho_, stf_c,
+                                             sz_c, sx_c, rz_c)
                 if uidx is not None:
                     syn = _gather_union(syn, u_c)
                 return syn
