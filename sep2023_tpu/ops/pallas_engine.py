@@ -1820,6 +1820,38 @@ class FastPlan(NamedTuple):
     transposed: bool
 
 
+def _ac_bwd_vmem_bytes(cfg: SimConfig, n_layers: int = 1) -> int:
+    """Steady-state VMEM estimate for the fused ACOUSTIC backward:
+    3 material inputs + 3 primal + 3 adjoint + 4 adjoint-psi scratch +
+    3 gradient planes, plus the staging buffers (cf. _bwd_vmem_bytes)."""
+    grid = _grid_bytes(cfg)
+    return (16 * grid
+            + _strip_chunk(cfg) * _pad8(cfg.nz) * LANE * 4
+            + _strip_chunk(cfg) * AC_TB_ROWS * _pad128(cfg.nx) * 4
+            + 4 * n_layers * _drec_chunk(cfg) * _pad128(cfg.nx) * 4)
+
+
+def ac_grad_vmem_fits(cfg: SimConfig, n_layers: int = 1) -> bool:
+    """Gate for the fused acoustic backward (16 resident planes vs the
+    elastic full variant's 28 — judged against the same measured budget)."""
+    return _ac_bwd_vmem_bytes(cfg, n_layers) < FULL_BWD_BUDGET
+
+
+def propagate_pallas_acoustic_auto(cfg: SimConfig, rs, lam, rho, stf,
+                                   src_z, src_x):
+    """Differentiable acoustic propagation with the fused/streamed dispatch
+    of the elastic `_grad_prop` (SEP2023_TPU_ENGINE forces either): the
+    acoustic gradient is grid-size-independent too."""
+    mode = os.environ.get("SEP2023_TPU_ENGINE", "auto")
+    if mode != "stream" and (mode == "fused"
+                             or ac_grad_vmem_fits(cfg, _n_layers(rs))):
+        return propagate_pallas_acoustic(cfg, rs, lam, rho, stf, src_z,
+                                         src_x)
+    from sep2023_tpu.ops import pallas_stream as ps
+    return ps.propagate_pallas_acoustic_streamed(cfg, rs, lam, rho, stf,
+                                                 src_z, src_x)
+
+
 def _transpose_cfg(cfg: SimConfig) -> SimConfig:
     import dataclasses
     ch = {"exx": "ezz", "ezz": "exx", "weighted": "weighted"}[cfg.das_channel]

@@ -246,3 +246,29 @@ def test_streamed_acoustic_matches_xla():
         a, b = np.asarray(a), np.asarray(b)
         rel = np.abs(a - b).max() / np.abs(b).max()
         assert rel < 5e-4, (name, rel)
+
+
+def test_acoustic_auto_dispatch(monkeypatch):
+    """propagate_pallas_acoustic_auto: fused inside the VMEM gate, streamed
+    when forced / past it — both equal (exercised through the dispatcher)."""
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=80, dt=0.002, f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([2]), src_x=np.array([24]),
+                    rec_z=np.full(20, 32), rec_x=np.arange(16, 36))
+    rs = pe.check_row_survey(survey.rec_z + npml, survey.rec_x + npml)
+    sz = jnp.asarray(survey.src_z + npml)
+    sx = jnp.asarray(survey.src_x + npml)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (1, cfg.nt))
+    assert pe.ac_grad_vmem_fits(cfg)
+    a = np.asarray(pe.propagate_pallas_acoustic_auto(
+        cfg, rs, lam, rho, stf, sz, sx))
+    monkeypatch.setenv("SEP2023_TPU_ENGINE", "stream")
+    b = np.asarray(pe.propagate_pallas_acoustic_auto(
+        cfg, rs, lam, rho, stf, sz, sx))
+    assert np.abs(a - b).max() / np.abs(a).max() < 2e-5
