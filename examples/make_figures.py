@@ -174,3 +174,27 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def plot_overthrust(npz_path, outdir):
+    """Overthrust spline-fiber DAS panel (examples/overthrust_das.py
+    artifact): model + cable channels, initial and inverted Vp."""
+    z = np.load(npz_path)
+    vp_t, vp_i, vp_o = z["vp_true"], z["vp_init"], z["vp_out"]
+    rec_z, rec_x = z["rec_z"], z["rec_x"]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4), constrained_layout=True)
+    vmin, vmax = vp_t.min(), vp_t.max()
+    for ax, (arr, title) in zip(axes, [
+            (vp_t, "true Vp + spline DAS cable"),
+            (vp_i, "initial Vp (smoothed)"),
+            (vp_o, "inverted Vp (10 L-BFGS-B iters, TPU)")]):
+        im = ax.imshow(arr, cmap="viridis", vmin=vmin, vmax=vmax)
+        ax.set_title(title)
+        ax.set_xlabel("x (cells)")
+        ax.set_ylabel("z (cells)")
+    axes[0].plot(rec_x, rec_z, "r.-", ms=4, lw=1, label="fiber channels")
+    axes[0].legend(loc="lower right")
+    fig.colorbar(im, ax=axes, shrink=0.8)
+    path = os.path.join(outdir, "overthrust_das.png")
+    fig.savefig(path, dpi=120)
+    print("wrote", path)
