@@ -126,7 +126,7 @@ def tile_rows(cfg: SimConfig) -> int:
         row_bytes = nxp * 4
         # (2*18 + 2*5 + 30) extended planes + (18 + 5) T-row planes
         T = int(budget // row_bytes - 76 * 2 * PAD) // (76 + 23)
-        T = max(32, min(256, (T // 8) * 8))
+        T = max(32, min(288, (T // 8) * 8))
         n_tiles = -(-cfg.nz // T)
         T = -(-(-(-cfg.nz // n_tiles)) // 8) * 8   # ceil(nz/n, 8-aligned)
     return min(T, _pad8(cfg.nz))
