@@ -272,3 +272,25 @@ def test_acoustic_auto_dispatch(monkeypatch):
     b = np.asarray(pe.propagate_pallas_acoustic_auto(
         cfg, rs, lam, rho, stf, sz, sx))
     assert np.abs(a - b).max() / np.abs(a).max() < 2e-5
+
+
+def test_forward_plan_dispatch_equality(monkeypatch):
+    """forward_pallas_plan (data generation) must give identical data
+    whichever engine the dispatch picks."""
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0, dx=20.0,
+                       nt=80, dt=0.002, f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([2]), src_x=np.array([24]),
+                    rec_z=np.full(20, 32), rec_x=np.arange(16, 36))
+    plan = pe.plan_fast_path(cfg, survey.rec_z + npml, survey.rec_x + npml)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (1, cfg.nt))
+    args = (lam, mu, rho, stf, jnp.asarray(survey.src_z + npml),
+            jnp.asarray(survey.src_x + npml), jnp.asarray(survey.src_rxz))
+    a = np.asarray(pe.forward_pallas_plan(plan, *args))   # fused (fits)
+    assert pe.fwd_vmem_fits(cfg)
+    monkeypatch.setenv("SEP2023_TPU_ENGINE", "stream")
+    b = np.asarray(pe.forward_pallas_plan(plan, *args))   # forced streamed
+    assert np.abs(a - b).max() / np.abs(a).max() < 2e-5
