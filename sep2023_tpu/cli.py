@@ -91,8 +91,15 @@ def cmd_forward(args):
               if jax.default_backend() == "tpu" else None)
         t0 = time.perf_counter()
         if rs is not None:
-            print("engine: fused Pallas (acoustic)")
-            data3 = pe.forward_pallas_acoustic(
+            if pe.fwd_vmem_fits(cfg):
+                ac_fwd, eng_name = (pe.forward_pallas_acoustic,
+                                    "fused Pallas (acoustic)")
+            else:
+                from sep2023_tpu.ops import pallas_stream as ps
+                ac_fwd, eng_name = (ps.forward_pallas_acoustic_streamed,
+                                    "streamed Pallas (acoustic)")
+            print(f"engine: {eng_name}")
+            data3 = ac_fwd(
                 cfg, rs, lam_ac, med.rho, stf,
                 jnp.asarray(survey.src_z + cfg.npml),
                 jnp.asarray(survey.src_x + cfg.npml))

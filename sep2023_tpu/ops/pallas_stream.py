@@ -1331,6 +1331,19 @@ def _aso_bwd(cfg, rs, res, d_data):
 _ac_stream_one.defvjp(_aso_fwd, _aso_bwd)
 
 
+def forward_pallas_acoustic_streamed(cfg: SimConfig, rs, lam, rho, stf,
+                                     src_z, src_x):
+    """Streamed acoustic forward only (observed-data generation at any
+    grid size): data (S, 3, R, nt), channels (pr, vx, vz)."""
+    def one(xs):
+        stf1, sz1, sx1 = xs
+        return _ac_stream_forward(cfg, rs, lam, rho, stf1, sz1, sx1,
+                                  save_strips=False)
+
+    return jax.lax.map(one, (stf, jnp.asarray(src_z, jnp.int32),
+                             jnp.asarray(src_x, jnp.int32)))
+
+
 def propagate_pallas_acoustic_streamed(cfg: SimConfig, rs, lam, rho, stf,
                                        src_z, src_x):
     """Differentiable streamed acoustic propagator, shot-batched: data

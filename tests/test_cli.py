@@ -287,3 +287,51 @@ def test_forward_driver_writes_reference_data(tmp_path, capsys):
               "--npml", "8", "--data-dir", da, "--physics", "acoustic"])
     raw = np.fromfile(os.path.join(da, "Shot_pr0.bin"), np.float32)
     assert np.isfinite(raw).all() and np.abs(raw).max() > 0
+
+
+def test_invert_ragged_survey_json(tmp_path, capsys):
+    """End-to-end invert from a survey file with HETEROGENEOUS per-shot
+    spreads (Src_Rec.cu:87-116): the live mask activates the per-trace
+    loss and the inversion converges."""
+    import json
+
+    d = {"nShots": 3}
+    for i, (sx, n) in enumerate(((10, 20), (20, 28), (30, 24))):
+        d[f"shot{i}"] = {"z_src": 1, "x_src": sx, "nrec": n,
+                         "z_rec": [22] * n,
+                         "x_rec": list(range(10, 10 + n))}
+    sj = str(tmp_path / "ragged.json")
+    with open(sj, "w") as fp:
+        json.dump(d, fp)
+    e = str(tmp_path / "rg")
+    cli.main(["invert", *TINY, "--exp-name", e, "--n-devices", "1",
+              "--survey-json", sj])
+    out = capsys.readouterr().out
+    assert "incl. ragged live mask" in out
+    h = _hist(e)
+    assert h[-1] < h[0]
+
+
+def test_para_json_filter_becomes_band_stage(tmp_path, capsys):
+    """A para_file.json `filter` entry (Parameter.cpp:139-177) runs one
+    band-passed stage."""
+    import json
+
+    from sep2023_tpu.config import sim_config_to_json
+    # generate data + config pair first
+    e = str(tmp_path / "pf")
+    dd = str(tmp_path / "Data")
+    cli.main(["invert", *TINY, "--exp-name", e, "--data-dir", dd,
+              "--generate_data"])
+    pf = str(tmp_path / "Data" / "para_file.json")
+    with open(pf) as fp:
+        pd = json.load(fp)
+    pd["filter"] = [0.0, 1e-4, 2.0, 9.0]
+    with open(pf, "w") as fp:
+        json.dump(pd, fp)
+    cli.main(["invert", "--para-json", pf, "--niter", "2", "--x64",
+              "--exp-name", e, "--n-devices", "1"])
+    out = capsys.readouterr().out
+    assert "band-pass from para filter" in out
+    assert "band (0.0, 0.0001, 2.0, 9.0)" in out
+    assert len(_hist(e)) >= 1
