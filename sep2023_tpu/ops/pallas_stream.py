@@ -106,6 +106,13 @@ def tpu_jit(fn, **jit_kwargs):
 VMEM_LIMIT = 110 * 2 ** 20   # Mosaic scoped limit (v5e carries 128 MiB)
 
 
+def _unroll_tiles() -> int:
+    """Statically unroll the in-kernel tile loop up to this many tiles
+    (0 = off): every guard/offset/slot folds at trace time — larger
+    compile, tighter Mosaic schedule."""
+    return int(os.environ.get("SEP2023_TPU_STREAM_UNROLL", "0"))
+
+
 def tile_rows(cfg: SimConfig) -> int:
     """Tile height T (rows written per grid step).  SEP2023_TPU_STREAM_T
     overrides (tests force small T to exercise multi-tile paths on tiny
@@ -197,7 +204,7 @@ def _slice_prof(prof_refs, r0, E):
     out = []
     for j, ref in enumerate(prof_refs):
         if j < 6:  # z profiles: (nz_ext, 1)
-            out.append(ref[pl.ds(pl.multiple_of(r0, 8), E), :])
+            out.append(ref[pl.ds(_m8(r0), E), :])
         else:      # x profiles: (1, nxp)
             out.append(ref[:])
     return tuple(out)
@@ -212,7 +219,7 @@ def _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which):
     straddling part is outside every written row's stencil reach)."""
     _, z0, z1, x0, x1 = _strip_bounds5(cfg)
     L = STRIP_L
-    lr_rows = lr_ref[pl.ds(pl.multiple_of(r0, 8), E), :]
+    lr_rows = lr_ref[pl.ds(_m8(r0), E), :]
     for f_idx in which:
         c = f_idx * 2 * L
         sst[f_idx, :, x0:x0 + L] = lr_rows[:, c:c + L]
@@ -220,11 +227,11 @@ def _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which):
         for b_glob, row_off in ((z0 + PAD, c), (z1 + PAD, c + L)):
             lo = b_glob - r0
             ok = (lo >= 0) & (lo <= E - L)
-            lo_c = jnp.clip(lo, 0, E - L)
+            lo_c = _clip_int(lo, 0, E - L)
 
             # single-row dynamic stores: Mosaic cannot prove an arbitrary
             # band offset is sublane-aligned for a 5-row vector store
-            @pl.when(ok)
+            @_when(ok)
             def _(f_idx=f_idx, lo_c=lo_c, row_off=row_off):
                 for j in range(L):
                     sst[f_idx, pl.ds(lo_c + j, 1), :] = (
@@ -248,6 +255,32 @@ def _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles):
 # ---------------------------------------------------------------------------
 # Pipelined DMA machinery (shared by the elastic megastep kernels)
 # ---------------------------------------------------------------------------
+
+def _when(cond):
+    """pl.when that folds STATIC (python bool) predicates away — the
+    statically-unrolled tile loop turns every i-dependent guard into a
+    compile-time branch."""
+    if isinstance(cond, (bool, np.bool_)):
+        if cond:
+            return lambda f: f()
+        return lambda f: None
+    return pl.when(cond)
+
+
+def _m8(x):
+    return x if isinstance(x, int) else pl.multiple_of(x, 8)
+
+
+def _clip_int(x, lo, hi):
+    if isinstance(x, int):
+        return max(lo, min(x, hi))
+    return jnp.clip(x, lo, hi)
+
+
+def _slot_of(i):
+    return i % 2 if isinstance(i, int) else jax.lax.rem(
+        i, jnp.asarray(2, i.dtype))
+
 
 class _Slot:
     """Slot view of a (2, ...) double-buffered scratch ref so the tile
@@ -288,13 +321,13 @@ def _in_dma(src_hbm, dst2, slot, tile, T, E, sem2):
     """Prefetchable tile-rows load: src[:, tile*T : tile*T+E, :] -> slot.
     The descriptor is reconstructed identically at wait time."""
     return pltpu.make_async_copy(
-        src_hbm.at[:, pl.ds(pl.multiple_of(tile * T, 8), E), :],
+        src_hbm.at[:, pl.ds(_m8(tile * T), E), :],
         dst2.at[slot], sem2.at[slot])
 
 
 def _stage_out_dma(stage, dst_hbm, tile, T, sem):
     return pltpu.make_async_copy(
-        stage, dst_hbm.at[:, pl.ds(pl.multiple_of(tile * T + PAD, 8), T), :],
+        stage, dst_hbm.at[:, pl.ds(_m8(tile * T + PAD), T), :],
         sem)
 
 
@@ -309,10 +342,10 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
     is what makes input/output aliasing safe: the 16 halo rows tile i+1
     reads overlap the rows tile i writes, so the read must be secured
     first (all later tiles read disjoint rows)."""
-    p = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    p = _slot_of(i)
     q = 1 - p
 
-    @pl.when(i == 0)
+    @_when(i == 0)
     def _prime():
         cp_s = _in_dma(state_in, sst2, 0, 0, T, E, s_sems)
         cp_m = _in_dma(mats_in, mat2, 0, 0, T, E, m_sems)
@@ -321,7 +354,7 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
         cp_s.wait()
         cp_m.wait()
 
-    @pl.when(i + 1 < n_tiles)
+    @_when(i + 1 < n_tiles)
     def _prefetch():
         _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).start()
         _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).start()
@@ -333,22 +366,22 @@ def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
                        state_out, T, E, s_sems, m_sems, out_sem):
     """Secure tile i+1's prefetched input (the aliasing hazard gate), then
     start this tile's staged output; the final tile drains its own out."""
-    q = 1 - jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    q = 1 - _slot_of(i)
 
-    @pl.when(i + 1 < n_tiles)
+    @_when(i + 1 < n_tiles)
     def _secure_next():
         _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).wait()
         _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).wait()
 
     _stage_out_dma(stage, state_out, i, T, out_sem).start()
 
-    @pl.when(i == n_tiles - 1)
+    @_when(i == n_tiles - 1)
     def _drain():
         _stage_out_dma(stage, state_out, i, T, out_sem).wait()
 
 
 def _wait_prev_out(i, stage, state_out, T, out_sem):
-    @pl.when(i >= 1)
+    @_when(i >= 1)
     def _():
         _stage_out_dma(stage, state_out, i - 1, T, out_sem).wait()
 
@@ -359,7 +392,7 @@ def _write_state_pads(nf, sst_p, state_out, i, n_tiles, T, E, nxp, aux_sem):
     out (the slot is not reused until two iterations later)."""
     r0 = i * T
 
-    @pl.when(i == 0)
+    @_when(i == 0)
     def _zero_top():
         for f in range(nf):
             sst_p[f, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
@@ -368,13 +401,13 @@ def _write_state_pads(nf, sst_p, state_out, i, n_tiles, T, E, nxp, aux_sem):
         cp.start()
         cp.wait()
 
-    @pl.when(i == n_tiles - 1)
+    @_when(i == n_tiles - 1)
     def _zero_bot():
         for f in range(nf):
             sst_p[f, E - PAD:E, :] = jnp.zeros((PAD, nxp), jnp.float32)
         cp = pltpu.make_async_copy(
             sst_p.at[:, E - PAD:E, :],
-            state_out.at[:, pl.ds(pl.multiple_of(r0 + T + PAD, 8), PAD), :],
+            state_out.at[:, pl.ds(_m8(r0 + T + PAD), PAD), :],
             aux_sem)
         cp.start()
         cp.wait()
@@ -450,7 +483,11 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
                            out_sem)
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    if n_tiles <= _unroll_tiles():
+        for i_static in range(n_tiles):
+            tile_body(i_static, 0)
+    else:
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
@@ -556,13 +593,13 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
 
 def _gm_in_dma(gmat_in, gm_t, tile, T, sem):
     return pltpu.make_async_copy(
-        gmat_in.at[:, pl.ds(pl.multiple_of(tile * T + PAD, 8), T), :],
+        gmat_in.at[:, pl.ds(_m8(tile * T + PAD), T), :],
         gm_t, sem)
 
 
 def _gm_out_dma(gm_t, gmat_out, tile, T, sem):
     return pltpu.make_async_copy(
-        gm_t, gmat_out.at[:, pl.ds(pl.multiple_of(tile * T + PAD, 8), T), :],
+        gm_t, gmat_out.at[:, pl.ds(_m8(tile * T + PAD), T), :],
         sem)
 
 
@@ -603,7 +640,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
 
         # gm_t is single-buffered: its previous out must drain before the
         # reload (a few-microsecond stall on a small buffer)
-        @pl.when(i >= 1)
+        @_when(i >= 1)
         def _gm_drain():
             _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
         cp_g = _gm_in_dma(gmat_in, gm_t, i, T, gi_sem)
@@ -692,7 +729,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
         # d_stf: exactly one tile owns the source row — it alone writes
         own_src = ((src_z + PAD) >= (r0 + PAD)) & ((src_z + PAD) < (r0 + PAD + T))
 
-        @pl.when(own_src)
+        @_when(own_src)
         def _write_dstf():
             dstf_out[0] = d_amp
 
@@ -703,12 +740,16 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
                            out_sem)
         _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
 
-        @pl.when(i == n_tiles - 1)
+        @_when(i == n_tiles - 1)
         def _gm_final():
             _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    if n_tiles <= _unroll_tiles():
+        for i_static in range(n_tiles):
+            tile_body(i_static, 0)
+    else:
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _make_bwd_megastep(cfg: SimConfig, rs):
@@ -957,7 +998,11 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
                            stage, state_out, T, E, s_sems, m_sems, out_sem)
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    if n_tiles <= _unroll_tiles():
+        for i_static in range(n_tiles):
+            tile_body(i_static, 0)
+    else:
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
@@ -967,17 +1012,17 @@ def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
     _, z0, z1, x0, x1 = _strip_bounds5(cfg)
     L = STRIP_L
 
-    @pl.when(i == 0)
+    @_when(i == 0)
     def _zero_edges():
         lr_out[0:PAD, :] = jnp.zeros((PAD, LANE), jnp.float32)
         tb_out[:] = jnp.zeros_like(tb_out)
 
-    @pl.when(i == n_tiles - 1)
+    @_when(i == n_tiles - 1)
     def _zero_tail():
         nz_ext = PAD + n_tiles * T + PAD
         lr_out[nz_ext - PAD:nz_ext, :] = jnp.zeros((PAD, LANE), jnp.float32)
 
-    row0 = pl.multiple_of(r0 + PAD, 8)
+    row0 = _m8(r0 + PAD)
     for f_idx in range(n_fields):
         c = f_idx * 2 * L
         lr_out[pl.ds(row0, T), c:c + L] = sst[f_idx, PAD:PAD + T,
@@ -987,9 +1032,9 @@ def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
         for b_glob, row_off in ((z0 + PAD, c), (z1 + PAD, c + L)):
             lo = b_glob - r0
             ok = (lo >= 0) & (lo <= E - L)
-            lo_c = jnp.clip(lo, 0, E - L)
+            lo_c = _clip_int(lo, 0, E - L)
 
-            @pl.when(ok)
+            @_when(ok)
             def _(f_idx=f_idx, lo_c=lo_c, row_off=row_off):
                 for j in range(L):
                     tb_out[row_off + j:row_off + j + 1, :] = (
@@ -1120,7 +1165,7 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
-        @pl.when(i >= 1)
+        @_when(i >= 1)
         def _gm_drain():
             _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
         cp_g = _gm_in_dma(gmat_in, gm_t, i, T, gi_sem)
@@ -1186,7 +1231,7 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
 
         own_src = (src_z >= r0) & (src_z < r0 + T)
 
-        @pl.when(own_src)
+        @_when(own_src)
         def _write_dstf():
             dstf_out[0] = d_amp
 
@@ -1196,12 +1241,16 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
                            stage, state_out, T, E, s_sems, m_sems, out_sem)
         _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
 
-        @pl.when(i == n_tiles - 1)
+        @_when(i == n_tiles - 1)
         def _gm_final():
             _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    if n_tiles <= _unroll_tiles():
+        for i_static in range(n_tiles):
+            tile_body(i_static, 0)
+    else:
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 def _make_ac_bwd_megastep(cfg: SimConfig, rs):
