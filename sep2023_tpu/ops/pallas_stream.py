@@ -10,29 +10,44 @@ stream every field through HBM each step (`el_stress.cu:89-104`,
 gradient the same property, TPU-style:
 
   * the time loop is a `lax.scan` OUTSIDE Pallas; each step launches one
-    "megastep" kernel with a sequential grid over z-tiles;
+    "megastep" kernel whose IN-KERNEL fori_loop walks z-tiles (DMAs do not
+    pipeline across Pallas grid iterations, so the loop lives inside;
+    SEP2023_TPU_STREAM_UNROLL optionally unrolls it statically — measured
+    perf-neutral, the fold-everything experiment);
   * carried state — 5 primal fields (+8 psi forward) / 5 primal + 5 adjoint
     fields + 8 adjoint psi (backward) — lives in HBM as one stacked
-    (NF, nz_ext, nxp) array and is DMA'd through VMEM tile-by-tile;
+    (NF, nz_ext, nxp) array, updated IN PLACE via `input_output_aliases`
+    (without aliasing XLA copies the carries every scan step — measured
+    40% of device time); tiles stream through a 2-slot double-buffered
+    input pipeline and write from a separate out-stage, with the single
+    aliasing hazard (tile i's interior rows vs tile i+1's halo read)
+    fenced by waiting the prefetch DMA before starting the output DMA;
   * each tile reads `T + 2*PAD` rows (PAD = 16 halo rows) and writes its
     T interior rows, so stencil chains up to 8 rows deep (the measured
     reach of reconstruct + phase-split adjoint) and `pltpu.roll`
     wrap-around contamination (<= 8 rows from the scratch edge) never
-    touch written rows;
+    touch written rows; T balances to ceil(nz / n_tiles) under a VMEM
+    budget (tile_rows);
   * boundary strips (`Boundary.cu` layout: left/right columns packed into
     a (nz_ext, 128) plane, top/bottom rows into a (56, nxp) plane) and the
     per-step recording rows ride the scan as ys (forward) / xs (backward) —
     no in-kernel chunked strip DMA needed;
-  * per-cell HBM traffic per backward step is ~50 f32 planes
-    (18 in + 18 out + 5 materials + 2x5 gradient read-modify-write), an
-    ~4 GCell/s roofline at v5e bandwidth — far above the 1 GCell/s bar.
+  * programs embedding these scans take
+    `xla_tpu_scoped_vmem_limit_kib=131072` per-jit compiler options
+    (`tpu_jit`): XLA otherwise promotes mid-size while carries into scoped
+    VMEM past its own limit and errors.
+
+Measured (v5e): gradient 1.32 GCell/s at 560x720 padded and 1.23 at
+814x2064 (forwards 3.6-3.8) — both formerly a 0.5-0.6 GCell/s XLA
+fallback; forward bitwise-equal to the fused engine, gradients to 2e-7,
+tile-count invariance bitwise.
 
 The physics and the phase-split in-kernel adjoint are the SAME code as the
 fused engine (`_step_values`, `_stress/_velocity_phase_values`,
 `_record_rows` with the tile's global-row iota and an ownership window) —
 equality with the XLA engine is inherited and tested per tile count.
 
-z-tiling bookkeeping (all static except the grid index):
+z-tiling bookkeeping (all static except the tile-loop index):
   buffer row b <-> global row gz = b - PAD;  tile i reads buffer rows
   [i*T, i*T + T + 2*PAD), writes [PAD + i*T, PAD + (i+1)*T); tile 0 / the
   last tile additionally zero the PAD edge rows.  Top/bottom strip bands
