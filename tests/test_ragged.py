@@ -170,3 +170,32 @@ def test_ragged_shot_io_round_trip(tmp_path):
     np.testing.assert_allclose(back[0, :, 12:],
                                np.broadcast_to(back[0, :, 11:12],
                                                (4, 4, 30)))
+
+
+def test_ragged_pallas_sharded_matches_local():
+    """Ragged union-spread Pallas loss under shard_map (the multi-chip
+    production path) must equal the local ragged Pallas loss."""
+    import jax
+
+    cfg, lam, mu, rho, stf = _mini_problem()
+    survey = _ragged_survey()
+    geoms = parallel.survey_to_geoms(survey, cfg.npml, dtype=jnp.float32)
+    fwd = jax.jit(lambda l: jax.vmap(
+        lambda s, g: __import__("sep2023_tpu").propagate(
+            cfg, l, mu, rho, s, g))(stf, geoms))
+    obs = fwd(lam * 1.02)
+    tw = jnp.asarray(survey.live_trace_weights(), jnp.float32)
+    ws = jnp.zeros(tw.shape, jnp.float32)
+    we = jnp.full(tw.shape, cfg.nt - 1.0, jnp.float32)
+    fn = mf.make_preprocessed_l2(channels=("ett",), dt=cfg.dt,
+                                 per_trace=True)
+    w = jnp.ones((2,), jnp.float32)
+
+    loss_l = parallel.make_pallas_misfit(cfg, survey, misfit_fn=fn)
+    mesh = parallel.shot_mesh(2)
+    loss_s = parallel.make_pallas_sharded_misfit(cfg, survey, mesh,
+                                                 misfit_fn=fn,
+                                                 n_trace_aux=3)
+    vl = float(loss_l(lam, mu, rho, stf, obs, w, ws, we, tw))
+    vs = float(loss_s(lam, mu, rho, stf, obs, w, ws, we, tw))
+    assert abs(vl - vs) / abs(vl) < 1e-5
