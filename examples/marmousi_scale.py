@@ -25,11 +25,15 @@ from sep2023_tpu.ops import pallas_engine as pe
 from sep2023_tpu.ops import pallas_stream as ps
 
 
-def main(outdir="scratch/marmousi_scale", n_iters=3):
+def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
+         nt=2001, n_shots=24, npml=32):
+    """Defaults are the Marmousi-scale TPU run; the smaller overrides let
+    the same machinery smoke-test on CPU (interpret mode)."""
     os.makedirs(outdir, exist_ok=True)
-    npml = 32
-    nz, nx, dh = 750, 2000, 10.0
-    nt, dt = 2001, 0.001          # 2 s window (receivers at 0.6 nz ~ 1.5 s out)
+    n_iters, nz, nx, nt, n_shots = (int(v) for v in
+                                    (n_iters, nz, nx, nt, n_shots))
+    dh = 10.0
+    dt = 0.001                    # 2 s window (receivers at 0.6 nz ~ 1.5 s out)
     cfg = st.SimConfig(nz=nz + 2 * npml, nx=nx + 2 * npml, dz=dh, dx=dh,
                        nt=nt, dt=dt, f0=6.0, npml=npml)
     print(f"grid {cfg.nz}x{cfg.nx} padded, nt={nt}; "
@@ -43,7 +47,7 @@ def main(outdir="scratch/marmousi_scale", n_iters=3):
     cfg.check_stability(float(vp_t.max()))
 
     # 24 shots across the top, receivers on a deep row (DAS-style)
-    src_x = np.linspace(40, nx - 40, 24).astype(np.int64)
+    src_x = np.linspace(40, nx - 40, n_shots).astype(np.int64)
     rec_row = int(0.6 * nz)
     survey = Survey(src_z=np.full(len(src_x), 2), src_x=src_x,
                     rec_z=np.full(nx - 40, rec_row),
@@ -92,4 +96,4 @@ def main(outdir="scratch/marmousi_scale", n_iters=3):
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:3] or []))
+    main(*sys.argv[1:])
