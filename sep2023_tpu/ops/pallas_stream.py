@@ -128,6 +128,17 @@ def _unroll_tiles() -> int:
     return int(os.environ.get("SEP2023_TPU_STREAM_UNROLL", "0"))
 
 
+def _dbg() -> frozenset:
+    """Timing-dissection switches (comma list, DEBUG ONLY — results are
+    garbage): 'noin' skips the input DMAs, 'noout' the output DMAs,
+    'nostep' the physics (stage copied from the input slot).  Lets a
+    benchmark split a megastep's wall time into compute vs in-stream vs
+    out-stream without a profiler that can see inside Mosaic."""
+    return frozenset(
+        t for t in os.environ.get("SEP2023_TPU_STREAM_DEBUG", "").split(",")
+        if t)
+
+
 def tile_rows(cfg: SimConfig) -> int:
     """Tile height T (rows written per grid step).  SEP2023_TPU_STREAM_T
     overrides (tests force small T to exercise multi-tile paths on tiny
@@ -154,12 +165,78 @@ def tile_rows(cfg: SimConfig) -> int:
     return min(T, _pad8(cfg.nz))
 
 
+class PsiPlan:
+    """Static layout for band-compact CPML psi storage.
+
+    The psi memory variables are identically zero outside the PML bands
+    (cpml.py: a = 0 there, and zero stays zero), so carrying them as full
+    (nz_ext, nxp) planes streams 8 of the 13 forward / 18 backward fields
+    for nothing — the dissection benchmark (tools/stream_dissect.py) showed
+    the megasteps are stream-bound with compute at fused-engine speed.
+    Compactly: z-derivative psi live in two (zb, nxp) row bands, x-derivative
+    psi in an (nz_ext, xl + xrw) lane block pair.  The kernels materialize
+    full planes in VMEM scratch (exact: out-of-band values are zero), run
+    the SAME physics, and store back only the bands.
+
+    For the adjoint psi of the backward kernel the out-of-band values are
+    NOT zero but provably inert: with a = 0 the adjoint recursion
+    lam_psi <- b (lam_psi + lam_d) feeds nothing (lam_d, lam_fields and
+    lam_mats never read lam_psi where a = 0, and the t=0 value is
+    discarded), so dropping them each step leaves every gradient bitwise
+    unchanged (test_stream_compact).
+
+    Gates (tiny grids / test-forced tiny tiles fall back to full planes):
+    the z bands must lie fully inside the edge tiles' extended windows and
+    outside every OTHER tile's extended window (psi feeds the recorded
+    fields pointwise, and recording may sample one halo row past a tile's
+    interior), so their placement offsets are static.
+
+    Band heights/offsets are 8-row padded/aligned: the bottom band's natural
+    start `PAD + nz - zb - (n_tiles-1)*T` is not sublane-aligned for general
+    nz, so it is rounded DOWN to a multiple of 8 and the band height widened
+    to ZB = zb + 8 (Mosaic requires provably 8-aligned multi-row stores).
+    The top band uses the same ZB so both live in one (4, 2, ZB, nxp) array.
+    """
+
+    def __init__(self, cfg, T, n_tiles, nz_ext, nxp):
+        self.zb = zb = _pad8(max(cfg.npml, 8))
+        self.ZB = zb + 8
+        # bottom-band start inside the LAST tile's extended window, 8-aligned
+        off_b = PAD + cfg.nz - zb - (n_tiles - 1) * T
+        self.b0 = (off_b // 8) * 8
+        self.xl = min(128, nxp)
+        xr0 = min(((cfg.nx - cfg.npml) // 128) * 128, nxp - 128)
+        self.xr0 = max(0, xr0)
+        self.xrw = nxp - self.xr0 if cfg.nx > self.xr0 + 128 else 128
+        self.XW = self.xl + self.xrw
+
+    @staticmethod
+    def build(cfg, T, n_tiles, nz_ext, nxp):
+        if os.environ.get("SEP2023_TPU_STREAM_NOCOMPACT"):
+            return None
+        zb = _pad8(max(cfg.npml, 8))
+        if nxp < 128 or cfg.npml > 128 or cfg.nz < zb:
+            return None
+        if n_tiles > 1:
+            # top band only in tile 0's extended window; bottom band (incl.
+            # its <=7 alignment slack rows) only in the last tile's
+            if T - PAD < zb + 8 or cfg.nz - (n_tiles - 1) * T < zb + PAD + 8:
+                return None
+        return PsiPlan(cfg, T, n_tiles, nz_ext, nxp)
+
+
 def _layout(cfg: SimConfig):
     T = tile_rows(cfg)
     n_tiles = -(-cfg.nz // T)
     nz_ext = PAD + n_tiles * T + PAD
     nxp = _pad128(cfg.nx)
     return T, n_tiles, nz_ext, nxp
+
+
+def _layout_plan(cfg: SimConfig):
+    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    return T, n_tiles, nz_ext, nxp, PsiPlan.build(cfg, T, n_tiles, nz_ext,
+                                                  nxp)
 
 
 def _ext_plane(a, nz_ext, nxp):
@@ -358,6 +435,8 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
     reads overlap the rows tile i writes, so the read must be secured
     first (all later tiles read disjoint rows)."""
     p = _slot_of(i)
+    if "noin" in _dbg():
+        return p
     q = 1 - p
 
     @_when(i == 0)
@@ -383,10 +462,14 @@ def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
     start this tile's staged output; the final tile drains its own out."""
     q = 1 - _slot_of(i)
 
-    @_when(i + 1 < n_tiles)
-    def _secure_next():
-        _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).wait()
-        _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).wait()
+    if "noin" not in _dbg():
+        @_when(i + 1 < n_tiles)
+        def _secure_next():
+            _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).wait()
+            _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).wait()
+
+    if "noout" in _dbg():
+        return
 
     _stage_out_dma(stage, state_out, i, T, out_sem).start()
 
@@ -396,6 +479,9 @@ def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
 
 
 def _wait_prev_out(i, stage, state_out, T, out_sem):
+    if "noout" in _dbg():
+        return
+
     @_when(i >= 1)
     def _():
         _stage_out_dma(stage, state_out, i - 1, T, out_sem).wait()
@@ -405,6 +491,8 @@ def _write_state_pads(nf, sst_p, state_out, i, n_tiles, T, E, nxp, aux_sem):
     """Keep the carried state's PAD edge rows zero: tile 0 / the last tile
     zero their outer halo rows in the (now dead) input slot and DMA them
     out (the slot is not reused until two iterations later)."""
+    if "noout" in _dbg():
+        return
     r0 = i * T
 
     @_when(i == 0)
@@ -429,31 +517,126 @@ def _write_state_pads(nf, sst_p, state_out, i, n_tiles, T, E, nxp, aux_sem):
 
 
 # ---------------------------------------------------------------------------
+# Band-compact psi materialization / extraction (see PsiPlan)
+# ---------------------------------------------------------------------------
+
+Z_IDX = (0, 2, 4, 6)   # psi tuple slots driven by z-profiles (dz stencils)
+X_IDX = (1, 3, 5, 7)   # psi tuple slots driven by x-profiles
+
+
+def _psi_zero_all(psis, n_psi, E, nxp):
+    for j in range(n_psi):
+        psis[j] = jnp.zeros((E, nxp), jnp.float32)
+
+
+def _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in, xpsi_in,
+                     i, r0, z_idx, x_idx):
+    """Fill the (n_psi, E, nxp) psi scratch planes from band-compact storage
+    for tile i.  Exact: psi is identically zero out of band (cpml.py a=0
+    there and zero stays zero).  All offsets are static under the tile
+    guards (PsiPlan gates reject layouts where a band straddles a window
+    edge).  x planes were zeroed once per invocation; only their band lanes
+    are (re)written per tile.  z planes need tile 1 to clear tile 0's top
+    band (same buffer rows, different global rows)."""
+    ZB, b0, xl, xr0, xrw = plan.ZB, plan.b0, plan.xl, plan.xr0, plan.xrw
+    for k, j in enumerate(x_idx):
+        rows = pl.ds(_m8(r0), E)
+        psis[j, :, 0:xl] = xpsi_in[k, rows, 0:xl]
+        psis[j, :, xr0:xr0 + xrw] = xpsi_in[k, rows, xl:xl + xrw]
+    for k, j in enumerate(z_idx):
+        if n_tiles > 1:
+            @_when(i == 1)
+            def _clear_top(j=j):
+                psis[j, PAD:PAD + ZB, :] = jnp.zeros((ZB, nxp), jnp.float32)
+
+        @_when(i == 0)
+        def _top(j=j, k=k):
+            psis[j, PAD:PAD + ZB, :] = zpsi_in[k, 0]
+
+        # single-tile overlap is exact: both slots were extracted from the
+        # same plane last step, so overlapping rows carry identical values
+        @_when(i == n_tiles - 1)
+        def _bottom(j=j, k=k):
+            psis[j, b0:b0 + ZB, :] = zpsi_in[k, 1]
+
+
+def _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi, zpsi_out,
+                 xpsi_out, i, r0, z_idx, x_idx):
+    """Store the updated psi bands back to the compact outputs (the
+    out-of-band values of new_psi are exactly zero — forward — or provably
+    inert — backward adjoint — so nothing is lost)."""
+    ZB, b0, xl, xr0, xrw = plan.ZB, plan.b0, plan.xl, plan.xr0, plan.xrw
+    rows = pl.ds(_m8(r0 + PAD), T)
+    for k, j in enumerate(x_idx):
+        v = new_psi[j]
+        xpsi_out[k, rows, 0:xl] = v[PAD:PAD + T, 0:xl]
+        xpsi_out[k, rows, xl:xl + xrw] = v[PAD:PAD + T, xr0:xr0 + xrw]
+
+    @_when(i == 0)
+    def _xpads_top():
+        for k in range(len(x_idx)):
+            xpsi_out[k, 0:PAD, :] = jnp.zeros((PAD, plan.XW), jnp.float32)
+
+    @_when(i == n_tiles - 1)
+    def _xpads_bot():
+        for k in range(len(x_idx)):
+            xpsi_out[k, nz_ext - PAD:nz_ext, :] = jnp.zeros(
+                (PAD, plan.XW), jnp.float32)
+
+    for k, j in enumerate(z_idx):
+        @_when(i == 0)
+        def _top(j=j, k=k):
+            zpsi_out[k, 0] = new_psi[j][PAD:PAD + ZB, :]
+
+        @_when(i == n_tiles - 1)
+        def _bottom(j=j, k=k):
+            zpsi_out[k, 1] = new_psi[j][b0:b0 + ZB, :]
+
+
+# ---------------------------------------------------------------------------
 # Forward megastep kernel (pipelined)
 # ---------------------------------------------------------------------------
 
-def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
+def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
+    nz_ext = PAD + n_tiles * T + PAD
+    nf = 5 if plan else NF_FWD
     state_in = args[0]
     mats_in = args[1]
-    prof_refs = args[2:14]
-    recw_refs = args[14:14 + n_recw]
-    p_ = 14 + n_recw
+    p_ = 2
+    if plan:
+        zpsi_in, xpsi_in = args[2:4]
+        p_ = 4
+    prof_refs = args[p_:p_ + 12]
+    recw_refs = args[p_ + 12:p_ + 12 + n_recw]
+    p_ += 12 + n_recw
     state_out = args[p_]
-    rec_out = args[p_ + 1]
+    p_ += 1
+    if plan:
+        zpsi_out, xpsi_out = args[p_:p_ + 2]
+        p_ += 2
+    rec_out = args[p_]
+    p_ += 1
     if save_strips:
-        lr_out, tb_out = args[p_ + 2:p_ + 4]
-        p_ += 4
+        lr_out, tb_out = args[p_:p_ + 2]
+        p_ += 2
     else:
         lr_out = tb_out = None
-        p_ += 2
-    sst2, mat2, stage = args[p_:p_ + 3]
-    s_sems, m_sems, out_sem, aux_sem = args[p_ + 3:p_ + 7]
+    if plan:
+        sst2, mat2, psis, stage = args[p_:p_ + 4]
+        p_ += 4
+    else:
+        sst2, mat2, stage = args[p_:p_ + 3]
+        psis = None
+        p_ += 3
+    s_sems, m_sems, out_sem, aux_sem = args[p_:p_ + 4]
 
     NC = 4 * eng._n_layers(rs)
     recw = eng._read_recw(recw_refs)
     rec_out[:] = jnp.zeros_like(rec_out)
+    if plan:
+        _psi_zero_all(psis, 8, E, nxp)
 
     # the tile loop lives INSIDE the kernel so the 2-slot DMA pipeline
     # actually spans tiles (DMAs persist across fori_loop iterations; grid
@@ -475,23 +658,38 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
                               n_tiles)
 
         fields = tuple(sst[f] for f in range(5))
-        psi = tuple(sst[5 + j] for j in range(8))
-        new_fields, new_psi, recs = eng._step_values(
-            cfg, rs, prof, mask, src_hot, rxz_ref[0], fields, psi, mats,
-            amp_ref[0], recw, zi=gz, rec_window=(r0, r0 + T))
+        if plan:
+            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
+                             xpsi_in, i, r0, Z_IDX, X_IDX)
+            psi = tuple(psis[j] for j in range(8))
+        else:
+            psi = tuple(sst[5 + j] for j in range(8))
+        if "nostep" in _dbg():
+            new_fields = fields
+            new_psi = psi
+            recs = None
+        else:
+            new_fields, new_psi, recs = eng._step_values(
+                cfg, rs, prof, mask, src_hot, rxz_ref[0], fields, psi, mats,
+                amp_ref[0], recw, zi=gz, rec_window=(r0, r0 + T))
 
         # results go to the out STAGE (interior rows only); the input slot
         # is left untouched so its reuse needs no out drain
         _wait_prev_out(i, stage, state_out, T, out_sem)
         for f, v in enumerate(new_fields):
             stage[f] = v[PAD:PAD + T, :]
-        for j, v in enumerate(new_psi):
-            stage[5 + j] = v[PAD:PAD + T, :]
+        if plan:
+            _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi,
+                         zpsi_out, xpsi_out, i, r0, Z_IDX, X_IDX)
+        else:
+            for j, v in enumerate(new_psi):
+                stage[5 + j] = v[PAD:PAD + T, :]
 
-        for c in range(NC):
-            rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
+        if recs is not None:
+            for c in range(NC):
+                rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
 
-        _write_state_pads(NF_FWD, sst, state_out, i, n_tiles, T, E, nxp,
+        _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems,
@@ -506,37 +704,46 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
 
 
 def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     f32 = jnp.float32
+    nf = 5 if plan else NF_FWD
     NC = 4 * eng._n_layers(rs)
     recw_in = _recw_inputs_padded(cfg, rs, nxp)
     n_recw = len(recw_in)
 
-    out_shape = [jax.ShapeDtypeStruct((NF_FWD, nz_ext, nxp), f32),
-                 jax.ShapeDtypeStruct((NC, nxp), f32)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
-                 pl.BlockSpec(memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if plan:
+        out_shape += [jax.ShapeDtypeStruct((4, 2, plan.ZB, nxp), f32),
+                      jax.ShapeDtypeStruct((4, nz_ext, plan.XW), f32)]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    out_shape += [jax.ShapeDtypeStruct((NC, nxp), f32)]
+    out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if save_strips:
         out_shape += [jax.ShapeDtypeStruct((nz_ext, LANE), f32),
                       jax.ShapeDtypeStruct((TB_ROWS, nxp), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     kernel = functools.partial(_fwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
-                               n_recw, save_strips)
+                               n_recw, save_strips, plan)
+    scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
+               pltpu.VMEM((2, 5, E, nxp), f32)]
+    if plan:
+        scratch += [pltpu.VMEM((8, E, nxp), f32)]
+    scratch += [pltpu.VMEM((nf, T, nxp), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(1,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)),
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                  * ((2 if plan else 0) + 12 + n_recw)),
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((2, NF_FWD, E, nxp), f32),
-                        pltpu.VMEM((2, 5, E, nxp), f32),
-                        pltpu.VMEM((NF_FWD, T, nxp), f32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=scratch,
     )
     interp = eng._interpret()
     call = pl.pallas_call(
@@ -544,18 +751,19 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interp,
-        # the carried state is updated IN PLACE (input 4 = the state array
-        # after the 4 scalar-prefetch args): the scan carry then needs no
-        # XLA copy per step (measured 40% of device time without aliasing)
-        input_output_aliases={4: 0},
+        # every scan carry is updated IN PLACE (input 4 = the state array
+        # after the 4 scalar-prefetch args; 6/7 = the compact psi when
+        # planned): the carry then needs no XLA copy per step (measured 40%
+        # of device time without aliasing)
+        input_output_aliases={4: 0, 6: 1, 7: 2} if plan else {4: 0},
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT),
     )
 
-    def step(state, mats_ext, profs, sz1, sx1, rxz1, amp):
+    def step(state, psic, mats_ext, profs, sz1, sx1, rxz1, amp):
         return call(sz1, sx1, rxz1, jnp.reshape(amp, (1,)).astype(f32),
-                    state, mats_ext, *profs, *recw_in)
+                    state, mats_ext, *psic, *profs, *recw_in)
 
     return step
 
@@ -572,7 +780,7 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
                     save_strips: bool):
     """Single-shot streamed forward.  stf1: (nt,).  Returns data (4, R, nt)
     [+ (lr_all, tb_all, final_state) when save_strips]."""
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     f32 = jnp.float32
     mats_ext = _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
@@ -580,17 +788,25 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     rxz1 = jnp.reshape(rxz1, (1,)).astype(f32)
-    state0 = jnp.zeros((NF_FWD, nz_ext, nxp), f32)
+    nf = 5 if plan else NF_FWD
+    state0 = jnp.zeros((nf, nz_ext, nxp), f32)
+    psic0 = ((jnp.zeros((4, 2, plan.ZB, nxp), f32),
+              jnp.zeros((4, nz_ext, plan.XW), f32)) if plan else ())
+    np_ = len(psic0)
 
-    def body(state, amp):
-        outs = step(state, mats_ext, profs, sz1, sx1, rxz1, amp)
+    def body(carry, amp):
+        state, psic = carry[0], carry[1:]
+        outs = step(state, psic, mats_ext, profs, sz1, sx1, rxz1, amp)
+        carry2 = tuple(outs[:1 + np_])
+        rec = outs[1 + np_]
         if save_strips:
-            state2, rec, lr_t, tb_t = outs
-            return state2, (rec, lr_t, tb_t)
-        state2, rec = outs
-        return state2, rec
+            lr_t, tb_t = outs[2 + np_:4 + np_]
+            return carry2, (rec, lr_t, tb_t)
+        return carry2, rec
 
-    final, ys = jax.lax.scan(body, state0, stf1[:cfg.nt - 1].astype(f32))
+    fin, ys = jax.lax.scan(body, (state0, *psic0),
+                           stf1[:cfg.nt - 1].astype(f32))
+    final = fin[0]
     rec_seq = ys[0] if save_strips else ys          # (nt-1, NC, nxp)
     NC = rec_seq.shape[1]
     planes = jnp.concatenate(
@@ -618,23 +834,40 @@ def _gm_out_dma(gm_t, gmat_out, tile, T, sem):
         sem)
 
 
-def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
+def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
+    nz_ext = PAD + n_tiles * T + PAD
+    nf = 10 if plan else NF_BWD
     state_in = args[0]
     mats_in = args[1]
     gmat_in = args[2]
-    prof_refs = args[3:15]
-    recw_refs = args[15:15 + n_recw]
-    p_ = 15 + n_recw
+    p_ = 3
+    if plan:
+        zpsi_in, xpsi_in = args[3:5]
+        p_ = 5
+    prof_refs = args[p_:p_ + 12]
+    recw_refs = args[p_ + 12:p_ + 12 + n_recw]
+    p_ += 12 + n_recw
     lr_ref = args[p_]
     tb_ref = args[p_ + 1]
     drec_ref = args[p_ + 2]
     state_out = args[p_ + 3]
-    gmat_out = args[p_ + 4]
-    dstf_out = args[p_ + 5]
-    sst2, mat2, stage, gm_t = args[p_ + 6:p_ + 10]
-    s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_ + 10:p_ + 16]
+    p_ += 4
+    if plan:
+        zpsi_out, xpsi_out = args[p_:p_ + 2]
+        p_ += 2
+    gmat_out = args[p_]
+    dstf_out = args[p_ + 1]
+    p_ += 2
+    if plan:
+        sst2, mat2, psis, stage, gm_t = args[p_:p_ + 5]
+        p_ += 5
+    else:
+        sst2, mat2, stage, gm_t = args[p_:p_ + 4]
+        psis = None
+        p_ += 4
+    s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_:p_ + 6]
 
     NC = 4 * eng._n_layers(rs)
     dt = cfg.dt
@@ -644,6 +877,8 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
     src_x = srcx_ref[0]
     rxz = rxz_ref[0]
     amp = amp_ref[0]
+    if plan:
+        _psi_zero_all(psis, 8, E, nxp)
 
     # tile loop inside the kernel: the DMA pipeline spans tiles
     def tile_body(i, _):
@@ -655,12 +890,32 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
 
         # gm_t is single-buffered: its previous out must drain before the
         # reload (a few-microsecond stall on a small buffer)
-        @_when(i >= 1)
-        def _gm_drain():
-            _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
-        cp_g = _gm_in_dma(gmat_in, gm_t, i, T, gi_sem)
-        cp_g.start()
-        cp_g.wait()
+        if not ({"noin", "noout"} & _dbg()):
+            @_when(i >= 1)
+            def _gm_drain():
+                _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
+        if "noin" not in _dbg():
+            cp_g = _gm_in_dma(gmat_in, gm_t, i, T, gi_sem)
+            cp_g.start()
+            cp_g.wait()
+
+        if "nostep" in _dbg():
+            dstf_out[0] = jnp.float32(0.0)
+            _wait_prev_out(i, stage, state_out, T, out_sem)
+            for f in range(nf):
+                stage[f] = sst[f, PAD:PAD + T, :]
+            _write_state_pads(nf, sst, state_out, i, n_tiles, T, E,
+                              nxp, aux_sem)
+            _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                               stage, state_out, T, E, s_sems, m_sems,
+                               out_sem)
+            if "noout" not in _dbg():
+                _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
+
+                @_when(i == n_tiles - 1)
+                def _gm_final_dbg():
+                    _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
+            return 0
 
         gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
                                                   src_z, src_x)
@@ -693,7 +948,12 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
         fields_t = tuple(sst[f] for f in range(5))
 
         adj_f = tuple(sst[5 + f] for f in range(5))
-        adj_p = tuple(sst[10 + j] for j in range(8))
+        if plan:
+            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
+                             xpsi_in, i, r0, Z_IDX, X_IDX)
+            adj_p = tuple(psis[j] for j in range(8))
+        else:
+            adj_p = tuple(sst[10 + j] for j in range(8))
         d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
         zero4 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(4))
 
@@ -736,8 +996,12 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
             stage[f] = sst[f, PAD:PAD + T, :]
         for f, v in enumerate(d_fields):
             stage[5 + f] = v[PAD:PAD + T, :]
-        for j, v in enumerate(d_psi):
-            stage[10 + j] = v[PAD:PAD + T, :]
+        if plan:
+            _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, d_psi,
+                         zpsi_out, xpsi_out, i, r0, Z_IDX, X_IDX)
+        else:
+            for j, v in enumerate(d_psi):
+                stage[10 + j] = v[PAD:PAD + T, :]
         for f, v in enumerate(d_mats):
             gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
 
@@ -748,16 +1012,17 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
         def _write_dstf():
             dstf_out[0] = d_amp
 
-        _write_state_pads(NF_BWD, sst, state_out, i, n_tiles, T, E, nxp,
+        _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems,
                            out_sem)
-        _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
+        if "noout" not in _dbg():
+            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
 
-        @_when(i == n_tiles - 1)
-        def _gm_final():
-            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
+            @_when(i == n_tiles - 1)
+            def _gm_final():
+                _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
         return 0
 
     if n_tiles <= _unroll_tiles():
@@ -768,38 +1033,48 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
 
 
 def _make_bwd_megastep(cfg: SimConfig, rs):
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     f32 = jnp.float32
+    nf = 10 if plan else NF_BWD
     NC = 4 * eng._n_layers(rs)
     recw_in = _recw_inputs_padded(cfg, rs, nxp)
     n_recw = len(recw_in)
 
     kernel = functools.partial(_bwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
-                               n_recw)
+                               n_recw, plan)
+    out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if plan:
+        out_shape += [jax.ShapeDtypeStruct((4, 2, plan.ZB, nxp), f32),
+                      jax.ShapeDtypeStruct((4, nz_ext, plan.XW), f32)]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    out_shape += [jax.ShapeDtypeStruct((5, nz_ext, nxp), f32),
+                  jax.ShapeDtypeStruct((1,), f32)]
+    out_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+    scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
+               pltpu.VMEM((2, 5, E, nxp), f32)]
+    if plan:
+        scratch += [pltpu.VMEM((8, E, nxp), f32)]
+    scratch += [pltpu.VMEM((nf, T, nxp), f32),
+                pltpu.VMEM((5, T, nxp), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(1,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 3
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                  * ((2 if plan else 0) + 12 + n_recw)
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                   pl.BlockSpec(memory_space=pltpu.HBM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        scratch_shapes=[pltpu.VMEM((2, NF_BWD, E, nxp), f32),
-                        pltpu.VMEM((2, 5, E, nxp), f32),
-                        pltpu.VMEM((NF_BWD, T, nxp), f32),
-                        pltpu.VMEM((5, T, nxp), f32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    out_shape = [jax.ShapeDtypeStruct((NF_BWD, nz_ext, nxp), f32),
-                 jax.ShapeDtypeStruct((5, nz_ext, nxp), f32),
-                 jax.ShapeDtypeStruct((1,), f32)]
     interp = eng._interpret()
     call = pl.pallas_call(
         kernel,
@@ -807,17 +1082,19 @@ def _make_bwd_megastep(cfg: SimConfig, rs):
         out_shape=out_shape,
         interpret=interp,
         # in-place carries: state (input 4) -> output 0, gmat (input 6) ->
-        # output 1; kills the per-step XLA carry copies (see fwd builder)
-        input_output_aliases={4: 0, 6: 1},
+        # the gradient output, compact psi (inputs 7/8) -> outputs 1/2 when
+        # planned; kills the per-step XLA carry copies (see fwd builder)
+        input_output_aliases=({4: 0, 7: 1, 8: 2, 6: 3} if plan
+                              else {4: 0, 6: 1}),
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT),
     )
 
-    def step(state, gmat, mats_ext, profs, sz1, sx1, rxz1, amp, lr_t, tb_t,
-             drec_t):
+    def step(state, psic, gmat, mats_ext, profs, sz1, sx1, rxz1, amp, lr_t,
+             tb_t, drec_t):
         return call(sz1, sx1, rxz1, jnp.reshape(amp, (1,)).astype(f32),
-                    state, mats_ext, gmat, *profs, *recw_in,
+                    state, mats_ext, gmat, *psic, *profs, *recw_in,
                     lr_t, tb_t, drec_t)
 
     return step
@@ -827,7 +1104,7 @@ def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
                      final, lr_all, tb_all, d_data):
     """Single-shot streamed backward: reverse scan of the backward megastep.
     Returns (d_lam, d_mu, d_rho, d_stf(nt,))."""
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     f32 = jnp.float32
     mats_ext = _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
@@ -835,10 +1112,14 @@ def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     rxz1 = jnp.reshape(rxz1, (1,)).astype(f32)
+    nf = 10 if plan else NF_BWD
 
     # primal fields from the forward's final state; adjoint state zero
     state0 = jnp.concatenate(
-        [final[:5], jnp.zeros((NF_BWD - 5, nz_ext, nxp), f32)])
+        [final[:5], jnp.zeros((nf - 5, nz_ext, nxp), f32)])
+    psic0 = ((jnp.zeros((4, 2, plan.ZB, nxp), f32),
+              jnp.zeros((4, nz_ext, plan.XW), f32)) if plan else ())
+    np_ = len(psic0)
     gmat0 = jnp.zeros((5, nz_ext, nxp), f32)
 
     # (4, R, nt) cotangent -> (NC, nt, nxp) row planes -> per-step rows
@@ -846,15 +1127,17 @@ def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     drec_seq = jnp.moveaxis(dd, 1, 0)               # (nt, NC, nxp)
 
     def rbody(carry, xs):
-        state, gmat = carry
+        state, psic, gmat = carry[0], carry[1:1 + np_], carry[1 + np_]
         lr_t, tb_t, drec_t, amp = xs
-        state2, gmat2, d_amp = step(state, gmat, mats_ext, profs, sz1, sx1,
-                                    rxz1, amp, lr_t, tb_t, drec_t)
-        return (state2, gmat2), d_amp[0]
+        outs = step(state, psic, gmat, mats_ext, profs, sz1, sx1,
+                    rxz1, amp, lr_t, tb_t, drec_t)
+        d_amp = outs[2 + np_]
+        return (*outs[:1 + np_], outs[1 + np_]), d_amp[0]
 
     xs = (lr_all, tb_all, drec_seq[1:], stf1[:cfg.nt - 1].astype(f32))
-    (_, gmat), d_stf_main = jax.lax.scan(rbody, (state0, gmat0), xs,
-                                         reverse=True)
+    fin, d_stf_main = jax.lax.scan(rbody, (state0, *psic0, gmat0), xs,
+                                   reverse=True)
+    gmat = fin[1 + np_]
 
     # crop the extended layout, restrict to the interior (reconstruction is
     # only exact there) and chain through the staggered material averaging
@@ -943,6 +1226,10 @@ AC_NF_FWD = 7    # p vz vx + 4 psi
 AC_NF_BWD = 10   # 3 primal + 3 adjoint + 4 adjoint psi
 AC_TB_ROWS = eng.AC_TB_ROWS
 AC_N_FIELDS = eng.AC_N_FIELDS
+# acoustic psi tuple (p_vzdz, p_vxdx, p_pdz, p_pdx): same alternating
+# z/x-profile drive as the elastic 8 (pallas_engine._ac_step_values)
+AC_Z_IDX = (0, 2)
+AC_X_IDX = (1, 3)
 
 
 def _ac_interior_tile(cfg, gz, xi):
@@ -953,28 +1240,46 @@ def _ac_interior_tile(cfg, gz, xi):
             & (xi <= cfg.nx - 3 - cfg.npml)).astype(jnp.float32)
 
 
-def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
+def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
                         srcz_ref, srcx_ref, amp_ref, *args):
     E = T + 2 * PAD
+    nz_ext = PAD + n_tiles * T + PAD
+    nf = 3 if plan else AC_NF_FWD
     state_in = args[0]
     mats_in = args[1]
-    prof_refs = args[2:14]
-    recw_refs = args[14:14 + n_recw]
-    p_ = 14 + n_recw
+    p_ = 2
+    if plan:
+        zpsi_in, xpsi_in = args[2:4]
+        p_ = 4
+    prof_refs = args[p_:p_ + 12]
+    recw_refs = args[p_ + 12:p_ + 12 + n_recw]
+    p_ += 12 + n_recw
     state_out = args[p_]
-    rec_out = args[p_ + 1]
+    p_ += 1
+    if plan:
+        zpsi_out, xpsi_out = args[p_:p_ + 2]
+        p_ += 2
+    rec_out = args[p_]
+    p_ += 1
     if save_strips:
-        lr_out, tb_out = args[p_ + 2:p_ + 4]
-        p_ += 4
+        lr_out, tb_out = args[p_:p_ + 2]
+        p_ += 2
     else:
         lr_out = tb_out = None
-        p_ += 2
-    sst2, mat2, stage = args[p_:p_ + 3]
-    s_sems, m_sems, out_sem, aux_sem = args[p_ + 3:p_ + 7]
+    if plan:
+        sst2, mat2, psis, stage = args[p_:p_ + 4]
+        p_ += 4
+    else:
+        sst2, mat2, stage = args[p_:p_ + 3]
+        psis = None
+        p_ += 3
+    s_sems, m_sems, out_sem, aux_sem = args[p_:p_ + 4]
 
     NC = 4 * eng._n_layers(rs)
     recw = eng._read_recw(recw_refs)
     rec_out[:] = jnp.zeros_like(rec_out)
+    if plan:
+        _psi_zero_all(psis, 4, E, nxp)
 
     def tile_body(i, _):
         r0 = i * T
@@ -993,7 +1298,12 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
                                 n_tiles, AC_N_FIELDS)
 
         fields = tuple(sst[f] for f in range(3))
-        psi = tuple(sst[3 + j] for j in range(4))
+        if plan:
+            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
+                             xpsi_in, i, r0, AC_Z_IDX, AC_X_IDX)
+            psi = tuple(psis[j] for j in range(4))
+        else:
+            psi = tuple(sst[3 + j] for j in range(4))
         new_fields, new_psi, recs = eng._ac_step_values(
             cfg, rs, prof, mask, src_hot, fields, psi, mats, amp_ref[0],
             recw, zi=gz, rec_window=(r0, r0 + T))
@@ -1001,13 +1311,17 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips,
         _wait_prev_out(i, stage, state_out, T, out_sem)
         for f, v in enumerate(new_fields):
             stage[f] = v[PAD:PAD + T, :]
-        for j, v in enumerate(new_psi):
-            stage[3 + j] = v[PAD:PAD + T, :]
+        if plan:
+            _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi,
+                         zpsi_out, xpsi_out, i, r0, AC_Z_IDX, AC_X_IDX)
+        else:
+            for j, v in enumerate(new_psi):
+                stage[3 + j] = v[PAD:PAD + T, :]
 
         for c in range(NC):
             rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
 
-        _write_state_pads(AC_NF_FWD, sst, state_out, i, n_tiles, T, E, nxp,
+        _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems, out_sem)
@@ -1057,37 +1371,46 @@ def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
 
 
 def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     f32 = jnp.float32
+    nf = 3 if plan else AC_NF_FWD
     NC = 4 * eng._n_layers(rs)
     recw_in = _recw_inputs_padded(cfg, rs, nxp)
     n_recw = len(recw_in)
 
-    out_shape = [jax.ShapeDtypeStruct((AC_NF_FWD, nz_ext, nxp), f32),
-                 jax.ShapeDtypeStruct((NC, nxp), f32)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
-                 pl.BlockSpec(memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if plan:
+        out_shape += [jax.ShapeDtypeStruct((2, 2, plan.ZB, nxp), f32),
+                      jax.ShapeDtypeStruct((2, nz_ext, plan.XW), f32)]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    out_shape += [jax.ShapeDtypeStruct((NC, nxp), f32)]
+    out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if save_strips:
         out_shape += [jax.ShapeDtypeStruct((nz_ext, LANE), f32),
                       jax.ShapeDtypeStruct((AC_TB_ROWS, nxp), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     kernel = functools.partial(_ac_fwd_mega_kernel, cfg, rs, T, n_tiles,
-                               nxp, n_recw, save_strips)
+                               nxp, n_recw, save_strips, plan)
+    scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
+               pltpu.VMEM((2, 3, E, nxp), f32)]
+    if plan:
+        scratch += [pltpu.VMEM((4, E, nxp), f32)]
+    scratch += [pltpu.VMEM((nf, T, nxp), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)),
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                  * ((2 if plan else 0) + 12 + n_recw)),
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((2, AC_NF_FWD, E, nxp), f32),
-                        pltpu.VMEM((2, 3, E, nxp), f32),
-                        pltpu.VMEM((AC_NF_FWD, T, nxp), f32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=scratch,
     )
     interp = eng._interpret()
     call = pl.pallas_call(
@@ -1095,16 +1418,17 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interp,
-        # in-place state carry (input 3 = state after the 3 scalars)
-        input_output_aliases={3: 0},
+        # in-place carries (input 3 = state after the 3 scalars; 5/6 = the
+        # compact psi when planned)
+        input_output_aliases={3: 0, 5: 1, 6: 2} if plan else {3: 0},
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT),
     )
 
-    def step(state, mats_ext, profs, sz1, sx1, amp):
+    def step(state, psic, mats_ext, profs, sz1, sx1, amp):
         return call(sz1, sx1, jnp.reshape(amp, (1,)).astype(f32),
-                    state, mats_ext, *profs, *recw_in)
+                    state, mats_ext, *psic, *profs, *recw_in)
 
     return step
 
@@ -1118,24 +1442,32 @@ def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
                        save_strips: bool):
     """Single-shot streamed acoustic forward: data (3, R, nt) channels
     (pr, vx, vz) [+ (lr_all, tb_all, final) when save_strips]."""
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     f32 = jnp.float32
     mats_ext = _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
     step = _make_ac_fwd_megastep(cfg, rs, save_strips)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
-    state0 = jnp.zeros((AC_NF_FWD, nz_ext, nxp), f32)
+    nf = 3 if plan else AC_NF_FWD
+    state0 = jnp.zeros((nf, nz_ext, nxp), f32)
+    psic0 = ((jnp.zeros((2, 2, plan.ZB, nxp), f32),
+              jnp.zeros((2, nz_ext, plan.XW), f32)) if plan else ())
+    np_ = len(psic0)
 
-    def body(state, amp):
-        outs = step(state, mats_ext, profs, sz1, sx1, amp)
+    def body(carry, amp):
+        state, psic = carry[0], carry[1:]
+        outs = step(state, psic, mats_ext, profs, sz1, sx1, amp)
+        carry2 = tuple(outs[:1 + np_])
+        rec = outs[1 + np_]
         if save_strips:
-            state2, rec, lr_t, tb_t = outs
-            return state2, (rec, lr_t, tb_t)
-        state2, rec = outs
-        return state2, rec
+            lr_t, tb_t = outs[2 + np_:4 + np_]
+            return carry2, (rec, lr_t, tb_t)
+        return carry2, rec
 
-    final, ys = jax.lax.scan(body, state0, stf1[:cfg.nt - 1].astype(f32))
+    fin, ys = jax.lax.scan(body, (state0, *psic0),
+                           stf1[:cfg.nt - 1].astype(f32))
+    final = fin[0]
     rec_seq = ys[0] if save_strips else ys
     NC = rec_seq.shape[1]
     planes = jnp.concatenate(
@@ -1147,23 +1479,40 @@ def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     return data
 
 
-def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
+def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
                         srcz_ref, srcx_ref, amp_ref, *args):
     E = T + 2 * PAD
+    nz_ext = PAD + n_tiles * T + PAD
+    nf = 6 if plan else AC_NF_BWD
     state_in = args[0]
     mats_in = args[1]
     gmat_in = args[2]
-    prof_refs = args[3:15]
-    recw_refs = args[15:15 + n_recw]
-    p_ = 15 + n_recw
+    p_ = 3
+    if plan:
+        zpsi_in, xpsi_in = args[3:5]
+        p_ = 5
+    prof_refs = args[p_:p_ + 12]
+    recw_refs = args[p_ + 12:p_ + 12 + n_recw]
+    p_ += 12 + n_recw
     lr_ref = args[p_]
     tb_ref = args[p_ + 1]
     drec_ref = args[p_ + 2]
     state_out = args[p_ + 3]
-    gmat_out = args[p_ + 4]
-    dstf_out = args[p_ + 5]
-    sst2, mat2, stage, gm_t = args[p_ + 6:p_ + 10]
-    s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_ + 10:p_ + 16]
+    p_ += 4
+    if plan:
+        zpsi_out, xpsi_out = args[p_:p_ + 2]
+        p_ += 2
+    gmat_out = args[p_]
+    dstf_out = args[p_ + 1]
+    p_ += 2
+    if plan:
+        sst2, mat2, psis, stage, gm_t = args[p_:p_ + 5]
+        p_ += 5
+    else:
+        sst2, mat2, stage, gm_t = args[p_:p_ + 4]
+        psis = None
+        p_ += 4
+    s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_:p_ + 6]
 
     NC = 4 * eng._n_layers(rs)
     dt = cfg.dt
@@ -1172,6 +1521,8 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
     src_z = srcz_ref[0]
     src_x = srcx_ref[0]
     amp = amp_ref[0]
+    if plan:
+        _psi_zero_all(psis, 4, E, nxp)
 
     def tile_body(i, _):
         r0 = i * T
@@ -1209,7 +1560,12 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
         fields_t = tuple(sst[f] for f in range(3))
 
         adj_f = tuple(sst[3 + f] for f in range(3))
-        adj_p = tuple(sst[6 + j] for j in range(4))
+        if plan:
+            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
+                             xpsi_in, i, r0, AC_Z_IDX, AC_X_IDX)
+            adj_p = tuple(psis[j] for j in range(4))
+        else:
+            adj_p = tuple(sst[6 + j] for j in range(4))
         d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
         zero2 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(2))
 
@@ -1239,8 +1595,12 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
             stage[f] = sst[f, PAD:PAD + T, :]
         for f, v in enumerate(d_fields):
             stage[3 + f] = v[PAD:PAD + T, :]
-        for j, v in enumerate(d_psi):
-            stage[6 + j] = v[PAD:PAD + T, :]
+        if plan:
+            _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, d_psi,
+                         zpsi_out, xpsi_out, i, r0, AC_Z_IDX, AC_X_IDX)
+        else:
+            for j, v in enumerate(d_psi):
+                stage[6 + j] = v[PAD:PAD + T, :]
         for f, v in enumerate(d_mats):
             gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
 
@@ -1250,7 +1610,7 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
         def _write_dstf():
             dstf_out[0] = d_amp
 
-        _write_state_pads(AC_NF_BWD, sst, state_out, i, n_tiles, T, E, nxp,
+        _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems, out_sem)
@@ -1269,55 +1629,68 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw,
 
 
 def _make_ac_bwd_megastep(cfg: SimConfig, rs):
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     f32 = jnp.float32
+    nf = 6 if plan else AC_NF_BWD
     NC = 4 * eng._n_layers(rs)
     recw_in = _recw_inputs_padded(cfg, rs, nxp)
     n_recw = len(recw_in)
 
     kernel = functools.partial(_ac_bwd_mega_kernel, cfg, rs, T, n_tiles,
-                               nxp, n_recw)
+                               nxp, n_recw, plan)
+    out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if plan:
+        out_shape += [jax.ShapeDtypeStruct((2, 2, plan.ZB, nxp), f32),
+                      jax.ShapeDtypeStruct((2, nz_ext, plan.XW), f32)]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    out_shape += [jax.ShapeDtypeStruct((3, nz_ext, nxp), f32),
+                  jax.ShapeDtypeStruct((1,), f32)]
+    out_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+    scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
+               pltpu.VMEM((2, 3, E, nxp), f32)]
+    if plan:
+        scratch += [pltpu.VMEM((4, E, nxp), f32)]
+    scratch += [pltpu.VMEM((nf, T, nxp), f32),
+                pltpu.VMEM((3, T, nxp), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 3
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + n_recw)
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                  * ((2 if plan else 0) + 12 + n_recw)
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                   pl.BlockSpec(memory_space=pltpu.HBM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        scratch_shapes=[pltpu.VMEM((2, AC_NF_BWD, E, nxp), f32),
-                        pltpu.VMEM((2, 3, E, nxp), f32),
-                        pltpu.VMEM((AC_NF_BWD, T, nxp), f32),
-                        pltpu.VMEM((3, T, nxp), f32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    out_shape = [jax.ShapeDtypeStruct((AC_NF_BWD, nz_ext, nxp), f32),
-                 jax.ShapeDtypeStruct((3, nz_ext, nxp), f32),
-                 jax.ShapeDtypeStruct((1,), f32)]
     interp = eng._interpret()
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interp,
-        # in-place carries: state (input 3) -> out 0, gmat (input 5) -> out 1
-        input_output_aliases={3: 0, 5: 1},
+        # in-place carries: state (input 3) -> out 0, gmat (input 5) -> the
+        # gradient output, compact psi (inputs 6/7) -> outputs 1/2 when
+        # planned (see the elastic builder)
+        input_output_aliases=({3: 0, 6: 1, 7: 2, 5: 3} if plan
+                              else {3: 0, 5: 1}),
         compiler_params=None if interp else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT),
     )
 
-    def step(state, gmat, mats_ext, profs, sz1, sx1, amp, lr_t, tb_t,
+    def step(state, psic, gmat, mats_ext, profs, sz1, sx1, amp, lr_t, tb_t,
              drec_t):
         return call(sz1, sx1, jnp.reshape(amp, (1,)).astype(f32),
-                    state, mats_ext, gmat, *profs, *recw_in,
+                    state, mats_ext, gmat, *psic, *profs, *recw_in,
                     lr_t, tb_t, drec_t)
 
     return step
@@ -1327,16 +1700,20 @@ def _ac_stream_backward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
                         final, lr_all, tb_all, d_data):
     from sep2023_tpu.medium import _shift_left, _shift_up
 
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
+    T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     f32 = jnp.float32
     mats_ext = _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
     step = _make_ac_bwd_megastep(cfg, rs)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
+    nf = 6 if plan else AC_NF_BWD
 
     state0 = jnp.concatenate(
-        [final[:3], jnp.zeros((AC_NF_BWD - 3, nz_ext, nxp), f32)])
+        [final[:3], jnp.zeros((nf - 3, nz_ext, nxp), f32)])
+    psic0 = ((jnp.zeros((2, 2, plan.ZB, nxp), f32),
+              jnp.zeros((2, nz_ext, plan.XW), f32)) if plan else ())
+    np_ = len(psic0)
     gmat0 = jnp.zeros((3, nz_ext, nxp), f32)
 
     # (3, R, nt) cotangent + a zero ett plane -> per-step (NC, nxp) rows
@@ -1346,15 +1723,17 @@ def _ac_stream_backward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     drec_seq = jnp.moveaxis(dd, 1, 0)
 
     def rbody(carry, xs):
-        state, gmat = carry
+        state, psic, gmat = carry[0], carry[1:1 + np_], carry[1 + np_]
         lr_t, tb_t, drec_t, amp = xs
-        state2, gmat2, d_amp = step(state, gmat, mats_ext, profs, sz1, sx1,
-                                    amp, lr_t, tb_t, drec_t)
-        return (state2, gmat2), d_amp[0]
+        outs = step(state, psic, gmat, mats_ext, profs, sz1, sx1,
+                    amp, lr_t, tb_t, drec_t)
+        d_amp = outs[2 + np_]
+        return (*outs[:1 + np_], outs[1 + np_]), d_amp[0]
 
     xs = (lr_all, tb_all, drec_seq[1:], stf1[:cfg.nt - 1].astype(f32))
-    (_, gmat), d_stf_main = jax.lax.scan(rbody, (state0, gmat0), xs,
-                                         reverse=True)
+    fin, d_stf_main = jax.lax.scan(rbody, (state0, *psic0, gmat0), xs,
+                                   reverse=True)
+    gmat = fin[1 + np_]
 
     g = gmat[:, PAD:PAD + cfg.nz, :cfg.nx]
     mzi = (jnp.arange(cfg.nz) >= cfg.npml + 2) & (jnp.arange(cfg.nz)

@@ -294,3 +294,108 @@ def test_forward_plan_dispatch_equality(monkeypatch):
     monkeypatch.setenv("SEP2023_TPU_ENGINE", "stream")
     b = np.asarray(pe.forward_pallas_plan(plan, *args))   # forced streamed
     assert np.abs(a - b).max() / np.abs(a).max() < 2e-5
+
+
+def _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs):
+    def loss(lam_, mu_, rho_, stf_):
+        syn = ps.propagate_pallas_streamed(cfg, rs, lam_, mu_, rho_, stf_,
+                                           sz, sx, rxz)
+        return jnp.sum((syn - obs) ** 2)
+
+    return jax.grad(loss, argnums=(0, 1, 2, 3))(lam, mu, rho, stf)
+
+
+@pytest.mark.parametrize("T_env,want_tiles", [("40", 2), ("80", 1)])
+def test_stream_compact_psi_matches_full_planes(monkeypatch, T_env,
+                                                want_tiles):
+    """Band-compact CPML psi storage (PsiPlan) vs full-plane streaming:
+    identical forward data and gradients.  Exact by construction — psi
+    recursions are pointwise, the in-band values coincide, and out-of-band
+    values are zero (primal) or provably inert (adjoint psi), so both paths
+    perform the same in-band arithmetic (verified bitwise on an eager
+    megastep during development; under jit the two differently-shaped scan
+    programs pick up ~1e-25-relative XLA fusion noise, hence the tight but
+    nonzero tolerances).  Covers multi-tile (bands in different tiles + the
+    tile-1 stale-band clear) and single-tile (overlap-tolerant band
+    placement)."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", T_env)
+    npml = 8
+    cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    T, n_tiles, _, _, plan = ps._layout_plan(cfg)
+    assert plan is not None and n_tiles == want_tiles
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([3, 40]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 50), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    rxz = jnp.asarray(survey.src_rxz)
+
+    out_c = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    obs = jnp.asarray(out_c) * 1.1 + 0.05 * float(np.abs(out_c).max())
+    g_c = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_NOCOMPACT", "1")
+    assert ps._layout_plan(cfg)[4] is None
+    out_f = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    g_f = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    assert np.abs(out_c - out_f).max() <= 1e-10 * np.abs(out_f).max()
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_c, g_f):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 3e-8 * max(np.abs(b).max(), 1e-30), name
+
+
+@pytest.mark.parametrize("T_env,want_tiles", [("40", 2), ("80", 1)])
+def test_ac_stream_compact_psi_matches_full_planes(monkeypatch, T_env,
+                                                   want_tiles):
+    """Acoustic twin of test_stream_compact_psi_matches_full_planes: the
+    3-field megasteps with band-compact psi (2 z + 2 x planes) vs full-plane
+    streaming — identical data and (lam, rho, stf) gradients."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", T_env)
+    npml = 8
+    cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    T, n_tiles, _, _, plan = ps._layout_plan(cfg)
+    assert plan is not None and n_tiles == want_tiles
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[30:38, 24:40].add(250.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([12, 40]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 50), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+
+    def grads(obs):
+        def loss(lam_, rho_, stf_):
+            syn = ps.propagate_pallas_acoustic_streamed(cfg, rs, lam_, rho_,
+                                                        stf_, sz, sx)
+            return jnp.sum((syn - obs) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
+
+    out_c = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    obs = jnp.asarray(out_c) * 1.1 + 0.05 * float(np.abs(out_c).max())
+    g_c = grads(obs)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_NOCOMPACT", "1")
+    assert ps._layout_plan(cfg)[4] is None
+    out_f = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    g_f = grads(obs)
+
+    assert np.abs(out_c - out_f).max() <= 1e-10 * np.abs(out_f).max()
+    for name, a, b in zip(("lam", "rho", "stf"), g_c, g_f):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-7 * max(np.abs(b).max(), 1e-30), name
