@@ -139,30 +139,37 @@ def _dbg() -> frozenset:
         if t)
 
 
+def _budget_rows(cfg: SimConfig, compact: bool) -> int:
+    """Max tile height T the pipelined BACKWARD's VMEM fits (the binding
+    direction; the forward shares the layout): double-buffered state +
+    materials slots of (T+2*PAD, nxp) rows, the (T, nxp) out stage +
+    gradient buffers, and Mosaic vjp-temporary plane-tiles, against
+    ~100 MiB of the 110 MiB scoped limit.  Full-plane carries: 2x18 state
+    + 2x5 mats + ~30 temps extended planes, 18+5 T-row planes.  Compact
+    (PsiPlan): 2x10 + 2x5 + 8 psi-materialization planes, 10+5 T-row
+    planes, and a LARGER temp allowance (the psi extract/materialize vjps
+    add plane-tiles) — calibrated on-chip at nxp=2176, where T=104
+    compiles and T=120 overflows Mosaic's scoped stack."""
+    nxp = _pad128(cfg.nx)
+    rows = (100 * 2 ** 20) // (nxp * 4)
+    ext, tpl = (76, 15) if compact else (76, 23)
+    T = (rows - ext * 2 * PAD) // (ext + tpl)
+    return max(32, min(288, (T // 8) * 8))
+
+
+def _balance(nz: int, T: int):
+    """(T', n_tiles) with T' = ceil8(nz / n_tiles): the last tile carries
+    no more ghost rows than the rest (T=256 on nz=560 would otherwise
+    process 768 rows for 560 real ones — 37% waste)."""
+    n_tiles = -(-nz // T)
+    return -(-(-(-nz // n_tiles)) // 8) * 8, n_tiles
+
+
 def tile_rows(cfg: SimConfig) -> int:
-    """Tile height T (rows written per grid step).  SEP2023_TPU_STREAM_T
-    overrides (tests force small T to exercise multi-tile paths on tiny
-    grids).  The default solves the pipelined backward's VMEM budget —
-    double-buffered state (2x18) + materials (2x5) slots of (T+2*PAD, nxp)
-    rows, the (T, nxp) out stage (18) + gradient (5) buffers, and ~30
-    plane-tiles of Mosaic vjp temporaries — against ~100 MiB of the
-    110 MiB scoped limit, then BALANCES the tile count: T shrinks to
-    ceil(nz / n_tiles) so the last tile carries no more ghost rows than
-    the rest (T=256 on nz=560 would otherwise process 768 rows for 560
-    real ones — 37% waste)."""
-    env = os.environ.get("SEP2023_TPU_STREAM_T")
-    if env:
-        T = int(env)
-    else:
-        nxp = _pad128(cfg.nx)
-        budget = 100 * 2 ** 20
-        row_bytes = nxp * 4
-        # (2*18 + 2*5 + 30) extended planes + (18 + 5) T-row planes
-        T = int(budget // row_bytes - 76 * 2 * PAD) // (76 + 23)
-        T = max(32, min(288, (T // 8) * 8))
-        n_tiles = -(-cfg.nz // T)
-        T = -(-(-(-cfg.nz // n_tiles)) // 8) * 8   # ceil(nz/n, 8-aligned)
-    return min(T, _pad8(cfg.nz))
+    """Tile height T (rows written per grid step) of the SELECTED layout
+    (see _select_layout).  SEP2023_TPU_STREAM_T overrides (tests force
+    small T to exercise multi-tile paths on tiny grids)."""
+    return _select_layout(cfg)[0]
 
 
 class PsiPlan:
@@ -225,18 +232,49 @@ class PsiPlan:
         return PsiPlan(cfg, T, n_tiles, nz_ext, nxp)
 
 
-def _layout(cfg: SimConfig):
-    T = tile_rows(cfg)
-    n_tiles = -(-cfg.nz // T)
-    nz_ext = PAD + n_tiles * T + PAD
+def _select_layout(cfg: SimConfig):
+    """(T, n_tiles, nz_ext, nxp, plan), preferring a compact-psi (PsiPlan)
+    layout: the compact carries stream ~2.6x fewer plane-bytes per step,
+    measured 3.79 -> 6.5 GCell/s forward and 1.23 -> 1.74 GCell/s gradient
+    at 814x2064 on a v5e chip.  The balanced tile count is retried
+    (n, n+1, n+2) because the psi bottom band must fit inside the LAST
+    tile's window, which balancing can leave short (at nz=814 the
+    full-plane budget's T=96 x 9 tiles leaves a 46-row last tile — below
+    the 56-row band gate — silently disabling the plan)."""
     nxp = _pad128(cfg.nx)
-    return T, n_tiles, nz_ext, nxp
+    nz = cfg.nz
+
+    def mk(T, n_tiles):
+        nz_ext = PAD + n_tiles * T + PAD
+        return T, n_tiles, nz_ext, nxp, PsiPlan.build(cfg, T, n_tiles,
+                                                      nz_ext, nxp)
+
+    env = os.environ.get("SEP2023_TPU_STREAM_T")
+    if env:
+        T = min(int(env), _pad8(nz))
+        return mk(T, -(-nz // T))
+
+    T_c = min(_budget_rows(cfg, compact=True), _pad8(nz))
+    n0 = -(-nz // T_c)
+    for n in range(n0, n0 + 3):
+        T = -(-(-(-nz // n)) // 8) * 8
+        if T < 32 or T > T_c:
+            continue
+        lay = mk(T, n)
+        if lay[4] is not None:
+            return lay
+
+    T, n_tiles = _balance(nz, min(_budget_rows(cfg, compact=False),
+                                  _pad8(nz)))
+    return mk(T, n_tiles)
+
+
+def _layout(cfg: SimConfig):
+    return _select_layout(cfg)[:4]
 
 
 def _layout_plan(cfg: SimConfig):
-    T, n_tiles, nz_ext, nxp = _layout(cfg)
-    return T, n_tiles, nz_ext, nxp, PsiPlan.build(cfg, T, n_tiles, nz_ext,
-                                                  nxp)
+    return _select_layout(cfg)
 
 
 def _ext_plane(a, nz_ext, nxp):

@@ -207,6 +207,46 @@ def test_tpu_transposed_borehole_plan():
         assert _rel(out[:, c], ref[:, c]) < 5e-5, c
 
 
+def test_tpu_streamed_multitile_compact_gradient():
+    """Mosaic-compiled streamed engine at a MULTI-TILE band-compact (PsiPlan)
+    layout — the production large-grid configuration past the fused VMEM
+    wall — vs the XLA engine.  Guards the layout selection (_select_layout
+    must pick a plan-compatible tile count) and the compact-psi kernels on
+    hardware; the other streamed test runs a single tile."""
+    # dz=10/nt=1001: the wavefront reaches ~row 300 — past the tile-0/1
+    # halo exchange at row 280 — and the row-140 receivers get strong
+    # arrivals + coda (see _problem's denormal-gradient caution)
+    cfg, lam, mu, rho, survey, geoms, stf, sz, sx, rxz = _problem(
+        nz=496, nx=656, nt=1001, dt=0.001, dz=10.0, dx=10.0, rec_row=140)
+    T, n_tiles, _, _, plan = ps._select_layout(cfg)
+    assert n_tiles >= 2 and plan is not None, (T, n_tiles)
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
+                             survey.rec_x + cfg.npml)
+    out_s = np.asarray(jax.jit(lambda *a: ps.forward_pallas_streamed(
+        cfg, rs, *a))(lam, mu, rho, stf, sz, sx, rxz))
+    ref = _xla_fwd(cfg, lam, mu, rho, stf, geoms)
+    for c in range(4):
+        assert _rel(out_s[:, c], ref[:, c]) < 3e-5, c
+
+    obs = jnp.asarray(_xla_fwd(cfg, lam * 1.03, mu * 0.98, rho, stf, geoms))
+
+    def loss_s(lam_, mu_, rho_, stf_):
+        syn = ps.propagate_pallas_streamed(cfg, rs, lam_, mu_, rho_, stf_,
+                                           sz, sx, rxz)
+        return jnp.sum((syn - obs) ** 2)
+
+    def loss_x(lam_, mu_, rho_, stf_):
+        syn = jax.vmap(lambda s, g: st.propagate(cfg, lam_, mu_, rho_,
+                                                 s, g))(stf_, geoms)
+        return jnp.sum((syn.astype(jnp.float32) - obs) ** 2)
+
+    gs = ps.tpu_jit(jax.grad(loss_s, argnums=(0, 1, 2, 3)))(lam, mu, rho,
+                                                            stf)
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2, 3)))(lam, mu, rho, stf)
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), gs, gx):
+        _grad_close(a, b)
+
+
 def test_tpu_acoustic_fused_gradient():
     """Compiled fused acoustic forward + in-kernel boundary-saving backward
     vs the XLA acoustic oracle."""
