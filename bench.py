@@ -157,10 +157,15 @@ def main():
 
         g = ps.tpu_jit(jax.grad(loss, argnums=(0, 1, 2)))
         t, _ = _time_pipelined(g, lam_s, mu_s, rho_s, stf_s, depth=depth)
-        return nz_p * nx_p * (nt_s - 1) / t / 1e9
+        fwd = ps.tpu_jit(lambda l, m, r, s: ps.forward_pallas_streamed(
+            cfg_s, rs_s, l, m, r, s, sz_s, sx_s, rxz_s))
+        t_f, _ = _time_pipelined(fwd, lam_s, mu_s, rho_s, stf_s,
+                                 depth=depth + 1)
+        cells_s = nz_p * nx_p * (nt_s - 1)
+        return cells_s / t / 1e9, cells_s / t_f / 1e9
 
-    gcell_s560 = _stream_gcell(560, 720, 1001)
-    gcell_marm = _stream_gcell(814, 2064, 601)
+    gcell_s560, _ = _stream_gcell(560, 720, 1001)
+    gcell_marm, gcell_marm_f = _stream_gcell(814, 2064, 601)
 
     # acoustic fused gradient (the secondary physics mode, ac_*_adj.cu
     # counterpart) at the same workload shape
@@ -195,6 +200,7 @@ def main():
             "rock_gradient_GCell_per_s": round(gcell_rock, 3),
             "streamed_gradient_560x720_GCell_per_s": round(gcell_s560, 3),
             "streamed_gradient_814x2064_GCell_per_s": round(gcell_marm, 3),
+            "streamed_forward_814x2064_GCell_per_s": round(gcell_marm_f, 3),
             "acoustic_gradient_GCell_per_s": round(gcell_ac, 3),
             "device": str(jax.devices()[0]),
         },

@@ -28,6 +28,15 @@ gradient the same property, TPU-style:
     wrap-around contamination (<= 8 rows from the scratch edge) never
     touch written rows; T balances to ceil(nz / n_tiles) under a VMEM
     budget (tile_rows);
+  * TEMPORAL BLOCKING (`_stream_K` / `_stream_K_bwd`): each tile sweep may
+    run K leapfrog sub-steps before storing back, amortizing the HBM
+    state+materials(+gradient) streaming K-fold — sub-step halo values are
+    recomputed in-tile (same arithmetic as the neighbor's interior, ULP
+    equality tested).  Valid rows shrink per sub-step by the chain reach
+    (4 forward / 8 reconstruct+adjoint), so PAD=16 admits K<=3 forward
+    (recording samples one halo row) and K<=2 backward; nt-1 pads to a
+    multiple of lcm(K, K_bwd) with zero-amplitude ghost steps that the
+    backward reverses exactly (their recordings carry zero cotangent);
   * boundary strips (`Boundary.cu` layout: left/right columns packed into
     a (nz_ext, 128) plane, top/bottom rows into a (56, nxp) plane) and the
     per-step recording rows ride the scan as ys (forward) / xs (backward) —
@@ -346,7 +355,10 @@ def _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which):
     Left/right columns come from the tile's rows of the (nz_ext, 128) lr
     plane (static lane slices); top/bottom bands are guarded dynamic-row
     stores, skipped when the band straddles the window edge (safe: the
-    straddling part is outside every written row's stencil reach)."""
+    straddling part is within 4 rows of the scratch edge — inside the
+    wrap-contamination zone that no written row's stencil chain reads,
+    for the plain backward and for the K=2 temporally blocked one
+    alike)."""
     _, z0, z1, x0, x1 = _strip_bounds5(cfg)
     L = STRIP_L
     lr_rows = lr_ref[pl.ds(_m8(r0), E), :]
@@ -373,13 +385,16 @@ def _strip_bounds5(cfg):
     return STRIP_L, z0, z1, x0, x1
 
 
-def _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles):
+def _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
+                      margin=0):
     """Pack the PRE-update tile state into the per-step strip planes
     (field_from_bnd, utilities.cu:362-425): left/right columns of the
     tile's interior rows into lr_out (10 lanes per field), top/bottom bands
-    into tb_out when fully inside the window."""
+    into tb_out when fully inside the window (shrunk by `margin` rows per
+    side for temporally blocked sub-steps, whose edge rows are stale — the
+    overlapping neighbor tile saves the identical values instead)."""
     _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
-                        eng.N_FIELDS)
+                        eng.N_FIELDS, margin)
 
 
 # ---------------------------------------------------------------------------
@@ -455,10 +470,19 @@ def _in_dma(src_hbm, dst2, slot, tile, T, E, sem2):
         dst2.at[slot], sem2.at[slot])
 
 
-def _stage_out_dma(stage, dst_hbm, tile, T, sem):
-    return pltpu.make_async_copy(
-        stage, dst_hbm.at[:, pl.ds(_m8(tile * T + PAD), T), :],
-        sem)
+def _stage_out_dmas(stage, dst_hbm, tile, T, sem2):
+    """(body, tail) output copies.  The body rows never overlap tile+1's
+    halo reads (those start at HBM row (tile+1)*T), so the body may start
+    BEFORE tile+1's prefetched input is secured — overlapping the out
+    stream with the in stream's tail; only the last PAD rows (read by
+    tile+1's in-DMA through the aliased state buffer) must wait for it."""
+    body = pltpu.make_async_copy(
+        stage.at[:, 0:T - PAD, :],
+        dst_hbm.at[:, pl.ds(_m8(tile * T + PAD), T - PAD), :], sem2.at[0])
+    tail = pltpu.make_async_copy(
+        stage.at[:, T - PAD:T, :],
+        dst_hbm.at[:, pl.ds(_m8(tile * T + T), PAD), :], sem2.at[1])
+    return body, tail
 
 
 def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
@@ -496,9 +520,13 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
 
 def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
                        state_out, T, E, s_sems, m_sems, out_sem):
-    """Secure tile i+1's prefetched input (the aliasing hazard gate), then
-    start this tile's staged output; the final tile drains its own out."""
+    """Start this tile's output BODY (rows that no later in-DMA reads),
+    secure tile i+1's prefetched input (the aliasing hazard gate), then
+    start the output TAIL; the final tile drains its own out."""
     q = 1 - _slot_of(i)
+    body, tail = _stage_out_dmas(stage, state_out, i, T, out_sem)
+    if "noout" not in _dbg():
+        body.start()
 
     if "noin" not in _dbg():
         @_when(i + 1 < n_tiles)
@@ -509,11 +537,12 @@ def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
     if "noout" in _dbg():
         return
 
-    _stage_out_dma(stage, state_out, i, T, out_sem).start()
+    tail.start()
 
     @_when(i == n_tiles - 1)
     def _drain():
-        _stage_out_dma(stage, state_out, i, T, out_sem).wait()
+        body.wait()
+        tail.wait()
 
 
 def _wait_prev_out(i, stage, state_out, T, out_sem):
@@ -522,7 +551,9 @@ def _wait_prev_out(i, stage, state_out, T, out_sem):
 
     @_when(i >= 1)
     def _():
-        _stage_out_dma(stage, state_out, i - 1, T, out_sem).wait()
+        body, tail = _stage_out_dmas(stage, state_out, i - 1, T, out_sem)
+        body.wait()
+        tail.wait()
 
 
 def _write_state_pads(nf, sst_p, state_out, i, n_tiles, T, E, nxp, aux_sem):
@@ -635,7 +666,7 @@ def _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi, zpsi_out,
 # Forward megastep kernel (pipelined)
 # ---------------------------------------------------------------------------
 
-def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
+def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan, K,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
     nz_ext = PAD + n_tiles * T + PAD
@@ -691,10 +722,6 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
         prof = _slice_prof(prof_refs, r0, E)
         mats = tuple(mat_t[m] for m in range(5))
 
-        if save_strips:
-            _save_strips_tile(cfg, sst, lr_out, tb_out, r0, E, T, i,
-                              n_tiles)
-
         fields = tuple(sst[f] for f in range(5))
         if plan:
             _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
@@ -702,17 +729,35 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
             psi = tuple(psis[j] for j in range(8))
         else:
             psi = tuple(sst[5 + j] for j in range(8))
-        if "nostep" in _dbg():
-            new_fields = fields
-            new_psi = psi
-            recs = None
-        else:
-            new_fields, new_psi, recs = eng._step_values(
+
+        # temporally blocked sub-steps: K leapfrog steps per tile sweep
+        # (valid rows shrink 4/side per sub-step; PAD=16 admits K<=4).
+        # Sub-step k's pre-update strips are stashed through the (dead)
+        # input slot so the band saver's guarded dynamic-row stores keep
+        # their known-good ref addressing.
+        for k in range(K):
+            if save_strips:
+                if k > 0:
+                    for f, v in enumerate(fields):
+                        sst[f] = v
+                _save_strips_tile(cfg, sst, lr_out.at[k], tb_out.at[k],
+                                  r0, E, T, i, n_tiles, margin=4 * k)
+            if "nostep" in _dbg():
+                recs = None
+                break
+            fields, psi, recs = eng._step_values(
                 cfg, rs, prof, mask, src_hot, rxz_ref[0], fields, psi, mats,
-                amp_ref[0], recw, zi=gz, rec_window=(r0, r0 + T))
+                amp_ref[k], recw, zi=gz, rec_window=(r0, r0 + T))
+            if recs is not None:
+                for c in range(NC):
+                    rec_out[k * NC + c:k * NC + c + 1, :] = (
+                        rec_out[k * NC + c:k * NC + c + 1, :] + recs[c])
+        new_fields, new_psi = fields, psi
 
         # results go to the out STAGE (interior rows only); the input slot
-        # is left untouched so its reuse needs no out drain
+        # is never DMA'd out, so its reuse (tile i+2's prefetch, strictly
+        # after this body) needs no out drain even when sub-steps stash
+        # into it
         _wait_prev_out(i, stage, state_out, T, out_sem)
         for f, v in enumerate(new_fields):
             stage[f] = v[PAD:PAD + T, :]
@@ -722,10 +767,6 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
         else:
             for j, v in enumerate(new_psi):
                 stage[5 + j] = v[PAD:PAD + T, :]
-
-        if recs is not None:
-            for c in range(NC):
-                rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
@@ -741,7 +782,7 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
         jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
+def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     f32 = jnp.float32
@@ -756,15 +797,15 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
         out_shape += [jax.ShapeDtypeStruct((4, 2, plan.ZB, nxp), f32),
                       jax.ShapeDtypeStruct((4, nz_ext, plan.XW), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-    out_shape += [jax.ShapeDtypeStruct((NC, nxp), f32)]
+    out_shape += [jax.ShapeDtypeStruct((K * NC, nxp), f32)]
     out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if save_strips:
-        out_shape += [jax.ShapeDtypeStruct((nz_ext, LANE), f32),
-                      jax.ShapeDtypeStruct((TB_ROWS, nxp), f32)]
+        out_shape += [jax.ShapeDtypeStruct((K, nz_ext, LANE), f32),
+                      jax.ShapeDtypeStruct((K, TB_ROWS, nxp), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     kernel = functools.partial(_fwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
-                               n_recw, save_strips, plan)
+                               n_recw, save_strips, plan, K)
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
                pltpu.VMEM((2, 5, E, nxp), f32)]
     if plan:
@@ -772,7 +813,7 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
     scratch += [pltpu.VMEM((nf, T, nxp), f32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -800,7 +841,7 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
     )
 
     def step(state, psic, mats_ext, profs, sz1, sx1, rxz1, amp):
-        return call(sz1, sx1, rxz1, jnp.reshape(amp, (1,)).astype(f32),
+        return call(sz1, sx1, rxz1, jnp.reshape(amp, (K,)).astype(f32),
                     state, mats_ext, *psic, *profs, *recw_in)
 
     return step
@@ -814,15 +855,58 @@ def _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp):
                                 mat.byc_a, mat.byc_b)])
 
 
+def _stream_K(cfg: SimConfig) -> int:
+    """Temporal blocking depth of the streamed forward: K leapfrog steps
+    per megastep invocation amortize the HBM state+materials streaming
+    K-fold (the megasteps are stream-bound at wide shapes).  Valid rows
+    shrink 4/side per sub-step and recording may sample ONE halo row past
+    the tile interior, so PAD=16 admits K <= 3 (4K + 1 <= PAD).
+    SEP2023_TPU_STREAM_K overrides."""
+    env = os.environ.get("SEP2023_TPU_STREAM_K")
+    if env:
+        return max(1, min((PAD - 1) // 4, int(env)))
+    return 1
+
+
+def _stream_K_bwd(cfg: SimConfig) -> int:
+    """Temporal blocking depth of the streamed backward: each
+    reconstruct+adjoint sub-step has an 8-row stencil chain, so PAD=16
+    admits K <= 2.  Defaults to min(forward K, 2);
+    SEP2023_TPU_STREAM_KB overrides."""
+    env = os.environ.get("SEP2023_TPU_STREAM_KB")
+    if env:
+        return max(1, min(PAD // 8, int(env)))
+    return min(_stream_K(cfg), PAD // 8)
+
+
+def _pad_unit(cfg: SimConfig, save_strips: bool) -> int:
+    """Ghost-step padding unit: the forward pads nt-1 to a multiple of K;
+    a gradient forward pads to lcm(K, K_bwd) so the backward's megasteps
+    tile the same padded count."""
+    K = _stream_K(cfg)
+    if not save_strips:
+        return K
+    Kb = _stream_K_bwd(cfg)
+    import math
+    return K * Kb // math.gcd(K, Kb)
+
+
 def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
                     save_strips: bool):
     """Single-shot streamed forward.  stf1: (nt,).  Returns data (4, R, nt)
-    [+ (lr_all, tb_all, final_state) when save_strips]."""
+    [+ (lr_all, tb_all, final_state) when save_strips].
+
+    With temporal blocking (K = _stream_K > 1) the nt-1 steps pad up to a
+    multiple of K with zero-amplitude ghost steps: recordings trim back to
+    nt, and the gradient path reverses the same padded count (the strips
+    mechanism reconstructs ghost steps exactly like real ones, and their
+    recording rows carry zero cotangent)."""
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
+    K = _stream_K(cfg)
     f32 = jnp.float32
     mats_ext = _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
-    step = _make_fwd_megastep(cfg, rs, save_strips)
+    step = _make_fwd_megastep(cfg, rs, save_strips, K)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     rxz1 = jnp.reshape(rxz1, (1,)).astype(f32)
@@ -831,6 +915,11 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     psic0 = ((jnp.zeros((4, 2, plan.ZB, nxp), f32),
               jnp.zeros((4, nz_ext, plan.XW), f32)) if plan else ())
     np_ = len(psic0)
+    unit = _pad_unit(cfg, save_strips)
+    nsteps = -(-(cfg.nt - 1) // unit) * unit
+    n_mega = nsteps // K
+    amps = jnp.zeros((n_mega * K,), f32).at[:cfg.nt - 1].set(
+        stf1[:cfg.nt - 1].astype(f32)).reshape(n_mega, K)
 
     def body(carry, amp):
         state, psic = carry[0], carry[1:]
@@ -842,17 +931,21 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
             return carry2, (rec, lr_t, tb_t)
         return carry2, rec
 
-    fin, ys = jax.lax.scan(body, (state0, *psic0),
-                           stf1[:cfg.nt - 1].astype(f32))
+    fin, ys = jax.lax.scan(body, (state0, *psic0), amps)
     final = fin[0]
-    rec_seq = ys[0] if save_strips else ys          # (nt-1, NC, nxp)
-    NC = rec_seq.shape[1]
+    rec_seq = ys[0] if save_strips else ys          # (n_mega, K*NC, nxp)
+    NC = rec_seq.shape[1] // K
+    rec_seq = rec_seq.reshape(n_mega * K, NC, nxp)[:cfg.nt - 1]
     planes = jnp.concatenate(
         [jnp.zeros((NC, 1, nxp), f32), jnp.moveaxis(rec_seq, 0, 1)],
         axis=1)[None]                               # (1, NC, nt, nxp)
     data = eng._extract_data(cfg, rs, planes)[0]    # (4, R, nt)
     if save_strips:
-        return data, ys[1], ys[2], final
+        # strips stay at the PADDED step count (n_mega*K, ...): the
+        # backward reverses ghost steps too
+        lr_all = ys[1].reshape(n_mega * K, nz_ext, LANE)
+        tb_all = ys[2].reshape(n_mega * K, TB_ROWS, nxp)
+        return data, lr_all, tb_all, final
     return data
 
 
@@ -872,7 +965,7 @@ def _gm_out_dma(gm_t, gmat_out, tile, T, sem):
         sem)
 
 
-def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
+def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
     nz_ext = PAD + n_tiles * T + PAD
@@ -914,7 +1007,6 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
     src_z = srcz_ref[0]
     src_x = srcx_ref[0]
     rxz = rxz_ref[0]
-    amp = amp_ref[0]
     if plan:
         _psi_zero_all(psis, 8, E, nxp)
 
@@ -926,19 +1018,19 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
-        # gm_t is single-buffered: its previous out must drain before the
-        # reload (a few-microsecond stall on a small buffer)
+        # gm_t is single-buffered: drain the previous tile's out, then START
+        # the reload but defer its wait to just before the accumulation —
+        # the 5-plane load runs under the whole reconstruction + adjoint
         if not ({"noin", "noout"} & _dbg()):
             @_when(i >= 1)
             def _gm_drain():
                 _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
         if "noin" not in _dbg():
-            cp_g = _gm_in_dma(gmat_in, gm_t, i, T, gi_sem)
-            cp_g.start()
-            cp_g.wait()
+            _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).start()
 
         if "nostep" in _dbg():
-            dstf_out[0] = jnp.float32(0.0)
+            for k in range(K):
+                dstf_out[k] = jnp.float32(0.0)
             _wait_prev_out(i, stage, state_out, T, out_sem)
             for f in range(nf):
                 stage[f] = sst[f, PAD:PAD + T, :]
@@ -948,6 +1040,8 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
                                stage, state_out, T, E, s_sems, m_sems,
                                out_sem)
             if "noout" not in _dbg():
+                if "noin" not in _dbg():
+                    _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
                 _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
 
                 @_when(i == n_tiles - 1)
@@ -960,75 +1054,105 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
         prof = _slice_prof(prof_refs, r0, E)
         m = tuple(mat_t[k] for k in range(5))
         (lam, lp2m, avemu, byca, bycb) = m
-
-        # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) ----------------
-        (vz, vx, szz, sxx, sxz) = tuple(sst[f] for f in range(5))
-        szz_tp1, sxx_tp1 = szz, sxx
-        vd = eng._velocity_diffs(szz, sxx, sxz)
-        dvz = vd[0] * rdz + vd[1] * rdx
-        dvx = vd[2] * rdz + vd[3] * rdx
-        sst[0] = vz - interior * (dvz * byca * dt)
-        sst[1] = vx - interior * (dvx * bycb * dt)
-        _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(0, 1))
-        vz, vx = sst[0], sst[1]
-        s_amp = cfg.src_scale * dt * amp
-        szz = szz - src_hot * s_amp
-        sxx = sxx - src_hot * (rxz * s_amp)
-        sd = eng._stress_diffs(vz, vx)
-        dvz_dz = sd[0] * rdz
-        dvx_dx = sd[1] * rdx
-        sst[2] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
-        sst[3] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
-        dvx_dz = sd[2] * rdz
-        dvz_dx = sd[3] * rdx
-        sst[4] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
-        _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(2, 3, 4))
-        fields_t = tuple(sst[f] for f in range(5))
-
-        adj_f = tuple(sst[5 + f] for f in range(5))
         if plan:
             _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
                              xpsi_in, i, r0, Z_IDX, X_IDX)
-            adj_p = tuple(psis[j] for j in range(8))
-        else:
-            adj_p = tuple(sst[10 + j] for j in range(8))
-        d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
         zero4 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(4))
+        own_src = ((src_z + PAD) >= (r0 + PAD)) & ((src_z + PAD)
+                                                   < (r0 + PAD + T))
 
-        # ---- phase-split adjoint reusing the reconstruction stencils ----------
-        # (identical construction to pallas_engine._bwd_kernel's phased branch;
-        # per-phase jax.vjp on diffs-as-inputs + closed-form stencil transposes)
-        vfun = lambda vels, stv, vpsi, vdiffs, mats_: (
-            eng._velocity_phase_values(cfg, rs, prof, mask, vels, stv, vpsi,
-                                       vdiffs, mats_, recw, zi=gz))
-        _, vvjp = jax.vjp(vfun, (fields_t[0], fields_t[1]),
-                          (szz_tp1, sxx_tp1), zero4, vd, m)
-        (d_vels, d_stv, d_vpsi_in, d_vdiffs, d_mats_v) = vvjp(
-            ((adj_f[0], adj_f[1]), adj_p[4:], d_rec))
+        # temporally blocked sub-steps, reversed (latest time first): valid
+        # rows shrink 8/side per reconstruct+adjoint chain, so PAD=16
+        # admits K <= 2.  The adjoint state rides as VALUES between
+        # sub-steps; the reconstruction always lives in the input slot.
+        adj_f = adj_p = None
+        acc_mats = None
+        for k in range(K - 1, -1, -1):
+            amp = amp_ref[k]
+            lr_k = lr_ref.at[k]
+            tb_k = tb_ref.at[k]
 
-        cot_szz = adj_f[2] + d_stv[0] + eng._dz_plus_t(d_vdiffs[0])
-        cot_sxx = adj_f[3] + d_stv[1] + eng._dx_plus_t(d_vdiffs[3])
-        cot_sxz = (adj_f[4] + eng._dx_minus_t(d_vdiffs[1])
-                   + eng._dz_minus_t(d_vdiffs[2]))
+            # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) ------
+            (vz, vx, szz, sxx, sxz) = tuple(sst[f] for f in range(5))
+            szz_tp1, sxx_tp1 = szz, sxx
+            vd = eng._velocity_diffs(szz, sxx, sxz)
+            dvz = vd[0] * rdz + vd[1] * rdx
+            dvx = vd[2] * rdz + vd[3] * rdx
+            sst[0] = vz - interior * (dvz * byca * dt)
+            sst[1] = vx - interior * (dvx * bycb * dt)
+            _inject_strips_tile(cfg, sst, lr_k, tb_k, r0, E, which=(0, 1))
+            vz, vx = sst[0], sst[1]
+            s_amp = cfg.src_scale * dt * amp
+            szz = szz - src_hot * s_amp
+            sxx = sxx - src_hot * (rxz * s_amp)
+            sd = eng._stress_diffs(vz, vx)
+            dvz_dz = sd[0] * rdz
+            dvx_dx = sd[1] * rdx
+            sst[2] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
+            sst[3] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
+            dvx_dz = sd[2] * rdz
+            dvz_dx = sd[3] * rdx
+            sst[4] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
+            _inject_strips_tile(cfg, sst, lr_k, tb_k, r0, E,
+                                which=(2, 3, 4))
+            fields_t = tuple(sst[f] for f in range(5))
 
-        sfun = lambda stresses, spsi, sdiffs, mats_, a: (
-            eng._stress_phase_values(cfg, prof, mask, src_hot, rxz,
-                                     stresses, spsi, sdiffs, mats_, a))
-        _, svjp = jax.vjp(sfun, (fields_t[2], fields_t[3], fields_t[4]),
-                          zero4, sd, m, amp)
-        (d_st, d_spsi_in, d_sdiffs, d_mats_m, d_amp) = svjp(
-            ((cot_szz, cot_sxx, cot_sxz), adj_p[:4]))
+            if adj_f is None:
+                adj_f = tuple(sst[5 + f] for f in range(5))
+                if plan:
+                    adj_p = tuple(psis[j] for j in range(8))
+                else:
+                    adj_p = tuple(sst[10 + j] for j in range(8))
+            d_rec = tuple(drec_ref[k * NC + c:k * NC + c + 1, :]
+                          for c in range(NC))
 
-        cot_vz = d_vels[0] + eng._dz_minus_t(d_sdiffs[0]) + eng._dx_plus_t(
-            d_sdiffs[3])
-        cot_vx = d_vels[1] + eng._dx_minus_t(d_sdiffs[1]) + eng._dz_plus_t(
-            d_sdiffs[2])
-        d_fields = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
-        d_psi = (*d_spsi_in, *d_vpsi_in)
-        d_mats = tuple(a + b for a, b in zip(d_mats_m, d_mats_v))
+            # ---- phase-split adjoint reusing the reconstruction stencils
+            # (identical construction to pallas_engine._bwd_kernel's phased
+            # branch; per-phase jax.vjp on diffs-as-inputs + closed-form
+            # stencil transposes)
+            vfun = lambda vels, stv, vpsi, vdiffs, mats_: (
+                eng._velocity_phase_values(cfg, rs, prof, mask, vels, stv,
+                                           vpsi, vdiffs, mats_, recw,
+                                           zi=gz))
+            _, vvjp = jax.vjp(vfun, (fields_t[0], fields_t[1]),
+                              (szz_tp1, sxx_tp1), zero4, vd, m)
+            (d_vels, d_stv, d_vpsi_in, d_vdiffs, d_mats_v) = vvjp(
+                ((adj_f[0], adj_f[1]), adj_p[4:], d_rec))
+
+            cot_szz = adj_f[2] + d_stv[0] + eng._dz_plus_t(d_vdiffs[0])
+            cot_sxx = adj_f[3] + d_stv[1] + eng._dx_plus_t(d_vdiffs[3])
+            cot_sxz = (adj_f[4] + eng._dx_minus_t(d_vdiffs[1])
+                       + eng._dz_minus_t(d_vdiffs[2]))
+
+            sfun = lambda stresses, spsi, sdiffs, mats_, a: (
+                eng._stress_phase_values(cfg, prof, mask, src_hot, rxz,
+                                         stresses, spsi, sdiffs, mats_, a))
+            _, svjp = jax.vjp(sfun, (fields_t[2], fields_t[3], fields_t[4]),
+                              zero4, sd, m, amp)
+            (d_st, d_spsi_in, d_sdiffs, d_mats_m, d_amp) = svjp(
+                ((cot_szz, cot_sxx, cot_sxz), adj_p[:4]))
+
+            cot_vz = (d_vels[0] + eng._dz_minus_t(d_sdiffs[0])
+                      + eng._dx_plus_t(d_sdiffs[3]))
+            cot_vx = (d_vels[1] + eng._dx_minus_t(d_sdiffs[1])
+                      + eng._dz_plus_t(d_sdiffs[2]))
+            adj_f = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
+            adj_p = (*d_spsi_in, *d_vpsi_in)
+            d_mats = tuple(a + b for a, b in zip(d_mats_m, d_mats_v))
+            acc_mats = d_mats if acc_mats is None else tuple(
+                a + b for a, b in zip(acc_mats, d_mats))
+
+            # d_stf: exactly one tile owns the source row — it alone writes
+            @_when(own_src)
+            def _write_dstf(k=k, d_amp=d_amp):
+                dstf_out[k] = d_amp
+
+        d_fields, d_psi = adj_f, adj_p
 
         # results -> the out STAGE: reconstructed primal interiors + the new
-        # adjoint state (the input slot stays clean for pipelined reuse)
+        # adjoint state (the input slot's state planes hold the fully
+        # reconstructed t = mK step; the adjoint planes stay stale but are
+        # only ever read at the first sub-step)
         _wait_prev_out(i, stage, state_out, T, out_sem)
         for f in range(5):
             stage[f] = sst[f, PAD:PAD + T, :]
@@ -1040,24 +1164,21 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
         else:
             for j, v in enumerate(d_psi):
                 stage[10 + j] = v[PAD:PAD + T, :]
-        for f, v in enumerate(d_mats):
+        if "noin" not in _dbg():
+            _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
+        for f, v in enumerate(acc_mats):
             gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
-
-        # d_stf: exactly one tile owns the source row — it alone writes
-        own_src = ((src_z + PAD) >= (r0 + PAD)) & ((src_z + PAD) < (r0 + PAD + T))
-
-        @_when(own_src)
-        def _write_dstf():
-            dstf_out[0] = d_amp
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
+        # start the gradient drain BEFORE the epilogue so it overlaps the
+        # wait on tile i+1's prefetched input
+        if "noout" not in _dbg():
+            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems,
                            out_sem)
         if "noout" not in _dbg():
-            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
-
             @_when(i == n_tiles - 1)
             def _gm_final():
                 _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
@@ -1070,7 +1191,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
         jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-def _make_bwd_megastep(cfg: SimConfig, rs):
+def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     f32 = jnp.float32
@@ -1080,7 +1201,7 @@ def _make_bwd_megastep(cfg: SimConfig, rs):
     n_recw = len(recw_in)
 
     kernel = functools.partial(_bwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
-                               n_recw, plan)
+                               n_recw, plan, K)
     out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if plan:
@@ -1088,7 +1209,7 @@ def _make_bwd_megastep(cfg: SimConfig, rs):
                       jax.ShapeDtypeStruct((4, nz_ext, plan.XW), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     out_shape += [jax.ShapeDtypeStruct((5, nz_ext, nxp), f32),
-                  jax.ShapeDtypeStruct((1,), f32)]
+                  jax.ShapeDtypeStruct((K,), f32)]
     out_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
@@ -1099,7 +1220,7 @@ def _make_bwd_megastep(cfg: SimConfig, rs):
                 pltpu.VMEM((5, T, nxp), f32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(())]
@@ -1131,7 +1252,7 @@ def _make_bwd_megastep(cfg: SimConfig, rs):
 
     def step(state, psic, gmat, mats_ext, profs, sz1, sx1, rxz1, amp, lr_t,
              tb_t, drec_t):
-        return call(sz1, sx1, rxz1, jnp.reshape(amp, (1,)).astype(f32),
+        return call(sz1, sx1, rxz1, jnp.reshape(amp, (K,)).astype(f32),
                     state, mats_ext, gmat, *psic, *profs, *recw_in,
                     lr_t, tb_t, drec_t)
 
@@ -1143,10 +1264,11 @@ def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     """Single-shot streamed backward: reverse scan of the backward megastep.
     Returns (d_lam, d_mu, d_rho, d_stf(nt,))."""
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
+    Kb = _stream_K_bwd(cfg)
     f32 = jnp.float32
     mats_ext = _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
-    step = _make_bwd_megastep(cfg, rs)
+    step = _make_bwd_megastep(cfg, rs, Kb)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     rxz1 = jnp.reshape(rxz1, (1,)).astype(f32)
@@ -1160,21 +1282,33 @@ def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     np_ = len(psic0)
     gmat0 = jnp.zeros((5, nz_ext, nxp), f32)
 
-    # (4, R, nt) cotangent -> (NC, nt, nxp) row planes -> per-step rows
+    # (4, R, nt) cotangent -> (NC, nt, nxp) row planes -> per-step rows,
+    # zero-padded to the forward's (temporally blocked) ghost steps
     dd = eng._place_cotangent(cfg, rs, d_data[None], cfg.nt, nxp)[0]
     drec_seq = jnp.moveaxis(dd, 1, 0)               # (nt, NC, nxp)
+    n_pad = lr_all.shape[0]                         # multiple of Kb
+    n_megab = n_pad // Kb
+    NCr = drec_seq.shape[1]
+    drec_pad = jnp.zeros((n_pad, NCr, nxp), f32).at[:cfg.nt - 1].set(
+        drec_seq[1:])
+    amps_pad = jnp.zeros((n_pad,), f32).at[:cfg.nt - 1].set(
+        stf1[:cfg.nt - 1].astype(f32))
 
     def rbody(carry, xs):
         state, psic, gmat = carry[0], carry[1:1 + np_], carry[1 + np_]
         lr_t, tb_t, drec_t, amp = xs
         outs = step(state, psic, gmat, mats_ext, profs, sz1, sx1,
                     rxz1, amp, lr_t, tb_t, drec_t)
-        d_amp = outs[2 + np_]
-        return (*outs[:1 + np_], outs[1 + np_]), d_amp[0]
+        d_amp = outs[2 + np_]                       # (Kb,)
+        return (*outs[:1 + np_], outs[1 + np_]), d_amp
 
-    xs = (lr_all, tb_all, drec_seq[1:], stf1[:cfg.nt - 1].astype(f32))
+    xs = (lr_all.reshape(n_megab, Kb, nz_ext, LANE),
+          tb_all.reshape(n_megab, Kb, TB_ROWS, nxp),
+          drec_pad.reshape(n_megab, Kb * NCr, nxp),
+          amps_pad.reshape(n_megab, Kb))
     fin, d_stf_main = jax.lax.scan(rbody, (state0, *psic0, gmat0), xs,
                                    reverse=True)
+    d_stf_main = d_stf_main.reshape(n_pad)[:cfg.nt - 1]
     gmat = fin[1 + np_]
 
     # crop the extended layout, restrict to the interior (reconstruction is
@@ -1279,7 +1413,7 @@ def _ac_interior_tile(cfg, gz, xi):
 
 
 def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
-                        srcz_ref, srcx_ref, amp_ref, *args):
+                        K, srcz_ref, srcx_ref, amp_ref, *args):
     E = T + 2 * PAD
     nz_ext = PAD + n_tiles * T + PAD
     nf = 3 if plan else AC_NF_FWD
@@ -1331,10 +1465,6 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
         prof = _slice_prof(prof_refs, r0, E)
         mats = tuple(mat_t[m] for m in range(3))
 
-        if save_strips:
-            _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i,
-                                n_tiles, AC_N_FIELDS)
-
         fields = tuple(sst[f] for f in range(3))
         if plan:
             _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
@@ -1342,9 +1472,23 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
             psi = tuple(psis[j] for j in range(4))
         else:
             psi = tuple(sst[3 + j] for j in range(4))
-        new_fields, new_psi, recs = eng._ac_step_values(
-            cfg, rs, prof, mask, src_hot, fields, psi, mats, amp_ref[0],
-            recw, zi=gz, rec_window=(r0, r0 + T))
+
+        # temporally blocked sub-steps (see the elastic twin)
+        for k in range(K):
+            if save_strips:
+                if k > 0:
+                    for f, v in enumerate(fields):
+                        sst[f] = v
+                _save_strips_tile_n(cfg, sst, lr_out.at[k], tb_out.at[k],
+                                    r0, E, T, i, n_tiles, AC_N_FIELDS,
+                                    margin=4 * k)
+            fields, psi, recs = eng._ac_step_values(
+                cfg, rs, prof, mask, src_hot, fields, psi, mats, amp_ref[k],
+                recw, zi=gz, rec_window=(r0, r0 + T))
+            for c in range(NC):
+                rec_out[k * NC + c:k * NC + c + 1, :] = (
+                    rec_out[k * NC + c:k * NC + c + 1, :] + recs[c])
+        new_fields, new_psi = fields, psi
 
         _wait_prev_out(i, stage, state_out, T, out_sem)
         for f, v in enumerate(new_fields):
@@ -1355,9 +1499,6 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
         else:
             for j, v in enumerate(new_psi):
                 stage[3 + j] = v[PAD:PAD + T, :]
-
-        for c in range(NC):
-            rec_out[c:c + 1, :] = rec_out[c:c + 1, :] + recs[c]
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
@@ -1373,7 +1514,7 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
 
 
 def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
-                        n_fields):
+                        n_fields, margin=0):
     """_save_strips_tile generalized to n_fields planes (3 acoustic /
     5 elastic)."""
     _, z0, z1, x0, x1 = _strip_bounds5(cfg)
@@ -1398,7 +1539,7 @@ def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
                                                       x1:x1 + L]
         for b_glob, row_off in ((z0 + PAD, c), (z1 + PAD, c + L)):
             lo = b_glob - r0
-            ok = (lo >= 0) & (lo <= E - L)
+            ok = (lo >= margin) & (lo <= E - L - margin)
             lo_c = _clip_int(lo, 0, E - L)
 
             @_when(ok)
@@ -1408,7 +1549,8 @@ def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
                         sst[f_idx, pl.ds(lo_c + j, 1), :])
 
 
-def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
+def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool,
+                          K: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     f32 = jnp.float32
@@ -1423,15 +1565,15 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
         out_shape += [jax.ShapeDtypeStruct((2, 2, plan.ZB, nxp), f32),
                       jax.ShapeDtypeStruct((2, nz_ext, plan.XW), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-    out_shape += [jax.ShapeDtypeStruct((NC, nxp), f32)]
+    out_shape += [jax.ShapeDtypeStruct((K * NC, nxp), f32)]
     out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if save_strips:
-        out_shape += [jax.ShapeDtypeStruct((nz_ext, LANE), f32),
-                      jax.ShapeDtypeStruct((AC_TB_ROWS, nxp), f32)]
+        out_shape += [jax.ShapeDtypeStruct((K, nz_ext, LANE), f32),
+                      jax.ShapeDtypeStruct((K, AC_TB_ROWS, nxp), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     kernel = functools.partial(_ac_fwd_mega_kernel, cfg, rs, T, n_tiles,
-                               nxp, n_recw, save_strips, plan)
+                               nxp, n_recw, save_strips, plan, K)
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
                pltpu.VMEM((2, 3, E, nxp), f32)]
     if plan:
@@ -1439,7 +1581,7 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
     scratch += [pltpu.VMEM((nf, T, nxp), f32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1465,7 +1607,7 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool):
     )
 
     def step(state, psic, mats_ext, profs, sz1, sx1, amp):
-        return call(sz1, sx1, jnp.reshape(amp, (1,)).astype(f32),
+        return call(sz1, sx1, jnp.reshape(amp, (K,)).astype(f32),
                     state, mats_ext, *psic, *profs, *recw_in)
 
     return step
@@ -1479,12 +1621,15 @@ def _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp):
 def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
                        save_strips: bool):
     """Single-shot streamed acoustic forward: data (3, R, nt) channels
-    (pr, vx, vz) [+ (lr_all, tb_all, final) when save_strips]."""
+    (pr, vx, vz) [+ (lr_all, tb_all, final) when save_strips].  Temporal
+    blocking (_stream_K) pads nt-1 with ghost steps like the elastic
+    twin."""
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
+    K = _stream_K(cfg)
     f32 = jnp.float32
     mats_ext = _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
-    step = _make_ac_fwd_megastep(cfg, rs, save_strips)
+    step = _make_ac_fwd_megastep(cfg, rs, save_strips, K)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     nf = 3 if plan else AC_NF_FWD
@@ -1492,6 +1637,11 @@ def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     psic0 = ((jnp.zeros((2, 2, plan.ZB, nxp), f32),
               jnp.zeros((2, nz_ext, plan.XW), f32)) if plan else ())
     np_ = len(psic0)
+    unit = _pad_unit(cfg, save_strips)
+    nsteps = -(-(cfg.nt - 1) // unit) * unit
+    n_mega = nsteps // K
+    amps = jnp.zeros((n_mega * K,), f32).at[:cfg.nt - 1].set(
+        stf1[:cfg.nt - 1].astype(f32)).reshape(n_mega, K)
 
     def body(carry, amp):
         state, psic = carry[0], carry[1:]
@@ -1503,21 +1653,23 @@ def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
             return carry2, (rec, lr_t, tb_t)
         return carry2, rec
 
-    fin, ys = jax.lax.scan(body, (state0, *psic0),
-                           stf1[:cfg.nt - 1].astype(f32))
+    fin, ys = jax.lax.scan(body, (state0, *psic0), amps)
     final = fin[0]
     rec_seq = ys[0] if save_strips else ys
-    NC = rec_seq.shape[1]
+    NC = rec_seq.shape[1] // K
+    rec_seq = rec_seq.reshape(n_mega * K, NC, nxp)[:cfg.nt - 1]
     planes = jnp.concatenate(
         [jnp.zeros((NC, 1, nxp), f32), jnp.moveaxis(rec_seq, 0, 1)],
         axis=1)[None]
     data = eng._extract_data(cfg, rs, planes)[0][:3]   # (pr, vx, vz)
     if save_strips:
-        return data, ys[1], ys[2], final
+        lr_all = ys[1].reshape(n_mega * K, nz_ext, LANE)
+        tb_all = ys[2].reshape(n_mega * K, AC_TB_ROWS, nxp)
+        return data, lr_all, tb_all, final
     return data
 
 
-def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
+def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
                         srcz_ref, srcx_ref, amp_ref, *args):
     E = T + 2 * PAD
     nz_ext = PAD + n_tiles * T + PAD
@@ -1558,7 +1710,6 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
     recw = eng._read_recw(recw_refs)
     src_z = srcz_ref[0]
     src_x = srcx_ref[0]
-    amp = amp_ref[0]
     if plan:
         _psi_zero_all(psis, 4, E, nxp)
 
@@ -1569,64 +1720,85 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
+        # drain the previous tile's gradient out, then START the reload and
+        # defer its wait to just before the accumulation (see elastic twin)
         @_when(i >= 1)
         def _gm_drain():
             _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
-        cp_g = _gm_in_dma(gmat_in, gm_t, i, T, gi_sem)
-        cp_g.start()
-        cp_g.wait()
+        _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).start()
 
         gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp, src_z, src_x)
         xi = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
         interior = _ac_interior_tile(cfg, gz, xi)
         prof = _slice_prof(prof_refs, r0, E)
         (lam, byca, bycb) = tuple(mat_t[k] for k in range(3))
-
-        # ---- reconstruct state_t (acoustic ordering, _ac_bwd_kernel) ------
-        (pf, vz, vx) = tuple(sst[f] for f in range(3))
-        p_tp1 = pf
-        pdiffs = (eng._dz_minus(pf), eng._dx_plus(pf))
-        sst[1] = vz - interior * (pdiffs[0] * rdz * byca * dt)
-        sst[2] = vx - interior * (pdiffs[1] * rdx * bycb * dt)
-        _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(1, 2))
-        vz, vx = sst[1], sst[2]
-        pf = pf - src_hot * (cfg.src_scale * dt * amp)
-        vdiffs = (eng._dz_plus(vz), eng._dx_minus(vx))
-        sst[0] = pf - interior * (
-            lam * (vdiffs[0] * rdz + vdiffs[1] * rdx) * dt)
-        _inject_strips_tile(cfg, sst, lr_ref, tb_ref, r0, E, which=(0,))
-        fields_t = tuple(sst[f] for f in range(3))
-
-        adj_f = tuple(sst[3 + f] for f in range(3))
         if plan:
             _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
                              xpsi_in, i, r0, AC_Z_IDX, AC_X_IDX)
-            adj_p = tuple(psis[j] for j in range(4))
-        else:
-            adj_p = tuple(sst[6 + j] for j in range(4))
-        d_rec = tuple(drec_ref[c:c + 1, :] for c in range(NC))
         zero2 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(2))
+        own_src = (src_z >= r0) & (src_z < r0 + T)
 
-        # ---- phase-split adjoint (same construction as _ac_bwd_kernel) ----
-        vfun = lambda vels, pn, vpsi, pd, bycs: (
-            eng._ac_velocity_phase_values(cfg, rs, prof, mask, vels, pn,
-                                          vpsi, pd, bycs, recw, zi=gz))
-        _, vvjp = jax.vjp(vfun, (fields_t[1], fields_t[2]), p_tp1,
-                          zero2, pdiffs, (byca, bycb))
-        (d_vels, d_p_rec, d_vpsi_in, d_pdiffs, d_bycs) = vvjp(
-            ((adj_f[1], adj_f[2]), adj_p[2:], d_rec))
-        cot_p = (adj_f[0] + d_p_rec + eng._dz_minus_t(d_pdiffs[0])
-                 + eng._dx_plus_t(d_pdiffs[1]))
-        pfun = lambda pp, ppsi, vd, lam_, a: (
-            eng._ac_pressure_phase_values(cfg, prof, mask, src_hot, pp,
-                                          ppsi, vd, lam_, a))
-        _, pvjp = jax.vjp(pfun, fields_t[0], zero2, vdiffs, lam, amp)
-        (d_p_t, d_ppsi_in, d_vdiffs, d_lam, d_amp) = pvjp((cot_p, adj_p[:2]))
-        cot_vz = d_vels[0] + eng._dz_plus_t(d_vdiffs[0])
-        cot_vx = d_vels[1] + eng._dx_minus_t(d_vdiffs[1])
-        d_fields = (d_p_t, cot_vz, cot_vx)
-        d_psi = (*d_ppsi_in, *d_vpsi_in)
-        d_mats = (d_lam, d_bycs[0], d_bycs[1])
+        # temporally blocked sub-steps, reversed (see the elastic twin)
+        adj_f = adj_p = None
+        acc_mats = None
+        for k in range(K - 1, -1, -1):
+            amp = amp_ref[k]
+            lr_k = lr_ref.at[k]
+            tb_k = tb_ref.at[k]
+
+            # ---- reconstruct state_t (acoustic ordering, _ac_bwd_kernel) --
+            (pf, vz, vx) = tuple(sst[f] for f in range(3))
+            p_tp1 = pf
+            pdiffs = (eng._dz_minus(pf), eng._dx_plus(pf))
+            sst[1] = vz - interior * (pdiffs[0] * rdz * byca * dt)
+            sst[2] = vx - interior * (pdiffs[1] * rdx * bycb * dt)
+            _inject_strips_tile(cfg, sst, lr_k, tb_k, r0, E, which=(1, 2))
+            vz, vx = sst[1], sst[2]
+            pf = pf - src_hot * (cfg.src_scale * dt * amp)
+            vdiffs = (eng._dz_plus(vz), eng._dx_minus(vx))
+            sst[0] = pf - interior * (
+                lam * (vdiffs[0] * rdz + vdiffs[1] * rdx) * dt)
+            _inject_strips_tile(cfg, sst, lr_k, tb_k, r0, E, which=(0,))
+            fields_t = tuple(sst[f] for f in range(3))
+
+            if adj_f is None:
+                adj_f = tuple(sst[3 + f] for f in range(3))
+                if plan:
+                    adj_p = tuple(psis[j] for j in range(4))
+                else:
+                    adj_p = tuple(sst[6 + j] for j in range(4))
+            d_rec = tuple(drec_ref[k * NC + c:k * NC + c + 1, :]
+                          for c in range(NC))
+
+            # ---- phase-split adjoint (same construction as _ac_bwd_kernel)
+            vfun = lambda vels, pn, vpsi, pd, bycs: (
+                eng._ac_velocity_phase_values(cfg, rs, prof, mask, vels, pn,
+                                              vpsi, pd, bycs, recw, zi=gz))
+            _, vvjp = jax.vjp(vfun, (fields_t[1], fields_t[2]), p_tp1,
+                              zero2, pdiffs, (byca, bycb))
+            (d_vels, d_p_rec, d_vpsi_in, d_pdiffs, d_bycs) = vvjp(
+                ((adj_f[1], adj_f[2]), adj_p[2:], d_rec))
+            cot_p = (adj_f[0] + d_p_rec + eng._dz_minus_t(d_pdiffs[0])
+                     + eng._dx_plus_t(d_pdiffs[1]))
+            pfun = lambda pp, ppsi, vd, lam_, a: (
+                eng._ac_pressure_phase_values(cfg, prof, mask, src_hot, pp,
+                                              ppsi, vd, lam_, a))
+            _, pvjp = jax.vjp(pfun, fields_t[0], zero2, vdiffs, lam, amp)
+            (d_p_t, d_ppsi_in, d_vdiffs, d_lam, d_amp) = pvjp(
+                (cot_p, adj_p[:2]))
+            cot_vz = d_vels[0] + eng._dz_plus_t(d_vdiffs[0])
+            cot_vx = d_vels[1] + eng._dx_minus_t(d_vdiffs[1])
+            adj_f = (d_p_t, cot_vz, cot_vx)
+            adj_p = (*d_ppsi_in, *d_vpsi_in)
+            d_mats = (d_lam, d_bycs[0], d_bycs[1])
+            acc_mats = d_mats if acc_mats is None else tuple(
+                a + b for a, b in zip(acc_mats, d_mats))
+
+            @_when(own_src)
+            def _write_dstf(k=k, d_amp=d_amp):
+                dstf_out[k] = d_amp
+
+        d_fields, d_psi = adj_f, adj_p
 
         _wait_prev_out(i, stage, state_out, T, out_sem)
         for f in range(3):
@@ -1639,20 +1811,17 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
         else:
             for j, v in enumerate(d_psi):
                 stage[6 + j] = v[PAD:PAD + T, :]
-        for f, v in enumerate(d_mats):
+        _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
+        for f, v in enumerate(acc_mats):
             gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
-
-        own_src = (src_z >= r0) & (src_z < r0 + T)
-
-        @_when(own_src)
-        def _write_dstf():
-            dstf_out[0] = d_amp
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
+        # start the gradient drain BEFORE the epilogue so it overlaps the
+        # wait on tile i+1's prefetched input
+        _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems, out_sem)
-        _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
 
         @_when(i == n_tiles - 1)
         def _gm_final():
@@ -1666,7 +1835,7 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan,
         jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-def _make_ac_bwd_megastep(cfg: SimConfig, rs):
+def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     f32 = jnp.float32
@@ -1676,7 +1845,7 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs):
     n_recw = len(recw_in)
 
     kernel = functools.partial(_ac_bwd_mega_kernel, cfg, rs, T, n_tiles,
-                               nxp, n_recw, plan)
+                               nxp, n_recw, plan, K)
     out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if plan:
@@ -1684,7 +1853,7 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs):
                       jax.ShapeDtypeStruct((2, nz_ext, plan.XW), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     out_shape += [jax.ShapeDtypeStruct((3, nz_ext, nxp), f32),
-                  jax.ShapeDtypeStruct((1,), f32)]
+                  jax.ShapeDtypeStruct((K,), f32)]
     out_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
@@ -1695,7 +1864,7 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs):
                 pltpu.VMEM((3, T, nxp), f32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(())]
@@ -1727,7 +1896,7 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs):
 
     def step(state, psic, gmat, mats_ext, profs, sz1, sx1, amp, lr_t, tb_t,
              drec_t):
-        return call(sz1, sx1, jnp.reshape(amp, (1,)).astype(f32),
+        return call(sz1, sx1, jnp.reshape(amp, (K,)).astype(f32),
                     state, mats_ext, gmat, *psic, *profs, *recw_in,
                     lr_t, tb_t, drec_t)
 
@@ -1739,10 +1908,11 @@ def _ac_stream_backward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     from sep2023_tpu.medium import _shift_left, _shift_up
 
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
+    Kb = _stream_K_bwd(cfg)
     f32 = jnp.float32
     mats_ext = _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
-    step = _make_ac_bwd_megastep(cfg, rs)
+    step = _make_ac_bwd_megastep(cfg, rs, Kb)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     nf = 6 if plan else AC_NF_BWD
@@ -1754,23 +1924,35 @@ def _ac_stream_backward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     np_ = len(psic0)
     gmat0 = jnp.zeros((3, nz_ext, nxp), f32)
 
-    # (3, R, nt) cotangent + a zero ett plane -> per-step (NC, nxp) rows
+    # (3, R, nt) cotangent + a zero ett plane -> per-step (NC, nxp) rows,
+    # zero-padded to the forward's (temporally blocked) ghost steps
     d4 = jnp.concatenate(
         [d_data.astype(f32), jnp.zeros((1,) + d_data.shape[1:], f32)])
     dd = eng._place_cotangent(cfg, rs, d4[None], cfg.nt, nxp)[0]
     drec_seq = jnp.moveaxis(dd, 1, 0)
+    n_pad = lr_all.shape[0]                         # multiple of Kb
+    n_megab = n_pad // Kb
+    NCr = drec_seq.shape[1]
+    drec_pad = jnp.zeros((n_pad, NCr, nxp), f32).at[:cfg.nt - 1].set(
+        drec_seq[1:])
+    amps_pad = jnp.zeros((n_pad,), f32).at[:cfg.nt - 1].set(
+        stf1[:cfg.nt - 1].astype(f32))
 
     def rbody(carry, xs):
         state, psic, gmat = carry[0], carry[1:1 + np_], carry[1 + np_]
         lr_t, tb_t, drec_t, amp = xs
         outs = step(state, psic, gmat, mats_ext, profs, sz1, sx1,
                     amp, lr_t, tb_t, drec_t)
-        d_amp = outs[2 + np_]
-        return (*outs[:1 + np_], outs[1 + np_]), d_amp[0]
+        d_amp = outs[2 + np_]                       # (Kb,)
+        return (*outs[:1 + np_], outs[1 + np_]), d_amp
 
-    xs = (lr_all, tb_all, drec_seq[1:], stf1[:cfg.nt - 1].astype(f32))
+    xs = (lr_all.reshape(n_megab, Kb, nz_ext, LANE),
+          tb_all.reshape(n_megab, Kb, AC_TB_ROWS, nxp),
+          drec_pad.reshape(n_megab, Kb * NCr, nxp),
+          amps_pad.reshape(n_megab, Kb))
     fin, d_stf_main = jax.lax.scan(rbody, (state0, *psic0, gmat0), xs,
                                    reverse=True)
+    d_stf_main = d_stf_main.reshape(n_pad)[:cfg.nt - 1]
     gmat = fin[1 + np_]
 
     g = gmat[:, PAD:PAD + cfg.nz, :cfg.nx]

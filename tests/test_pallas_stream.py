@@ -399,3 +399,90 @@ def test_ac_stream_compact_psi_matches_full_planes(monkeypatch, T_env,
     for name, a, b in zip(("lam", "rho", "stf"), g_c, g_f):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() <= 1e-7 * max(np.abs(b).max(), 1e-30), name
+
+
+@pytest.mark.parametrize("K", ["2", "3"])
+def test_stream_temporal_blocking_matches_k1(monkeypatch, K):
+    """Temporally blocked megasteps (K leapfrog sub-steps per tile sweep,
+    _stream_K) vs the plain K=1 scan: identical forward data and matching
+    gradients.  nt-1 = 89 is divisible by neither K, so the ghost-step
+    padding path (zero-amplitude steps appended, reversed by the backward,
+    recordings trimmed) is exercised too.  T=24 forces several z-tiles, so
+    sub-step halo values are computed in-tile rather than reloaded — the
+    same arithmetic on the same inputs, so only compiler-fusion ULP noise
+    separates the programs (measured 1.7e-7 rel on the forward; a halo
+    bug would be O(1))."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "24")
+    npml = 8
+    cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    assert ps._layout(cfg)[1] >= 3
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([3, 40]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 50), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    rxz = jnp.asarray(survey.src_rxz)
+
+    out_1 = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())
+    g_1 = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", K)
+    assert ps._stream_K(cfg) == int(K)
+    out_k = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    g_k = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    assert np.abs(out_k - out_1).max() <= 1e-6 * np.abs(out_1).max()
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_k, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
+
+
+def test_ac_stream_temporal_blocking_matches_k1(monkeypatch):
+    """Acoustic twin of test_stream_temporal_blocking_matches_k1 (K=2,
+    ghost-step padding, multi-tile in-tile halo recomputation)."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "24")
+    npml = 8
+    cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[30:38, 24:40].add(250.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([12, 40]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 50), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+
+    def grads(obs):
+        def loss(lam_, rho_, stf_):
+            syn = ps.propagate_pallas_acoustic_streamed(cfg, rs, lam_, rho_,
+                                                        stf_, sz, sx)
+            return jnp.sum((syn - obs) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
+
+    out_1 = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())
+    g_1 = grads(obs)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "2")
+    out_k = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    g_k = grads(obs)
+
+    assert np.abs(out_k - out_1).max() <= 1e-6 * np.abs(out_1).max()
+    for name, a, b in zip(("lam", "rho", "stf"), g_k, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name

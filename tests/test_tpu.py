@@ -9,8 +9,8 @@ chip.  Run via
     SEP2023_TPU_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q
 
 (wired into .claude/skills/verify; skipped automatically on CPU).  Budget
-~15 min: every test pays at least one cold remote compile (5 tests,
-validated green on a v5e chip in round 3).
+~20 min: every test pays at least one cold remote compile (7 tests;
+the first 5 validated green on a v5e chip in round 3).
 """
 import numpy as np
 import pytest
@@ -286,3 +286,36 @@ def test_tpu_acoustic_fused_gradient():
     gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(lam, rho, stf)
     for name, a, b in zip(("lam", "rho", "stf"), gp, gx):
         _grad_close(a, b)
+
+
+def test_tpu_temporal_blocking_matches_k1(monkeypatch):
+    """Mosaic-compiled temporally blocked megasteps (K=3 forward sub-steps /
+    K=2 backward sub-steps per tile sweep) vs the plain K=1 streamed scan:
+    forward and full gradient.  Pallas-vs-Pallas, so the gates are tight
+    (compiler-fusion ULP noise only)."""
+    cfg, lam, mu, rho, survey, geoms, stf, sz, sx, rxz = _problem(nt=301)
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
+                             survey.rec_x + cfg.npml)
+    obs = [None]
+
+    def run(K):
+        if K is not None:
+            monkeypatch.setenv("SEP2023_TPU_STREAM_K", str(K))
+        out = np.asarray(jax.jit(lambda *a: ps.forward_pallas_streamed(
+            cfg, rs, *a))(lam, mu, rho, stf, sz, sx, rxz))
+        if obs[0] is None:
+            obs[0] = jnp.asarray(out * 1.01)
+
+        def loss(lam_, mu_, rho_, stf_):
+            syn = ps.propagate_pallas_streamed(cfg, rs, lam_, mu_, rho_,
+                                               stf_, sz, sx, rxz)
+            return jnp.sum((syn - obs[0]) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(lam, mu, rho, stf)
+        return out, g
+
+    out_1, g_1 = run(None)
+    out_k, g_k = run(3)
+    assert _rel(out_k, out_1) < 1e-5
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_k, g_1):
+        assert _rel(np.asarray(a), np.asarray(b)) < 1e-3, name
