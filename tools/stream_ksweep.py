@@ -1,0 +1,90 @@
+"""Sweep the streamed engine's temporal-blocking depth on the real TPU.
+
+For one benchmark shape, measures forward and gradient GCell/s for each
+K in --ks (SEP2023_TPU_STREAM_K; the backward depth follows as
+min(K, 2) unless --kb pins it).  Decides whether temporal blocking
+should be the default and at which depth.
+
+Usage:  python tools/stream_ksweep.py [--nz 814 --nx 2064 --nt 601]
+            [--ks 1,2,3] [--grad]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_k(k, kb, args):
+    os.environ["SEP2023_TPU_STREAM_K"] = str(k)
+    if kb:
+        os.environ["SEP2023_TPU_STREAM_KB"] = str(kb)
+    import jax
+    if args.cpu:  # interpret-mode smoke (the sitecustomize pins axon)
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import sep2023_tpu as st
+    from sep2023_tpu.ops import pallas_engine as pe
+    from sep2023_tpu.ops import pallas_stream as ps
+    from bench import _time_pipelined
+
+    nz_p, nx_p, nt_s = args.nz, args.nx, args.nt
+    cfg = st.SimConfig(nz=nz_p, nx=nx_p, dz=10.0, dx=10.0, nt=nt_s,
+                       dt=0.001, f0=10.0, npml=32)
+    rs = pe.RowSurvey(rec_row=nz_p - 44, rec_x0=42, n_rec=nx_p - 84)
+    vp = jnp.full((nz_p, nx_p), 3000.0, jnp.float32)
+    lam = (vp ** 2 / 3.0 * 2200.0).astype(jnp.float32)
+    mu = lam
+    rho = jnp.full((nz_p, nx_p), 2200.0, jnp.float32)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, nt_s, cfg.dt), jnp.float32), (1, nt_s))
+    sz = jnp.asarray([33])
+    sx = jnp.asarray([nx_p // 2])
+    rxz = jnp.ones((1,), jnp.float32)
+    cells = nz_p * nx_p * (nt_s - 1)
+
+    out = {"K": ps._stream_K(cfg), "Kb": ps._stream_K_bwd(cfg)}
+    fwd = ps.tpu_jit(lambda l, m, r, s: ps.forward_pallas_streamed(
+        cfg, rs, l, m, r, s, sz, sx, rxz))
+    t, _ = _time_pipelined(fwd, lam, mu, rho, stf, depth=3)
+    out["fwd_gcell"] = round(cells / t / 1e9, 3)
+    if args.grad:
+        def loss(l, m, r, s):
+            syn = ps.propagate_pallas_streamed(cfg, rs, l, m, r, s, sz, sx,
+                                               rxz)
+            return 0.5 * jnp.sum(syn * syn)
+
+        g = ps.tpu_jit(jax.grad(loss, argnums=(0, 1, 2)))
+        t, _ = _time_pipelined(g, lam, mu, rho, stf, depth=2)
+        out["grad_gcell"] = round(cells / t / 1e9, 3)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grad", action="store_true")
+    ap.add_argument("--nz", type=int, default=814)
+    ap.add_argument("--nx", type=int, default=2064)
+    ap.add_argument("--nt", type=int, default=601)
+    ap.add_argument("--ks", default="1,2,3")
+    ap.add_argument("--kb", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    results = {}
+    for k in args.ks.split(","):
+        t0 = time.time()
+        try:
+            results[k] = run_k(int(k), args.kb, args)
+        except Exception as e:
+            results[k] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        results[k]["build_s"] = round(time.time() - t0, 1)
+        print(json.dumps({k: results[k]}), flush=True)
+    print(json.dumps({"shape": [args.nz, args.nx, args.nt],
+                      "ksweep": results}))
+
+
+if __name__ == "__main__":
+    main()
