@@ -87,7 +87,21 @@ from sep2023_tpu.medium import MatFields, material_fields
 from sep2023_tpu.ops import pallas_engine as eng
 
 LANE = eng.LANE
-PAD = 16            # halo rows per tile side (>= stencil-chain reach 8 + 5)
+
+
+def _pad_rows() -> int:
+    """Halo rows per tile side: >= stencil-chain reach (8) + strip depth
+    (5), 8-row aligned for the DMA offsets.  Deeper temporal blocking
+    needs a deeper halo (4K+1 <= PAD forward, 8K <= PAD backward), so
+    SEP2023_TPU_STREAM_PAD=24|32 admits K up to 5|7 forward and 3|4
+    backward at the cost of 2*(PAD-16) extra recomputed rows per tile.
+    Read ONCE at import (the layout is global); tests/sweeps override the
+    module global (or set the env before the first import)."""
+    v = int(os.environ.get("SEP2023_TPU_STREAM_PAD", "16"))
+    return max(16, ((v + 7) // 8) * 8)
+
+
+PAD = _pad_rows()   # halo rows per tile side
 STRIP_L = eng.STRIP_L
 TB_ROWS = eng.TB_ROWS
 NF_FWD = 13         # vz vx szz sxx sxz + 8 psi
@@ -163,7 +177,10 @@ def _budget_rows(cfg: SimConfig, compact: bool) -> int:
     rows = (100 * 2 ** 20) // (nxp * 4)
     ext, tpl = (76, 15) if compact else (76, 23)
     T = (rows - ext * 2 * PAD) // (ext + tpl)
-    return max(32, min(288, (T // 8) * 8))
+    # T >= PAD keeps the 2-slot pipeline's hazard window adjacent-only:
+    # tile i's out tail [iT+T, iT+T+PAD) must not reach tile i+2's in-DMA
+    # window [(i+2)T, ...), i.e. T >= PAD (multi-tile layouts only)
+    return max(PAD, 32, min(288, (T // 8) * 8))
 
 
 def _balance(nz: int, T: int):
@@ -261,13 +278,15 @@ def _select_layout(cfg: SimConfig):
     env = os.environ.get("SEP2023_TPU_STREAM_T")
     if env:
         T = min(int(env), _pad8(nz))
+        if -(-nz // T) > 1:   # multi-tile: pipeline safety needs T >= PAD
+            T = min(max(T, PAD), _pad8(nz))
         return mk(T, -(-nz // T))
 
     T_c = min(_budget_rows(cfg, compact=True), _pad8(nz))
     n0 = -(-nz // T_c)
     for n in range(n0, n0 + 3):
         T = -(-(-(-nz // n)) // 8) * 8
-        if T < 32 or T > T_c:
+        if T < 32 or T > T_c or (n > 1 and T < PAD):
             continue
         lay = mk(T, n)
         if lay[4] is not None:
@@ -275,6 +294,9 @@ def _select_layout(cfg: SimConfig):
 
     T, n_tiles = _balance(nz, min(_budget_rows(cfg, compact=False),
                                   _pad8(nz)))
+    if n_tiles > 1 and T < PAD:   # deep-PAD on a short grid: re-balance
+        T = min(PAD, _pad8(nz))
+        n_tiles = -(-nz // T)
     return mk(T, n_tiles)
 
 
@@ -860,8 +882,9 @@ def _stream_K(cfg: SimConfig) -> int:
     per megastep invocation amortize the HBM state+materials streaming
     K-fold (the megasteps are stream-bound at wide shapes).  Valid rows
     shrink 4/side per sub-step and recording may sample ONE halo row past
-    the tile interior, so PAD=16 admits K <= 3 (4K + 1 <= PAD).
-    SEP2023_TPU_STREAM_K overrides."""
+    the tile interior, so 4K + 1 <= PAD: K <= 3 at the default PAD=16,
+    K <= 7 at SEP2023_TPU_STREAM_PAD=32.  SEP2023_TPU_STREAM_K
+    overrides."""
     env = os.environ.get("SEP2023_TPU_STREAM_K")
     if env:
         return max(1, min((PAD - 1) // 4, int(env)))
@@ -870,8 +893,9 @@ def _stream_K(cfg: SimConfig) -> int:
 
 def _stream_K_bwd(cfg: SimConfig) -> int:
     """Temporal blocking depth of the streamed backward: each
-    reconstruct+adjoint sub-step has an 8-row stencil chain, so PAD=16
-    admits K <= 2.  Defaults to min(forward K, 2);
+    reconstruct+adjoint sub-step has an 8-row stencil chain, so
+    8K <= PAD — K <= 2 at the default PAD=16, K <= 4 at
+    SEP2023_TPU_STREAM_PAD=32.  Defaults to min(forward K, PAD//8);
     SEP2023_TPU_STREAM_KB overrides."""
     env = os.environ.get("SEP2023_TPU_STREAM_KB")
     if env:

@@ -445,6 +445,52 @@ def test_stream_temporal_blocking_matches_k1(monkeypatch, K):
         assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
 
 
+def test_stream_deep_pad_temporal_blocking(monkeypatch):
+    """SEP2023_TPU_STREAM_PAD deepens the tile halo so temporal blocking
+    can go past PAD=16's K<=3/Kb<=2: at PAD=32 a K=5 forward (4K+1=21 <=
+    32 valid-row shrink) with the default Kb=min(K, PAD//8)=4 backward
+    must reproduce the PAD=16, K=1 run — same recordings, same gradients
+    (halo sub-step values are recomputed in-tile; PAD only moves WHERE
+    the recomputation happens, never what is stored).  T=40 >= PAD keeps
+    the pipeline hazard window adjacent-only (3 z-tiles on nz=120).
+    Receivers sit 16 rows under the deep source so real signal arrives
+    well inside nt (asserted): with out-of-reach receivers the recordings
+    are round-off noise and the gradient comparison tests nothing."""
+    npml = 8
+    cfg = st.SimConfig(nz=120, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([3, 60]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 76), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    rxz = jnp.asarray(survey.src_rxz)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    out_1 = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    assert np.abs(out_1).max() > 1e-8  # real arrivals, not round-off noise
+    obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())
+    g_1 = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    monkeypatch.setattr(ps, "PAD", 32)
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "5")
+    assert ps._stream_K(cfg) == 5 and ps._stream_K_bwd(cfg) == 4
+    assert ps._layout(cfg)[:2] == (40, 3)
+    out_k = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    g_k = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    assert np.abs(out_k - out_1).max() <= 1e-6 * np.abs(out_1).max()
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_k, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
+
+
 def test_ac_stream_temporal_blocking_matches_k1(monkeypatch):
     """Acoustic twin of test_stream_temporal_blocking_matches_k1 (K=2,
     ghost-step padding, multi-tile in-tile halo recomputation)."""

@@ -2,25 +2,28 @@
 
 For one benchmark shape, measures forward and gradient GCell/s for each
 K in --ks (SEP2023_TPU_STREAM_K; the backward depth follows as
-min(K, 2) unless --kb pins it).  Decides whether temporal blocking
-should be the default and at which depth.
+min(K, PAD//8) unless --kb pins it).  --pad deepens the tile halo
+(SEP2023_TPU_STREAM_PAD, import-time: each config runs in a fresh
+subprocess), admitting K up to (PAD-1)//4 forward / PAD//8 backward at
+the cost of 2*(PAD-16) extra recomputed rows per tile.  Decides whether
+temporal blocking should be the default and at which depth.
 
 Usage:  python tools/stream_ksweep.py [--nz 814 --nx 2064 --nt 601]
-            [--ks 1,2,3] [--grad]
+            [--ks 1,2,3] [--kb 0] [--pad 16] [--grad]
 """
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
-def run_k(k, kb, args):
-    os.environ["SEP2023_TPU_STREAM_K"] = str(k)
-    if kb:
-        os.environ["SEP2023_TPU_STREAM_KB"] = str(kb)
+def run_one(args):
+    """Measure a single (K, Kb, PAD) config in THIS process; prints JSON."""
     import jax
     if args.cpu:  # interpret-mode smoke (the sitecustomize pins axon)
         jax.config.update("jax_platforms", "cpu")
@@ -45,7 +48,10 @@ def run_k(k, kb, args):
     rxz = jnp.ones((1,), jnp.float32)
     cells = nz_p * nx_p * (nt_s - 1)
 
-    out = {"K": ps._stream_K(cfg), "Kb": ps._stream_K_bwd(cfg)}
+    T, n_tiles, _, _, plan = ps._layout_plan(cfg)
+    out = {"K": ps._stream_K(cfg), "Kb": ps._stream_K_bwd(cfg),
+           "PAD": ps.PAD, "T": T, "tiles": n_tiles,
+           "compact": plan is not None}
     fwd = ps.tpu_jit(lambda l, m, r, s: ps.forward_pallas_streamed(
         cfg, rs, l, m, r, s, sz, sx, rxz))
     t, _ = _time_pipelined(fwd, lam, mu, rho, stf, depth=3)
@@ -59,7 +65,7 @@ def run_k(k, kb, args):
         g = ps.tpu_jit(jax.grad(loss, argnums=(0, 1, 2)))
         t, _ = _time_pipelined(g, lam, mu, rho, stf, depth=2)
         out["grad_gcell"] = round(cells / t / 1e9, 3)
-    return out
+    print("ONE " + json.dumps(out), flush=True)
 
 
 def main():
@@ -70,20 +76,44 @@ def main():
     ap.add_argument("--nt", type=int, default=601)
     ap.add_argument("--ks", default="1,2,3")
     ap.add_argument("--kb", type=int, default=0)
+    ap.add_argument("--pad", type=int, default=0, help="halo depth (0=default 16)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--one", action="store_true",
+                    help="internal: run the env-selected config in-process")
     args = ap.parse_args()
+
+    if args.one:
+        run_one(args)
+        return
 
     results = {}
     for k in args.ks.split(","):
+        env = dict(os.environ, SEP2023_TPU_STREAM_K=str(int(k)))
+        if args.kb:
+            env["SEP2023_TPU_STREAM_KB"] = str(args.kb)
+        if args.pad:
+            env["SEP2023_TPU_STREAM_PAD"] = str(args.pad)
+        cmd = [sys.executable, os.path.abspath(__file__), "--one",
+               "--nz", str(args.nz), "--nx", str(args.nx),
+               "--nt", str(args.nt)]
+        if args.grad:
+            cmd.append("--grad")
+        if args.cpu:
+            cmd.append("--cpu")
         t0 = time.time()
-        try:
-            results[k] = run_k(int(k), args.kb, args)
-        except Exception as e:
-            results[k] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                              text=True)
+        line = next((ln[4:] for ln in proc.stdout.splitlines()
+                     if ln.startswith("ONE ")), None)
+        if line:
+            results[k] = json.loads(line)
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip()[-300:]
+            results[k] = {"error": f"rc={proc.returncode}: {tail}"}
         results[k]["build_s"] = round(time.time() - t0, 1)
         print(json.dumps({k: results[k]}), flush=True)
     print(json.dumps({"shape": [args.nz, args.nx, args.nt],
-                      "ksweep": results}))
+                      "pad": args.pad or 16, "ksweep": results}))
 
 
 if __name__ == "__main__":
