@@ -32,7 +32,7 @@ import numpy as np
 import sep2023_tpu as st
 from sep2023_tpu import heads as H
 from sep2023_tpu import io as sio
-from sep2023_tpu import models, optimize, parallel
+from sep2023_tpu import models, optimize, parallel, survey_tools
 from sep2023_tpu.config import Survey
 
 
@@ -80,6 +80,7 @@ def cmd_forward(args):
                     jnp.asarray(st.medium.pad_model_np(vs, cfg.npml), dtype),
                     jnp.asarray(st.medium.pad_model_np(rho, cfg.npml), dtype))
     cfg.check_stability(float(vp.max()))
+    survey_tools.check_reach(cfg, survey, float(vp.max()))
 
     if args.physics == "acoustic":
         # the standalone CLI's acoustic branch (main.cu:180-197)
@@ -343,6 +344,9 @@ def cmd_invert(args):
     # --- observed data (twin experiment) --------------------------------
     lam_t_pad, mu_t_pad, rho_t_pad = head.apply(
         {k: jnp.asarray(v, dtype) for k, v in true_params.items()})
+    vp_max_t = float(jnp.sqrt((lam_t_pad + 2 * mu_t_pad) / rho_t_pad).max())
+    cfg.check_stability(vp_max_t)
+    survey_tools.check_reach(cfg, survey, vp_max_t)
     data_dir = args.data_dir or os.path.join(args.exp_name, "Data")
     if (not args.generate_data
             and os.path.exists(os.path.join(data_dir, "Shot_pr0.bin"))):
@@ -364,7 +368,6 @@ def cmd_invert(args):
 
     # --- per-trace conditioning + per-shot weights (Src_Rec.cu:145-200) --
     if args.energy_weights and survey.trace_weights is None:
-        from sep2023_tpu import survey_tools
         survey.trace_weights = survey_tools.energy_trace_weights(
             np.asarray(obs[:, 3]))  # balance on the DAS channel
         print("per-trace energy weights computed from observed data "
@@ -625,6 +628,7 @@ def cmd_rtm(args):
     rho_np = models.constant(args.nz, args.nx, 2400.0)
     rho = pad(rho_np)
     cfg.check_stability(float(vp_t.max()))
+    survey_tools.check_reach(cfg, survey, float(vp_t.max()))
 
     if args.physics == "acoustic":
         from sep2023_tpu.acoustic import AcGeom, propagate_acoustic

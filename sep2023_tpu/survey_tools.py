@@ -41,6 +41,39 @@ def energy_trace_weights(obs: np.ndarray, floor: float = 1e-3) -> np.ndarray:
     return w / w.mean()
 
 
+def check_reach(cfg, survey, vp_max: float, warn: bool = True):
+    """Shots whose NEAREST receiver lies beyond the maximum wave reach
+    vp_max * (nt-1) * dt record only round-off noise: their misfit is zero
+    by construction and an inversion silently ignores them.  Returns the
+    list of unreachable shot indices and (by default) warns.
+
+    The reference has no such guard (a too-short nSteps in para_file.json
+    fails silently, `Src_Rec.cu:87-116` just uploads the geometry); this
+    closes a trap the straight-line bound catches conservatively — a real
+    first arrival is never earlier than the straight ray at vp_max."""
+    import warnings
+
+    reach = float(vp_max) * (cfg.nt - 1) * cfg.dt
+    rz = np.asarray(survey.rec_z)
+    rx = np.asarray(survey.rec_x)
+    src_z = np.asarray(survey.src_z)
+    src_x = np.asarray(survey.src_x)
+    bad = []
+    for s in range(len(src_z)):
+        z = rz if rz.ndim == 1 else rz[s]
+        x = rx if rx.ndim == 1 else rx[s]
+        d = np.hypot((z - src_z[s]) * cfg.dz, (x - src_x[s]) * cfg.dx)
+        if float(d.min()) > reach:
+            bad.append(s)
+    if bad and warn:
+        warnings.warn(
+            f"shots {bad} cannot reach any receiver within nt*dt "
+            f"({reach:.0f} m at vp_max={vp_max:.0f}): their traces are "
+            f"numerically zero — increase nt or move receivers",
+            stacklevel=2)
+    return bad
+
+
 def compute_rxz(vp: np.ndarray, vs: np.ndarray, src_z: np.ndarray,
                 src_x: np.ndarray) -> np.ndarray:
     """sxx/szz moment ratio per source from the 9x9 neighborhood average of

@@ -132,3 +132,30 @@ def test_dynamic_bandpass_matches_static():
     ga = jax.grad(lambda s: static(obs, s))(syn)
     gb = jax.grad(lambda s: dynamic(obs, s, H))(syn)
     assert float(jnp.abs(ga - gb).max()) < 1e-12 * float(jnp.abs(ga).max())
+
+
+def test_check_reach_flags_unreachable_shots():
+    """check_reach: a shot whose nearest receiver lies beyond
+    vp_max*(nt-1)*dt is flagged (its traces are round-off noise and its
+    misfit silently zero); a reachable shot is not.  Warns by default."""
+    from sep2023_tpu.config import Survey
+
+    cfg = st.SimConfig(nz=120, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=8)
+    # reach = 3000 * 89 * 0.002 = 534 m = ~27 cells
+    survey = Survey(src_z=np.array([3, 60]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 100), rec_x=np.arange(12, 32))
+    with pytest.warns(UserWarning, match="cannot reach"):
+        bad = survey_tools.check_reach(cfg, survey, 3000.0)
+    assert bad == [0, 1]  # rows 97 / 40 below the sources: both out of reach
+
+    survey2 = Survey(src_z=np.array([3, 60]), src_x=np.array([14, 30]),
+                     rec_z=np.full(20, 76), rec_x=np.arange(12, 32))
+    assert survey_tools.check_reach(cfg, survey2, 3000.0) == [0]
+    assert survey_tools.check_reach(cfg, survey2, 3000.0, warn=False) == [0]
+
+    # ragged per-shot spreads: (S, R) rec arrays take the per-shot row
+    survey3 = Survey(src_z=np.array([3, 60]), src_x=np.array([14, 30]),
+                     rec_z=np.stack([np.full(20, 20), np.full(20, 100)]),
+                     rec_x=np.stack([np.arange(12, 32)] * 2))
+    assert survey_tools.check_reach(cfg, survey3, 3000.0, warn=False) == [1]
