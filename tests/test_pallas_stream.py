@@ -491,6 +491,53 @@ def test_stream_deep_pad_temporal_blocking(monkeypatch):
         assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
 
 
+def test_ac_stream_deep_pad_temporal_blocking(monkeypatch):
+    """Acoustic twin of test_stream_deep_pad_temporal_blocking: PAD=32
+    with K=5 forward / Kb=4 backward matches the PAD=16 K=1 run on a
+    3-tile grid with reachable receivers."""
+    npml = 8
+    cfg = st.SimConfig(nz=120, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[50:66, 24:40].add(250.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([12, 60]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 76), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+
+    def grads(obs):
+        def loss(lam_, rho_, stf_):
+            syn = ps.propagate_pallas_acoustic_streamed(cfg, rs, lam_, rho_,
+                                                        stf_, sz, sx)
+            return jnp.sum((syn - obs) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    out_1 = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    assert np.abs(out_1).max() > 1e-8  # real arrivals, not round-off noise
+    obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())
+    g_1 = grads(obs)
+
+    monkeypatch.setattr(ps, "PAD", 32)
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "5")
+    assert ps._stream_K(cfg) == 5 and ps._stream_K_bwd(cfg) == 4
+    out_k = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    g_k = grads(obs)
+
+    assert np.abs(out_k - out_1).max() <= 1e-6 * np.abs(out_1).max()
+    for name, a, b in zip(("lam", "rho", "stf"), g_k, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
+
+
 def test_ac_stream_temporal_blocking_matches_k1(monkeypatch):
     """Acoustic twin of test_stream_temporal_blocking_matches_k1 (K=2,
     ghost-step padding, multi-tile in-tile halo recomputation)."""
