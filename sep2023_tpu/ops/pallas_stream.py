@@ -151,6 +151,18 @@ def _unroll_tiles() -> int:
     return int(os.environ.get("SEP2023_TPU_STREAM_UNROLL", "0"))
 
 
+def _gm_vmem() -> bool:
+    """Keep the 5-plane material-gradient accumulator VMEM-resident
+    (SEP2023_TPU_STREAM_GM=vmem): the backward megastep then accumulates
+    into the aliased gradient output IN PLACE instead of streaming gmat
+    HBM->VMEM->HBM per tile sweep — 10 of the ~35 streamed planes per
+    elastic megastep.  Costs 5*nz_ext*nxp*4 bytes of VMEM, charged
+    against the tile budget by _budget_rows (smaller T -> more halo
+    recompute); whether the trade wins is an on-chip measurement
+    (tools/stream_ksweep.py --gm vmem)."""
+    return os.environ.get("SEP2023_TPU_STREAM_GM", "") == "vmem"
+
+
 def _dbg() -> frozenset:
     """Timing-dissection switches (comma list, DEBUG ONLY — results are
     garbage): 'noin' skips the input DMAs, 'noout' the output DMAs,
@@ -175,6 +187,8 @@ def _budget_rows(cfg: SimConfig, compact: bool) -> int:
     compiles and T=120 overflows Mosaic's scoped stack."""
     nxp = _pad128(cfg.nx)
     rows = (100 * 2 ** 20) // (nxp * 4)
+    if _gm_vmem():   # the VMEM-resident gradient accumulator's 5 planes
+        rows -= 5 * (_pad8(cfg.nz) + 2 * PAD + 16)
     ext, tpl = (76, 15) if compact else (76, 23)
     T = (rows - ext * 2 * PAD) // (ext + tpl)
     # T >= PAD keeps the 2-slot pipeline's hazard window adjacent-only:
@@ -989,7 +1003,7 @@ def _gm_out_dma(gm_t, gmat_out, tile, T, sem):
         sem)
 
 
-def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
+def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
     nz_ext = PAD + n_tiles * T + PAD
@@ -1016,13 +1030,19 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
     dstf_out = args[p_ + 1]
     p_ += 2
     if plan:
-        sst2, mat2, psis, stage, gm_t = args[p_:p_ + 5]
-        p_ += 5
-    else:
-        sst2, mat2, stage, gm_t = args[p_:p_ + 4]
-        psis = None
+        sst2, mat2, psis, stage = args[p_:p_ + 4]
         p_ += 4
-    s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_:p_ + 6]
+    else:
+        sst2, mat2, stage = args[p_:p_ + 3]
+        psis = None
+        p_ += 3
+    if gm_vmem:   # direct in-place accumulation: no staging, no gm DMAs
+        gm_t = gi_sem = go_sem = None
+        s_sems, m_sems, out_sem, aux_sem = args[p_:p_ + 4]
+    else:
+        gm_t = args[p_]
+        p_ += 1
+        s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_:p_ + 6]
 
     NC = 4 * eng._n_layers(rs)
     dt = cfg.dt
@@ -1044,13 +1064,15 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
 
         # gm_t is single-buffered: drain the previous tile's out, then START
         # the reload but defer its wait to just before the accumulation —
-        # the 5-plane load runs under the whole reconstruction + adjoint
-        if not ({"noin", "noout"} & _dbg()):
-            @_when(i >= 1)
-            def _gm_drain():
-                _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
-        if "noin" not in _dbg():
-            _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).start()
+        # the 5-plane load runs under the whole reconstruction + adjoint.
+        # (VMEM-resident gmat needs none of this: direct accumulate below.)
+        if not gm_vmem:
+            if not ({"noin", "noout"} & _dbg()):
+                @_when(i >= 1)
+                def _gm_drain():
+                    _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
+            if "noin" not in _dbg():
+                _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).start()
 
         if "nostep" in _dbg():
             for k in range(K):
@@ -1063,7 +1085,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
             _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                                stage, state_out, T, E, s_sems, m_sems,
                                out_sem)
-            if "noout" not in _dbg():
+            if not gm_vmem and "noout" not in _dbg():
                 if "noin" not in _dbg():
                     _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
                 _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
@@ -1188,21 +1210,29 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
         else:
             for j, v in enumerate(d_psi):
                 stage[10 + j] = v[PAD:PAD + T, :]
-        if "noin" not in _dbg():
-            _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
-        for f, v in enumerate(acc_mats):
-            gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
+        if gm_vmem:
+            # VMEM-resident accumulator: read-modify-write the aliased
+            # gradient output rows in place (tile interiors are disjoint)
+            rows_g = pl.ds(_m8(r0 + PAD), T)
+            for f, v in enumerate(acc_mats):
+                gmat_out[f, rows_g, :] = (gmat_in[f, rows_g, :]
+                                          + v[PAD:PAD + T, :])
+        else:
+            if "noin" not in _dbg():
+                _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
+            for f, v in enumerate(acc_mats):
+                gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         # start the gradient drain BEFORE the epilogue so it overlaps the
         # wait on tile i+1's prefetched input
-        if "noout" not in _dbg():
+        if not gm_vmem and "noout" not in _dbg():
             _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems,
                            out_sem)
-        if "noout" not in _dbg():
+        if not gm_vmem and "noout" not in _dbg():
             @_when(i == n_tiles - 1)
             def _gm_final():
                 _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
@@ -1223,9 +1253,11 @@ def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
     NC = 4 * eng._n_layers(rs)
     recw_in = _recw_inputs_padded(cfg, rs, nxp)
     n_recw = len(recw_in)
+    gm_vmem = _gm_vmem()
+    gm_space = pltpu.VMEM if gm_vmem else pltpu.HBM
 
     kernel = functools.partial(_bwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
-                               n_recw, plan, K)
+                               n_recw, plan, K, gm_vmem)
     out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if plan:
@@ -1234,24 +1266,27 @@ def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     out_shape += [jax.ShapeDtypeStruct((5, nz_ext, nxp), f32),
                   jax.ShapeDtypeStruct((K,), f32)]
-    out_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
+    out_specs += [pl.BlockSpec(memory_space=gm_space),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
                pltpu.VMEM((2, 5, E, nxp), f32)]
     if plan:
         scratch += [pltpu.VMEM((8, E, nxp), f32)]
-    scratch += [pltpu.VMEM((nf, T, nxp), f32),
-                pltpu.VMEM((5, T, nxp), f32),
+    scratch += [pltpu.VMEM((nf, T, nxp), f32)]
+    if not gm_vmem:
+        scratch += [pltpu.VMEM((5, T, nxp), f32)]
+    scratch += [pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(())]
+    if not gm_vmem:
+        scratch += [pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(1,),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+                  + [pl.BlockSpec(memory_space=gm_space)]
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)]
                   * ((2 if plan else 0) + 12 + n_recw)
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),

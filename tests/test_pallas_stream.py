@@ -491,6 +491,46 @@ def test_stream_deep_pad_temporal_blocking(monkeypatch):
         assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
 
 
+def test_stream_gm_vmem_matches_default(monkeypatch):
+    """SEP2023_TPU_STREAM_GM=vmem keeps the 5-plane material-gradient
+    accumulator VMEM-resident (direct in-place accumulation, no gm
+    DMAs): gradients must be identical to the streamed default, with and
+    without temporal blocking (the accumulate runs per megastep in both
+    paths; tile interiors are disjoint)."""
+    npml = 8
+    cfg = st.SimConfig(nz=120, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([3, 60]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 76), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    rxz = jnp.asarray(survey.src_rxz)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    out_1 = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    assert np.abs(out_1).max() > 1e-8
+    obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())
+
+    for K in ("1", "2"):
+        monkeypatch.setenv("SEP2023_TPU_STREAM_K", K)
+        monkeypatch.delenv("SEP2023_TPU_STREAM_GM", raising=False)
+        g_d = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+        monkeypatch.setenv("SEP2023_TPU_STREAM_GM", "vmem")
+        assert ps._gm_vmem()
+        g_v = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+        for name, a, b in zip(("lam", "mu", "rho", "stf"), g_v, g_d):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.abs(a - b).max() <= 1e-7 * max(np.abs(b).max(),
+                                                     1e-30), (K, name)
+    monkeypatch.delenv("SEP2023_TPU_STREAM_GM", raising=False)
+
+
 def test_ac_stream_deep_pad_temporal_blocking(monkeypatch):
     """Acoustic twin of test_stream_deep_pad_temporal_blocking: PAD=32
     with K=5 forward / Kb=4 backward matches the PAD=16 K=1 run on a
