@@ -156,11 +156,34 @@ def _gm_vmem() -> bool:
     (SEP2023_TPU_STREAM_GM=vmem): the backward megastep then accumulates
     into the aliased gradient output IN PLACE instead of streaming gmat
     HBM->VMEM->HBM per tile sweep — 10 of the ~35 streamed planes per
-    elastic megastep.  Costs 5*nz_ext*nxp*4 bytes of VMEM, charged
+    elastic megastep (6 of ~21 for the acoustic twin's 3-plane gmat;
+    _budget_rows conservatively charges 5 planes for both).  Costs
+    5*nz_ext*nxp*4 bytes of VMEM, charged
     against the tile budget by _budget_rows (smaller T -> more halo
     recompute); whether the trade wins is an on-chip measurement
     (tools/stream_ksweep.py --gm vmem)."""
     return os.environ.get("SEP2023_TPU_STREAM_GM", "") == "vmem"
+
+
+def _mats_compute(cfg) -> bool:
+    """Stream RAW (lam, mu, rho) material planes ((lam, rho) acoustic) and
+    derive the staggered fields (lp2m, ave_mu, byc_a, byc_b) in-kernel
+    (SEP2023_TPU_STREAM_MATS=compute): 3 planes streamed per megastep
+    instead of 5 (2 instead of 3 acoustic) — the megasteps are stream-bound
+    at wide shapes, so bytes convert ~1:1 (opt-in pending on-chip
+    measurement, tools/stream_ksweep.py --mats compute).  The raw planes
+    ride an (E+8)-row slot (one 8-row block deeper than the state tiles) so
+    the z+1 shifts are EXACT static slices — no tile-edge wrap — against an
+    HBM buffer that is EDGE-REPLICATED (_ext_plane_edge: matches
+    medium._shift_up/_shift_left boundary semantics; zero rho pads would
+    divide by zero).  Derived values in ghost rows/lanes are nonzero but
+    inert: every update is masked and the CPML profiles are zero there.
+    Requires nxp > nx (the lane roll for the x+1 shift wraps at the last
+    lane): grids whose nx already fills the lane tile fall back to the
+    default 5-plane stream."""
+    if os.environ.get("SEP2023_TPU_STREAM_MATS", "") != "compute":
+        return False
+    return _pad128(cfg.nx) > cfg.nx
 
 
 def _dbg() -> frozenset:
@@ -329,6 +352,61 @@ def _ext_plane(a, nz_ext, nxp):
     nz, nx = a.shape
     out = jnp.zeros((nz_ext, nxp), jnp.float32)
     return out.at[PAD:PAD + nz, :nx].set(a.astype(jnp.float32))
+
+
+def _ext_plane_edge(a, nz_ext_m, nxp):
+    """Embed an (nz, nx) plane at [PAD:PAD+nz, :nx] of an (nz_ext_m, nxp)
+    buffer with EDGE-REPLICATED padding (raw material planes for
+    _mats_compute: the in-kernel staggered averages must see the boundary
+    values medium.material_fields' edge-replicating shifts do)."""
+    nz, nx = a.shape
+    return jnp.pad(a.astype(jnp.float32),
+                   ((PAD, nz_ext_m - PAD - nz), (0, nxp - nx)),
+                   mode="edge")
+
+
+def _mats_rows(cfg, E):
+    """Rows of the mats pipeline slot: E + 8 under _mats_compute (the z+1
+    shift window), else E."""
+    return E + 8 if _mats_compute(cfg) else E
+
+
+def _mats_tile(cfg, mat_t, E):
+    """The 5 staggered material fields on the tile window: read from the
+    slot (default), or derived from the raw (lam, mu, rho) (E+8)-row window
+    with the same arithmetic as medium.material_fields (harmonic mu
+    average el_stress.cu:112-123, buoyancy average el_velocity.cu:100-110)
+    so physical cells match the default stream bitwise."""
+    if not _mats_compute(cfg):
+        return tuple(mat_t[k] for k in range(5))
+    lam = mat_t[0, 0:E, :]
+    mu = mat_t[1, 0:E, :]
+    rho = mat_t[2, 0:E, :]
+    mu_b = mat_t[1, 1:E + 1, :]
+    mu_c = eng._roll(mu, -1, 1)
+    mu_d = eng._roll(mu_b, -1, 1)
+    nonzero = (mu != 0) & (mu_b != 0) & (mu_c != 0) & (mu_d != 0)
+    safe = jnp.where(nonzero, mu, 1.0)
+    safe_b = jnp.where(nonzero, mu_b, 1.0)
+    safe_c = jnp.where(nonzero, mu_c, 1.0)
+    safe_d = jnp.where(nonzero, mu_d, 1.0)
+    hm = 4.0 / (1.0 / safe + 1.0 / safe_b + 1.0 / safe_c + 1.0 / safe_d)
+    ave_mu = jnp.where(nonzero, hm, 0.0)
+    byc_a = 2.0 / (mat_t[2, 1:E + 1, :] + rho)
+    byc_b = 2.0 / (eng._roll(rho, -1, 1) + rho)
+    return (lam, lam + 2.0 * mu, ave_mu, byc_a, byc_b)
+
+
+def _ac_mats_tile(cfg, mat_t, E):
+    """Acoustic twin of _mats_tile: (lam, byc_a, byc_b) read from the slot,
+    or derived from raw (lam, rho) (pallas_engine._ac_mats arithmetic)."""
+    if not _mats_compute(cfg):
+        return tuple(mat_t[k] for k in range(3))
+    lam = mat_t[0, 0:E, :]
+    rho = mat_t[1, 0:E, :]
+    byc_a = 2.0 / (mat_t[1, 1:E + 1, :] + rho)
+    byc_b = 2.0 / (eng._roll(rho, -1, 1) + rho)
+    return (lam, byc_a, byc_b)
 
 
 def _profiles_ext(cfg: SimConfig, nz_ext, nxp):
@@ -522,7 +600,7 @@ def _stage_out_dmas(stage, dst_hbm, tile, T, sem2):
 
 
 def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
-                       s_sems, m_sems):
+                       s_sems, m_sems, EM=None):
     """2-slot input pipeline over an IN-PLACE (aliased) state buffer.
 
     Tile i's loads were waited at the END of iteration i-1 (i=0 primes
@@ -532,6 +610,7 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
     is what makes input/output aliasing safe: the 16 halo rows tile i+1
     reads overlap the rows tile i writes, so the read must be secured
     first (all later tiles read disjoint rows)."""
+    EM = E if EM is None else EM
     p = _slot_of(i)
     if "noin" in _dbg():
         return p
@@ -540,7 +619,7 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
     @_when(i == 0)
     def _prime():
         cp_s = _in_dma(state_in, sst2, 0, 0, T, E, s_sems)
-        cp_m = _in_dma(mats_in, mat2, 0, 0, T, E, m_sems)
+        cp_m = _in_dma(mats_in, mat2, 0, 0, T, EM, m_sems)
         cp_s.start()
         cp_m.start()
         cp_s.wait()
@@ -549,16 +628,17 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
     @_when(i + 1 < n_tiles)
     def _prefetch():
         _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).start()
-        _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).start()
+        _in_dma(mats_in, mat2, q, i + 1, T, EM, m_sems).start()
 
     return p
 
 
 def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
-                       state_out, T, E, s_sems, m_sems, out_sem):
+                       state_out, T, E, s_sems, m_sems, out_sem, EM=None):
     """Start this tile's output BODY (rows that no later in-DMA reads),
     secure tile i+1's prefetched input (the aliasing hazard gate), then
     start the output TAIL; the final tile drains its own out."""
+    EM = E if EM is None else EM
     q = 1 - _slot_of(i)
     body, tail = _stage_out_dmas(stage, state_out, i, T, out_sem)
     if "noout" not in _dbg():
@@ -568,7 +648,7 @@ def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
         @_when(i + 1 < n_tiles)
         def _secure_next():
             _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).wait()
-            _in_dma(mats_in, mat2, q, i + 1, T, E, m_sems).wait()
+            _in_dma(mats_in, mat2, q, i + 1, T, EM, m_sems).wait()
 
     if "noout" in _dbg():
         return
@@ -705,6 +785,7 @@ def _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi, zpsi_out,
 def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan, K,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
+    EM = _mats_rows(cfg, E)
     nz_ext = PAD + n_tiles * T + PAD
     nf = 5 if plan else NF_FWD
     state_in = args[0]
@@ -749,14 +830,14 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan, K,
     def tile_body(i, _):
         r0 = i * T
         p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                               T, E, s_sems, m_sems)
+                               T, E, s_sems, m_sems, EM)
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
         gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
                                            srcz_ref[0], srcx_ref[0])
         prof = _slice_prof(prof_refs, r0, E)
-        mats = tuple(mat_t[m] for m in range(5))
+        mats = _mats_tile(cfg, mat_t, E)
 
         fields = tuple(sst[f] for f in range(5))
         if plan:
@@ -808,7 +889,7 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan, K,
                           aux_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems,
-                           out_sem)
+                           out_sem, EM)
         return 0
 
     if n_tiles <= _unroll_tiles():
@@ -821,6 +902,7 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan, K,
 def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
+    EM = _mats_rows(cfg, E)
     f32 = jnp.float32
     nf = 5 if plan else NF_FWD
     NC = 4 * eng._n_layers(rs)
@@ -842,8 +924,9 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1):
 
     kernel = functools.partial(_fwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
                                n_recw, save_strips, plan, K)
+    n_mats = 3 if _mats_compute(cfg) else 5
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
-               pltpu.VMEM((2, 5, E, nxp), f32)]
+               pltpu.VMEM((2, n_mats, EM, nxp), f32)]
     if plan:
         scratch += [pltpu.VMEM((8, E, nxp), f32)]
     scratch += [pltpu.VMEM((nf, T, nxp), f32),
@@ -885,6 +968,9 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1):
 
 def _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp):
     f32 = jnp.float32
+    if _mats_compute(cfg):
+        return jnp.stack([_ext_plane_edge(p.astype(f32), nz_ext + 8, nxp)
+                          for p in (lam, mu, rho)])
     mat = material_fields(lam.astype(f32), mu.astype(f32), rho.astype(f32))
     return jnp.stack([_ext_plane(p, nz_ext, nxp)
                       for p in (mat.lam, mat.lp2m, mat.ave_mu,
@@ -1006,6 +1092,7 @@ def _gm_out_dma(gm_t, gmat_out, tile, T, sem):
 def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
+    EM = _mats_rows(cfg, E)
     nz_ext = PAD + n_tiles * T + PAD
     nf = 10 if plan else NF_BWD
     state_in = args[0]
@@ -1058,7 +1145,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
     def tile_body(i, _):
         r0 = i * T
         p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                               T, E, s_sems, m_sems)
+                               T, E, s_sems, m_sems, EM)
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
@@ -1084,7 +1171,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
                               nxp, aux_sem)
             _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                                stage, state_out, T, E, s_sems, m_sems,
-                               out_sem)
+                               out_sem, EM)
             if not gm_vmem and "noout" not in _dbg():
                 if "noin" not in _dbg():
                     _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
@@ -1098,7 +1185,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
         gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
                                                   src_z, src_x)
         prof = _slice_prof(prof_refs, r0, E)
-        m = tuple(mat_t[k] for k in range(5))
+        m = _mats_tile(cfg, mat_t, E)
         (lam, lp2m, avemu, byca, bycb) = m
         if plan:
             _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
@@ -1231,7 +1318,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
             _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems,
-                           out_sem)
+                           out_sem, EM)
         if not gm_vmem and "noout" not in _dbg():
             @_when(i == n_tiles - 1)
             def _gm_final():
@@ -1248,6 +1335,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
 def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
+    EM = _mats_rows(cfg, E)
     f32 = jnp.float32
     nf = 10 if plan else NF_BWD
     NC = 4 * eng._n_layers(rs)
@@ -1268,8 +1356,9 @@ def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
                   jax.ShapeDtypeStruct((K,), f32)]
     out_specs += [pl.BlockSpec(memory_space=gm_space),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
+    n_mats = 3 if _mats_compute(cfg) else 5
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
-               pltpu.VMEM((2, 5, E, nxp), f32)]
+               pltpu.VMEM((2, n_mats, EM, nxp), f32)]
     if plan:
         scratch += [pltpu.VMEM((8, E, nxp), f32)]
     scratch += [pltpu.VMEM((nf, T, nxp), f32)]
@@ -1474,6 +1563,7 @@ def _ac_interior_tile(cfg, gz, xi):
 def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
                         K, srcz_ref, srcx_ref, amp_ref, *args):
     E = T + 2 * PAD
+    EM = _mats_rows(cfg, E)
     nz_ext = PAD + n_tiles * T + PAD
     nf = 3 if plan else AC_NF_FWD
     state_in = args[0]
@@ -1515,14 +1605,14 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
     def tile_body(i, _):
         r0 = i * T
         p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                               T, E, s_sems, m_sems)
+                               T, E, s_sems, m_sems, EM)
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
         gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
                                            srcz_ref[0], srcx_ref[0])
         prof = _slice_prof(prof_refs, r0, E)
-        mats = tuple(mat_t[m] for m in range(3))
+        mats = _ac_mats_tile(cfg, mat_t, E)
 
         fields = tuple(sst[f] for f in range(3))
         if plan:
@@ -1562,7 +1652,8 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                           stage, state_out, T, E, s_sems, m_sems, out_sem)
+                           stage, state_out, T, E, s_sems, m_sems, out_sem,
+                           EM)
         return 0
 
     if n_tiles <= _unroll_tiles():
@@ -1612,6 +1703,7 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool,
                           K: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
+    EM = _mats_rows(cfg, E)
     f32 = jnp.float32
     nf = 3 if plan else AC_NF_FWD
     NC = 4 * eng._n_layers(rs)
@@ -1633,8 +1725,9 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool,
 
     kernel = functools.partial(_ac_fwd_mega_kernel, cfg, rs, T, n_tiles,
                                nxp, n_recw, save_strips, plan, K)
+    n_mats = 2 if _mats_compute(cfg) else 3
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
-               pltpu.VMEM((2, 3, E, nxp), f32)]
+               pltpu.VMEM((2, n_mats, EM, nxp), f32)]
     if plan:
         scratch += [pltpu.VMEM((4, E, nxp), f32)]
     scratch += [pltpu.VMEM((nf, T, nxp), f32),
@@ -1673,6 +1766,10 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool,
 
 
 def _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp):
+    f32 = jnp.float32
+    if _mats_compute(cfg):
+        return jnp.stack([_ext_plane_edge(p.astype(f32), nz_ext + 8, nxp)
+                          for p in (lam, rho)])
     mats = eng._ac_mats(lam, rho)
     return jnp.stack([_ext_plane(p, nz_ext, nxp) for p in mats])
 
@@ -1728,9 +1825,10 @@ def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     return data
 
 
-def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
+def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
                         srcz_ref, srcx_ref, amp_ref, *args):
     E = T + 2 * PAD
+    EM = _mats_rows(cfg, E)
     nz_ext = PAD + n_tiles * T + PAD
     nf = 6 if plan else AC_NF_BWD
     state_in = args[0]
@@ -1755,13 +1853,19 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
     dstf_out = args[p_ + 1]
     p_ += 2
     if plan:
-        sst2, mat2, psis, stage, gm_t = args[p_:p_ + 5]
-        p_ += 5
-    else:
-        sst2, mat2, stage, gm_t = args[p_:p_ + 4]
-        psis = None
+        sst2, mat2, psis, stage = args[p_:p_ + 4]
         p_ += 4
-    s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_:p_ + 6]
+    else:
+        sst2, mat2, stage = args[p_:p_ + 3]
+        psis = None
+        p_ += 3
+    if gm_vmem:   # direct in-place accumulation: no staging, no gm DMAs
+        gm_t = gi_sem = go_sem = None
+        s_sems, m_sems, out_sem, aux_sem = args[p_:p_ + 4]
+    else:
+        gm_t = args[p_]
+        p_ += 1
+        s_sems, m_sems, out_sem, aux_sem, gi_sem, go_sem = args[p_:p_ + 6]
 
     NC = 4 * eng._n_layers(rs)
     dt = cfg.dt
@@ -1775,22 +1879,24 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
     def tile_body(i, _):
         r0 = i * T
         p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                               T, E, s_sems, m_sems)
+                               T, E, s_sems, m_sems, EM)
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
         # drain the previous tile's gradient out, then START the reload and
-        # defer its wait to just before the accumulation (see elastic twin)
-        @_when(i >= 1)
-        def _gm_drain():
-            _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
-        _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).start()
+        # defer its wait to just before the accumulation (see elastic twin);
+        # the VMEM-resident gmat variant needs no staging at all
+        if not gm_vmem:
+            @_when(i >= 1)
+            def _gm_drain():
+                _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
+            _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).start()
 
         gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp, src_z, src_x)
         xi = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
         interior = _ac_interior_tile(cfg, gz, xi)
         prof = _slice_prof(prof_refs, r0, E)
-        (lam, byca, bycb) = tuple(mat_t[k] for k in range(3))
+        (lam, byca, bycb) = _ac_mats_tile(cfg, mat_t, E)
         if plan:
             _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
                              xpsi_in, i, r0, AC_Z_IDX, AC_X_IDX)
@@ -1870,21 +1976,32 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
         else:
             for j, v in enumerate(d_psi):
                 stage[6 + j] = v[PAD:PAD + T, :]
-        _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
-        for f, v in enumerate(acc_mats):
-            gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
+        if gm_vmem:
+            # VMEM-resident accumulator: read-modify-write the aliased
+            # gradient output rows in place (tile interiors are disjoint)
+            rows_g = pl.ds(_m8(r0 + PAD), T)
+            for f, v in enumerate(acc_mats):
+                gmat_out[f, rows_g, :] = (gmat_in[f, rows_g, :]
+                                          + v[PAD:PAD + T, :])
+        else:
+            _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
+            for f, v in enumerate(acc_mats):
+                gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         # start the gradient drain BEFORE the epilogue so it overlaps the
         # wait on tile i+1's prefetched input
-        _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
+        if not gm_vmem:
+            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                           stage, state_out, T, E, s_sems, m_sems, out_sem)
+                           stage, state_out, T, E, s_sems, m_sems, out_sem,
+                           EM)
 
-        @_when(i == n_tiles - 1)
-        def _gm_final():
-            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
+        if not gm_vmem:
+            @_when(i == n_tiles - 1)
+            def _gm_final():
+                _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
         return 0
 
     if n_tiles <= _unroll_tiles():
@@ -1897,14 +2014,17 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K,
 def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
+    EM = _mats_rows(cfg, E)
     f32 = jnp.float32
     nf = 6 if plan else AC_NF_BWD
     NC = 4 * eng._n_layers(rs)
     recw_in = _recw_inputs_padded(cfg, rs, nxp)
     n_recw = len(recw_in)
+    gm_vmem = _gm_vmem()
+    gm_space = pltpu.VMEM if gm_vmem else pltpu.HBM
 
     kernel = functools.partial(_ac_bwd_mega_kernel, cfg, rs, T, n_tiles,
-                               nxp, n_recw, plan, K)
+                               nxp, n_recw, plan, K, gm_vmem)
     out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if plan:
@@ -1913,24 +2033,28 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     out_shape += [jax.ShapeDtypeStruct((3, nz_ext, nxp), f32),
                   jax.ShapeDtypeStruct((K,), f32)]
-    out_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
+    out_specs += [pl.BlockSpec(memory_space=gm_space),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
+    n_mats = 2 if _mats_compute(cfg) else 3
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
-               pltpu.VMEM((2, 3, E, nxp), f32)]
+               pltpu.VMEM((2, n_mats, EM, nxp), f32)]
     if plan:
         scratch += [pltpu.VMEM((4, E, nxp), f32)]
-    scratch += [pltpu.VMEM((nf, T, nxp), f32),
-                pltpu.VMEM((3, T, nxp), f32),
+    scratch += [pltpu.VMEM((nf, T, nxp), f32)]
+    if not gm_vmem:
+        scratch += [pltpu.VMEM((3, T, nxp), f32)]
+    scratch += [pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(())]
+    if not gm_vmem:
+        scratch += [pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+                  + [pl.BlockSpec(memory_space=gm_space)]
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)]
                   * ((2 if plan else 0) + 12 + n_recw)
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),

@@ -531,6 +531,162 @@ def test_stream_gm_vmem_matches_default(monkeypatch):
     monkeypatch.delenv("SEP2023_TPU_STREAM_GM", raising=False)
 
 
+def test_stream_mats_compute_matches_default(monkeypatch):
+    """SEP2023_TPU_STREAM_MATS=compute streams RAW (lam, mu, rho) planes
+    and derives the staggered fields in-kernel from an (E+8)-row
+    edge-replicated window: forward recordings and gradients must match
+    the default 5-plane derived stream across multi-tile layouts and
+    temporal blocking.  The derived VALUES are bitwise identical at every
+    physical cell (verified directly when this was built), but inlining
+    the derivation changes XLA's fusion/fma choices inside the update
+    chain, so the evolved state accumulates ULP-class rounding (measured
+    ~5e-7 relative after 90 steps, growing ~sqrt(nt)) — the gates are
+    accumulated-ULP, not bitwise."""
+    npml = 8
+    cfg = st.SimConfig(nz=120, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([3, 60]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 76), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    rxz = jnp.asarray(survey.src_rxz)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    out_d = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    assert np.abs(out_d).max() > 1e-8
+    obs = jnp.asarray(out_d) * 1.1 + 0.05 * float(np.abs(out_d).max())
+
+    for K in ("1", "2"):
+        monkeypatch.setenv("SEP2023_TPU_STREAM_K", K)
+        monkeypatch.delenv("SEP2023_TPU_STREAM_MATS", raising=False)
+        out_0 = np.asarray(ps.propagate_pallas_streamed(
+            cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+        g_0 = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+        monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "compute")
+        assert ps._mats_compute(cfg)
+        out_c = np.asarray(ps.propagate_pallas_streamed(
+            cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+        g_c = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+        assert np.abs(out_c - out_0).max() <= 1e-6 * np.abs(out_0).max(), K
+        for name, a, b in zip(("lam", "mu", "rho", "stf"), g_c, g_0):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(),
+                                                     1e-30), (K, name)
+    monkeypatch.delenv("SEP2023_TPU_STREAM_MATS", raising=False)
+
+
+def test_ac_stream_mats_compute_matches_default(monkeypatch):
+    """Acoustic twin of test_stream_mats_compute_matches_default: raw
+    (lam, rho) 2-plane stream with in-kernel buoyancy derivation."""
+    npml = 8
+    cfg = st.SimConfig(nz=120, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[50:66, 24:40].add(250.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([12, 60]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 76), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+
+    def grads(obs):
+        def loss(lam_, rho_, stf_):
+            syn = ps.propagate_pallas_acoustic_streamed(cfg, rs, lam_, rho_,
+                                                        stf_, sz, sx)
+            return jnp.sum((syn - obs) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    out_0 = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    assert np.abs(out_0).max() > 1e-8
+    obs = jnp.asarray(out_0) * 1.1 + 0.05 * float(np.abs(out_0).max())
+    g_0 = grads(obs)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "compute")
+    assert ps._mats_compute(cfg)
+    out_c = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    g_c = grads(obs)
+    assert np.abs(out_c - out_0).max() <= 1e-7 * np.abs(out_0).max()
+    for name, a, b in zip(("lam", "rho", "stf"), g_c, g_0):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-6 * max(np.abs(b).max(),
+                                                 1e-30), name
+    monkeypatch.delenv("SEP2023_TPU_STREAM_MATS", raising=False)
+
+
+def test_mats_compute_requires_spare_lanes(monkeypatch):
+    """_mats_compute falls back to the default stream when nx fills the
+    lane tile exactly (the x+1 lane roll would wrap)."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "compute")
+    cfg_ok = st.SimConfig(nz=64, nx=60, dz=20.0, dx=20.0, nt=10, dt=0.002,
+                          f0=10.0, npml=8)
+    cfg_full = st.SimConfig(nz=64, nx=128, dz=20.0, dx=20.0, nt=10,
+                            dt=0.002, f0=10.0, npml=8)
+    assert ps._mats_compute(cfg_ok)
+    assert not ps._mats_compute(cfg_full)
+    monkeypatch.delenv("SEP2023_TPU_STREAM_MATS", raising=False)
+
+
+def test_ac_stream_gm_vmem_matches_default(monkeypatch):
+    """Acoustic twin of test_stream_gm_vmem_matches_default: the
+    VMEM-resident 3-plane (lam, byca, bycb) gradient accumulator must
+    match the HBM-streamed default, with and without temporal blocking."""
+    npml = 8
+    cfg = st.SimConfig(nz=120, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
+                       f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[50:66, 24:40].add(250.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([12, 60]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 76), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+
+    def grads(obs):
+        def loss(lam_, rho_, stf_):
+            syn = ps.propagate_pallas_acoustic_streamed(cfg, rs, lam_, rho_,
+                                                        stf_, sz, sx)
+            return jnp.sum((syn - obs) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    out_1 = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    assert np.abs(out_1).max() > 1e-8
+    obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())
+
+    for K in ("1", "2"):
+        monkeypatch.setenv("SEP2023_TPU_STREAM_K", K)
+        monkeypatch.delenv("SEP2023_TPU_STREAM_GM", raising=False)
+        g_d = grads(obs)
+        monkeypatch.setenv("SEP2023_TPU_STREAM_GM", "vmem")
+        assert ps._gm_vmem()
+        g_v = grads(obs)
+        for name, a, b in zip(("lam", "rho", "stf"), g_v, g_d):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.abs(a - b).max() <= 1e-7 * max(np.abs(b).max(),
+                                                     1e-30), (K, name)
+    monkeypatch.delenv("SEP2023_TPU_STREAM_GM", raising=False)
+
+
 def test_ac_stream_deep_pad_temporal_blocking(monkeypatch):
     """Acoustic twin of test_stream_deep_pad_temporal_blocking: PAD=32
     with K=5 forward / Kb=4 backward matches the PAD=16 K=1 run on a

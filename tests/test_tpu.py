@@ -9,7 +9,7 @@ chip.  Run via
     SEP2023_TPU_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q
 
 (wired into .claude/skills/verify; skipped automatically on CPU).  Budget
-~20 min: every test pays at least one cold remote compile (7 tests;
+~25 min: every test pays at least one cold remote compile (9 tests;
 the first 5 validated green on a v5e chip in round 3).
 """
 import numpy as np
@@ -319,3 +319,72 @@ def test_tpu_temporal_blocking_matches_k1(monkeypatch):
     assert _rel(out_k, out_1) < 1e-5
     for name, a, b in zip(("lam", "mu", "rho", "stf"), g_k, g_1):
         assert _rel(np.asarray(a), np.asarray(b)) < 1e-3, name
+
+
+def test_tpu_stream_gm_vmem_matches_default(monkeypatch):
+    """Mosaic-compiled VMEM-resident gradient accumulator
+    (SEP2023_TPU_STREAM_GM=vmem: in-place accumulation into the aliased
+    gradient output, no gm DMAs) vs the HBM-streamed default.
+    Pallas-vs-Pallas, tight gates."""
+    cfg, lam, mu, rho, survey, geoms, stf, sz, sx, rxz = _problem(nt=301)
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
+                             survey.rec_x + cfg.npml)
+    obs = jnp.asarray(np.asarray(jax.jit(
+        lambda *a: ps.forward_pallas_streamed(cfg, rs, *a))(
+            lam, mu, rho, stf, sz, sx, rxz)) * 1.01)
+
+    def grads():
+        def loss(lam_, mu_, rho_, stf_):
+            syn = ps.propagate_pallas_streamed(cfg, rs, lam_, mu_, rho_,
+                                               stf_, sz, sx, rxz)
+            return jnp.sum((syn - obs) ** 2)
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(lam, mu, rho,
+                                                             stf)
+
+    g_d = grads()
+    monkeypatch.setenv("SEP2023_TPU_STREAM_GM", "vmem")
+    g_v = grads()
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_v, g_d):
+        assert _rel(np.asarray(a), np.asarray(b)) < 1e-5, name
+
+
+def test_tpu_acoustic_streamed_gradient(monkeypatch):
+    """Mosaic-compiled ACOUSTIC streamed engine (not otherwise chip-covered)
+    vs the fused acoustic kernels, plus its gm-vmem variant."""
+    cfg, lam_e, mu_e, rho, survey, geoms, stf, sz, sx, rxz = _problem(
+        nt=301, dt=0.001)
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[60:80, 90:140].add(250.0)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
+                             survey.rec_x + cfg.npml)
+    out_f = np.asarray(pe.forward_pallas_acoustic(cfg, rs, lam, rho, stf,
+                                                  sz, sx))
+    out_s = np.asarray(jax.jit(lambda *a: ps.forward_pallas_acoustic_streamed(
+        cfg, rs, *a))(lam, rho, stf, sz, sx))
+    for c in range(3):
+        assert _rel(out_s[:, c], out_f[:, c]) < 2e-5, c
+
+    obs = jnp.asarray(out_f * 1.01)
+
+    def make_loss(prop):
+        def loss(lam_, rho_, stf_):
+            syn = prop(cfg, rs, lam_, rho_, stf_, sz, sx)
+            return jnp.sum((syn - obs) ** 2)
+        return loss
+
+    gf = jax.jit(jax.grad(make_loss(pe.propagate_pallas_acoustic),
+                          argnums=(0, 1, 2)))(lam, rho, stf)
+
+    def s_grads():
+        return jax.jit(jax.grad(
+            make_loss(ps.propagate_pallas_acoustic_streamed),
+            argnums=(0, 1, 2)))(lam, rho, stf)
+
+    gs = s_grads()
+    for name, a, b in zip(("lam", "rho", "stf"), gs, gf):
+        assert _rel(np.asarray(a), np.asarray(b)) < 1e-3, name
+    monkeypatch.setenv("SEP2023_TPU_STREAM_GM", "vmem")
+    gv = s_grads()
+    for name, a, b in zip(("lam", "rho", "stf"), gv, gs):
+        assert _rel(np.asarray(a), np.asarray(b)) < 1e-5, name

@@ -51,7 +51,8 @@ def run_one(args):
     T, n_tiles, _, _, plan = ps._layout_plan(cfg)
     out = {"K": ps._stream_K(cfg), "Kb": ps._stream_K_bwd(cfg),
            "PAD": ps.PAD, "T": T, "tiles": n_tiles,
-           "compact": plan is not None, "gm_vmem": ps._gm_vmem()}
+           "compact": plan is not None, "gm_vmem": ps._gm_vmem(),
+           "mats_compute": ps._mats_compute(cfg)}
     fwd = ps.tpu_jit(lambda l, m, r, s: ps.forward_pallas_streamed(
         cfg, rs, l, m, r, s, sz, sx, rxz))
     t, _ = _time_pipelined(fwd, lam, mu, rho, stf, depth=3)
@@ -79,6 +80,8 @@ def main():
     ap.add_argument("--pad", type=int, default=0, help="halo depth (0=default 16)")
     ap.add_argument("--gm", default="", choices=("", "vmem"),
                     help="gradient accumulator placement (SEP2023_TPU_STREAM_GM)")
+    ap.add_argument("--mats", default="", choices=("", "compute"),
+                    help="raw-plane material stream (SEP2023_TPU_STREAM_MATS)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--one", action="store_true",
                     help="internal: run the env-selected config in-process")
@@ -97,6 +100,8 @@ def main():
             env["SEP2023_TPU_STREAM_PAD"] = str(args.pad)
         if args.gm:
             env["SEP2023_TPU_STREAM_GM"] = args.gm
+        if args.mats:
+            env["SEP2023_TPU_STREAM_MATS"] = args.mats
         cmd = [sys.executable, os.path.abspath(__file__), "--one",
                "--nz", str(args.nz), "--nx", str(args.nx),
                "--nt", str(args.nt)]
