@@ -168,10 +168,18 @@ def _gm_vmem() -> bool:
 def _mats_compute(cfg) -> bool:
     """Stream RAW (lam, mu, rho) material planes ((lam, rho) acoustic) and
     derive the staggered fields (lp2m, ave_mu, byc_a, byc_b) in-kernel
-    (SEP2023_TPU_STREAM_MATS=compute): 3 planes streamed per megastep
-    instead of 5 (2 instead of 3 acoustic) — the megasteps are stream-bound
-    at wide shapes, so bytes convert ~1:1 (opt-in pending on-chip
-    measurement, tools/stream_ksweep.py --mats compute).  The raw planes
+    (SEP2023_TPU_STREAM_MATS: =compute forces on, =stage forces the
+    5-plane staged stream; unset AUTO-selects): 3 planes streamed per
+    megastep instead of 5 (2 instead of 3 acoustic).  Whether that wins
+    depends on how stream-bound the megasteps are, so the default follows
+    the selected layout (v5e measurements, tools/stream_ksweep.py):
+    FULL-PLANE layouts are deeply stream-bound and the saved bytes
+    convert (814x2064: forward 6.70 -> 7.06 GCell/s at K=1, gradient
+    2.715 -> 2.736 at K=2), while band-compact (PsiPlan) layouts at
+    moderate widths are near compute-bound and the in-kernel derivation
+    (divides each sub-step) costs more than 2 planes (560x720 compact:
+    gradient 2.881 -> 2.65 at K=2) — so AUTO enables the raw stream only
+    when the layout carries full psi planes.  The raw planes
     ride an (E+8)-row slot (one 8-row block deeper than the state tiles) so
     the z+1 shifts are EXACT static slices — no tile-edge wrap — against an
     HBM buffer that is EDGE-REPLICATED (_ext_plane_edge: matches
@@ -181,9 +189,12 @@ def _mats_compute(cfg) -> bool:
     Requires nxp > nx (the lane roll for the x+1 shift wraps at the last
     lane): grids whose nx already fills the lane tile fall back to the
     default 5-plane stream."""
-    if os.environ.get("SEP2023_TPU_STREAM_MATS", "") != "compute":
+    env = os.environ.get("SEP2023_TPU_STREAM_MATS", "")
+    if env == "compute":
+        return _pad128(cfg.nx) > cfg.nx
+    if env:   # "stage" (or anything else): force the staged stream
         return False
-    return _pad128(cfg.nx) > cfg.nx
+    return _pad128(cfg.nx) > cfg.nx and _select_layout(cfg)[4] is None
 
 
 def _dbg() -> frozenset:
@@ -206,14 +217,20 @@ def _budget_rows(cfg: SimConfig, compact: bool) -> int:
     + 2x5 mats + ~30 temps extended planes, 18+5 T-row planes.  Compact
     (PsiPlan): 2x10 + 2x5 + 8 psi-materialization planes, 10+5 T-row
     planes, and a LARGER temp allowance (the psi extract/materialize vjps
-    add plane-tiles) — calibrated on-chip at nxp=2176, where T=104
-    compiles and T=120 overflows Mosaic's scoped stack."""
+    add plane-tiles) — calibrated on-chip at nxp=2176/Kb=1, where T=104
+    compiles and T=120 overflows Mosaic's scoped stack.  TEMPORAL
+    BLOCKING multiplies the vjp temporaries: each of the Kb
+    reconstruct+adjoint sub-steps holds its own saved-primal plane-tiles,
+    so the temp allowance scales by Kb (consistent with every measured
+    pass/fail point: Kb=2 at nxp=2176 predicts T<=88 — T=104 fails,
+    T=64/80 full-plane compile; Kb=2 at nxp=768 predicts T<=288 — the
+    T=280 compact layout compiles)."""
     nxp = _pad128(cfg.nx)
     rows = (100 * 2 ** 20) // (nxp * 4)
     if _gm_vmem():   # the VMEM-resident gradient accumulator's 5 planes
         rows -= 5 * (_pad8(cfg.nz) + 2 * PAD + 16)
     ext, tpl = (76, 15) if compact else (76, 23)
-    T = (rows - ext * 2 * PAD) // (ext + tpl)
+    T = (rows - ext * 2 * PAD) // (ext + tpl * _stream_K_bwd(cfg))
     # T >= PAD keeps the 2-slot pipeline's hazard window adjacent-only:
     # tile i's out tail [iT+T, iT+T+PAD) must not reach tile i+2's in-DMA
     # window [(i+2)T, ...), i.e. T >= PAD (multi-tile layouts only)
@@ -331,6 +348,21 @@ def _select_layout(cfg: SimConfig):
 
     T, n_tiles = _balance(nz, min(_budget_rows(cfg, compact=False),
                                   _pad8(nz)))
+    # Full-plane fallback: nearby tile counts can process fewer rows —
+    # ghost rows are pure waste, and the halo total n*(T+2*PAD) ties when
+    # n*T differs (measured at 814x2064: 13x64 = 832 interior rows runs
+    # the gradient 6% faster than the balanced 12x72 = 864).
+    best = (T, n_tiles)
+    if n_tiles > 1:
+        cost = None
+        for n in range(n_tiles, n_tiles + 3):
+            Tn = -(-(-(-nz // n)) // 8) * 8
+            if Tn < PAD or Tn > T:
+                continue
+            c = (n * (Tn + 2 * PAD), n * Tn)
+            if cost is None or c < cost:
+                cost, best = c, (Tn, n)
+    T, n_tiles = best
     if n_tiles > 1 and T < PAD:   # deep-PAD on a short grid: re-balance
         T = min(PAD, _pad8(nz))
         n_tiles = -(-nz // T)
@@ -984,11 +1016,15 @@ def _stream_K(cfg: SimConfig) -> int:
     shrink 4/side per sub-step and recording may sample ONE halo row past
     the tile interior, so 4K + 1 <= PAD: K <= 3 at the default PAD=16,
     K <= 7 at SEP2023_TPU_STREAM_PAD=32.  SEP2023_TPU_STREAM_K
-    overrides."""
+    overrides.  Default 3 (the PAD=16 maximum): measured on v5e at
+    814x2064 the K=3/Kb=2 gradient runs 3.07 GCell/s vs 2.27 at K=1 and
+    the forward 10.2 vs 6.7 (tools/stream_ksweep.py; the megasteps are
+    stream-bound, so amortizing the HBM round trip K-fold converts
+    directly until compute-bound)."""
     env = os.environ.get("SEP2023_TPU_STREAM_K")
     if env:
         return max(1, min((PAD - 1) // 4, int(env)))
-    return 1
+    return min((PAD - 1) // 4, 3)
 
 
 def _stream_K_bwd(cfg: SimConfig) -> int:

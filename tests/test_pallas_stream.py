@@ -413,6 +413,7 @@ def test_stream_temporal_blocking_matches_k1(monkeypatch, K):
     separates the programs (measured 1.7e-7 rel on the forward; a halo
     bug would be O(1))."""
     monkeypatch.setenv("SEP2023_TPU_STREAM_T", "24")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "1")
     npml = 8
     cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
                        f0=10.0, npml=npml)
@@ -471,6 +472,7 @@ def test_stream_deep_pad_temporal_blocking(monkeypatch):
     rxz = jnp.asarray(survey.src_rxz)
 
     monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "1")
     out_1 = np.asarray(ps.propagate_pallas_streamed(
         cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
     assert np.abs(out_1).max() > 1e-8  # real arrivals, not round-off noise
@@ -564,7 +566,8 @@ def test_stream_mats_compute_matches_default(monkeypatch):
 
     for K in ("1", "2"):
         monkeypatch.setenv("SEP2023_TPU_STREAM_K", K)
-        monkeypatch.delenv("SEP2023_TPU_STREAM_MATS", raising=False)
+        monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "stage")
+        assert not ps._mats_compute(cfg)
         out_0 = np.asarray(ps.propagate_pallas_streamed(
             cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
         g_0 = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
@@ -608,6 +611,8 @@ def test_ac_stream_mats_compute_matches_default(monkeypatch):
         return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
 
     monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "stage")
+    assert not ps._mats_compute(cfg)
     out_0 = np.asarray(ps.propagate_pallas_acoustic_streamed(
         cfg, rs, lam, rho, stf, sz, sx))
     assert np.abs(out_0).max() > 1e-8
@@ -715,6 +720,7 @@ def test_ac_stream_deep_pad_temporal_blocking(monkeypatch):
         return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
 
     monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "1")
     out_1 = np.asarray(ps.propagate_pallas_acoustic_streamed(
         cfg, rs, lam, rho, stf, sz, sx))
     assert np.abs(out_1).max() > 1e-8  # real arrivals, not round-off noise
@@ -761,6 +767,7 @@ def test_ac_stream_temporal_blocking_matches_k1(monkeypatch):
 
         return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
 
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "1")
     out_1 = np.asarray(ps.propagate_pallas_acoustic_streamed(
         cfg, rs, lam, rho, stf, sz, sx))
     obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())

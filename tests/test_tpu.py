@@ -314,7 +314,7 @@ def test_tpu_temporal_blocking_matches_k1(monkeypatch):
         g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(lam, mu, rho, stf)
         return out, g
 
-    out_1, g_1 = run(None)
+    out_1, g_1 = run(1)
     out_k, g_k = run(3)
     assert _rel(out_k, out_1) < 1e-5
     for name, a, b in zip(("lam", "mu", "rho", "stf"), g_k, g_1):
