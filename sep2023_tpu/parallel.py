@@ -28,6 +28,7 @@ survey's src_weight entries; ones by default).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -107,36 +108,106 @@ def default_shot_misfit(channels: Sequence[str] = ("ett",)):
     return lambda o, s: mf.l2_misfit(o, s, channels=channels)
 
 
-def _chunked_sum(chunk_loss, shot_args, weights, shot_chunk: int):
-    """Sum chunk_loss(shot_args_chunk, w_chunk) over contiguous shot chunks
-    via `lax.map` (jaxpr size stays flat in S — the reference's OpenMP chunk
-    loop, Torch_Fwi.cpp:59-95, without the unrolled-Python compile blowup).
+def _zero_ct(a):
+    """Zero cotangent matching a primal: float0 for integer leaves."""
+    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.inexact):
+        return jnp.zeros(jnp.shape(a), jnp.asarray(a).dtype)
+    return np.zeros(jnp.shape(a), jax.dtypes.float0)
 
-    With more than one chunk the chunk loss is rematerialized
-    (jax.checkpoint): only one chunk's boundary-strip residuals are live
-    during the backward pass (~0.5 GB/shot at Main-004 scale), at the price
-    of one extra forward per chunk.  A ragged tail runs as ONE smaller
-    trailing evaluation (not zero-weight replica padding): a 31-shot /
-    chunk-6 gradient does exactly 31 propagations."""
+
+def _chunked_sum(chunk_loss, model, stf, rest, weights, shot_chunk: int):
+    """Sum chunk_loss(model, stf_chunk, rest_chunk, w_chunk) over contiguous
+    shot chunks via `lax.map` (jaxpr size stays flat in S — the reference's
+    OpenMP chunk loop, Torch_Fwi.cpp:59-95, without the unrolled-Python
+    compile blowup).
+
+    With more than one chunk the differentiated path is a custom-vjp
+    GRADIENT ACCUMULATOR: each `lax.map` body evaluates one chunk's value
+    AND its (model, stf) cotangents together (per-chunk jax.vjp), so only
+    one chunk's boundary-strip residuals are ever live — the peak memory of
+    the old jax.checkpoint rematerialization WITHOUT its extra forward pass
+    per chunk (a chunked gradient is forward + reconstruction + adjoint =
+    3 wavefield passes, not 4).
+
+    Differentiation contract (chunked path): gradients flow to `model` and
+    `stf` — exactly the set the reference's native op emits ({misfit,
+    gLambda, gMu, gDen, gStf}, Torch_Fwi.cpp:102-103).  `rest` (geometry,
+    observed data, per-trace conditioning) and `weights` are data whose
+    cotangents are zero by construction.  The single-chunk path is a plain
+    call (fully differentiable).
+
+    A ragged tail runs as ONE smaller trailing evaluation (not zero-weight
+    replica padding): a 31-shot / chunk-6 gradient does exactly 31
+    propagations.
+
+    SEP2023_TPU_CHUNK_REMAT=1 selects the previous jax.checkpoint
+    rematerialization instead (the fully-differentiable oracle the
+    accumulator is equality-tested against, and the baseline for the
+    measured speedup)."""
     S = weights.shape[0]
     chunk = shot_chunk if shot_chunk and shot_chunk < S else S
     if chunk == S:
-        return chunk_loss(shot_args, weights)
-    remat_loss = jax.checkpoint(chunk_loss)
+        return chunk_loss(model, stf, rest, weights)
     n_full = S // chunk
     used = n_full * chunk
-    total = 0.0
-    if n_full:
-        head = jax.tree.map(
-            lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:]),
-            shot_args)
-        w = weights[:used].reshape(n_full, chunk)
-        total = jnp.sum(jax.lax.map(
-            lambda xs: remat_loss(xs[0], xs[1]), (head, w)))
-    if used < S:
-        tail = jax.tree.map(lambda a: a[used:], shot_args)
-        total = total + remat_loss(tail, weights[used:])
-    return total
+
+    if os.environ.get("SEP2023_TPU_CHUNK_REMAT"):
+        remat_loss = jax.checkpoint(chunk_loss)
+        total = 0.0
+        if n_full:
+            resh = lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:])
+            total = jnp.sum(jax.lax.map(
+                lambda xs: remat_loss(model, *xs),
+                (resh(stf), jax.tree.map(resh, rest), resh(weights))))
+        if used < S:
+            total = total + remat_loss(
+                model, stf[used:], jax.tree.map(lambda a: a[used:], rest),
+                weights[used:])
+        return total
+
+    def split(stf, rest, weights):
+        resh = lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:])
+        head = (resh(stf), jax.tree.map(resh, rest), resh(weights))
+        if used == S:
+            return head, None
+        cut = lambda a: a[used:]
+        return head, (cut(stf), jax.tree.map(cut, rest), cut(weights))
+
+    @jax.custom_vjp
+    def total(model, stf, rest, weights):
+        head, tail = split(stf, rest, weights)
+        t = jnp.sum(jax.lax.map(lambda xs: chunk_loss(model, *xs), head))
+        if tail is not None:
+            t = t + chunk_loss(model, *tail)
+        return t
+
+    def total_fwd(model, stf, rest, weights):
+        head, tail = split(stf, rest, weights)
+
+        def eval_vg(stf_c, rest_c, w_c):
+            val, pull = jax.vjp(
+                lambda m, s: chunk_loss(m, s, rest_c, w_c), model, stf_c)
+            gm, gs = pull(jnp.ones((), val.dtype))
+            return val, gm, gs
+
+        vals, gms, gstfs = jax.lax.map(lambda xs: eval_vg(*xs), head)
+        t = jnp.sum(vals)
+        gm = jax.tree.map(lambda a: jnp.sum(a, axis=0), gms)
+        gstf = gstfs.reshape(used, *stf.shape[1:])
+        if tail is not None:
+            val_t, gm_t, gs_t = eval_vg(*tail)
+            t = t + val_t
+            gm = jax.tree.map(jnp.add, gm, gm_t)
+            gstf = jnp.concatenate([gstf, gs_t], axis=0)
+        return t, (gm, gstf)
+
+    def total_bwd(res, ct):
+        gm, gstf = res
+        return (jax.tree.map(lambda a: ct * a, gm), ct * gstf,
+                jax.tree.map(_zero_ct, rest), _zero_ct(weights))
+
+    total.defvjp(total_fwd, total_bwd)
+    return total(model, stf, rest, weights)
 
 
 def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
@@ -151,15 +222,17 @@ def make_local_misfit(cfg: SimConfig, channels: Sequence[str] = ("ett",),
     fn = misfit_fn or default_shot_misfit(channels)
 
     def loss(lam, mu, rho, stf, geoms, obs, weights, *trace_aux):
-        def chunk_loss(shot_args, w_c):
-            stf_c, geoms_c, obs_c, aux_c = shot_args
-            syn = jax.vmap(lambda s, g: propagate(cfg, lam, mu, rho,
+        def chunk_loss(model, stf_c, rest_c, w_c):
+            lam_, mu_, rho_ = model
+            geoms_c, obs_c, aux_c = rest_c
+            syn = jax.vmap(lambda s, g: propagate(cfg, lam_, mu_, rho_,
                                                   s, g))(stf_c, geoms_c)
             per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
             return jnp.sum(w_c * per_shot)
 
-        return _chunked_sum(chunk_loss, (stf, geoms, obs, tuple(trace_aux)),
-                            weights, shot_chunk)
+        return _chunked_sum(chunk_loss, (lam, mu, rho), stf,
+                            (geoms, obs, tuple(trace_aux)), weights,
+                            shot_chunk)
 
     return loss
 
@@ -233,10 +306,11 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
     fn = misfit_fn or default_shot_misfit(channels)
 
     def loss(lam, mu, rho, stf, obs, weights, *trace_aux):
-        def chunk_loss(shot_args, w_c):
-            stf_c, sz_c, sx_c, rz_c, uidx_c, obs_c, aux_c = shot_args
-            syn = pe.propagate_pallas_plan(plan, lam, mu, rho, stf_c, sz_c,
-                                           sx_c, rz_c)
+        def chunk_loss(model, stf_c, rest_c, w_c):
+            lam_, mu_, rho_ = model
+            sz_c, sx_c, rz_c, uidx_c, obs_c, aux_c = rest_c
+            syn = pe.propagate_pallas_plan(plan, lam_, mu_, rho_, stf_c,
+                                           sz_c, sx_c, rz_c)
             if uidx is not None:
                 syn = _gather_union(syn, uidx_c)
             per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
@@ -244,8 +318,8 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
 
         u = (uidx if uidx is not None
              else jnp.zeros((stf.shape[0], 1), jnp.int32))
-        return _chunked_sum(chunk_loss,
-                            (stf, sz, sx, rz, u, obs, tuple(trace_aux)),
+        return _chunked_sum(chunk_loss, (lam, mu, rho), stf,
+                            (sz, sx, rz, u, obs, tuple(trace_aux)),
                             weights, shot_chunk)
 
     return loss
@@ -315,18 +389,18 @@ def make_pallas_sharded_misfit(cfg: SimConfig, survey: Survey, mesh: Mesh,
         out_specs=P(), check_vma=False)
     def sharded(lam, mu, rho, stf, sz_, sx_, rz_, uidx_, obs, weights,
                 *trace_aux):
-        def chunk_loss(shot_args, w_c):
-            stf_c, sz_c, sx_c, rz_c, uidx_c, obs_c, aux_c = shot_args
-            syn = pe.propagate_pallas_plan(plan, lam, mu, rho, stf_c, sz_c,
-                                           sx_c, rz_c)
+        def chunk_loss(model, stf_c, rest_c, w_c):
+            lam_, mu_, rho_ = model
+            sz_c, sx_c, rz_c, uidx_c, obs_c, aux_c = rest_c
+            syn = pe.propagate_pallas_plan(plan, lam_, mu_, rho_, stf_c,
+                                           sz_c, sx_c, rz_c)
             if gather:
                 syn = _gather_union(syn, uidx_c)
             per_shot = jax.vmap(fn)(obs_c, syn, *aux_c)
             return jnp.sum(w_c * per_shot)
 
-        total = _chunked_sum(chunk_loss,
-                             (stf, sz_, sx_, rz_, uidx_, obs,
-                              tuple(trace_aux)),
+        total = _chunked_sum(chunk_loss, (lam, mu, rho), stf,
+                             (sz_, sx_, rz_, uidx_, obs, tuple(trace_aux)),
                              weights, shot_chunk)
         return jax.lax.psum(total, axis)
 

@@ -317,7 +317,20 @@ def test_stream_compact_psi_matches_full_planes(monkeypatch, T_env,
     programs pick up ~1e-25-relative XLA fusion noise, hence the tight but
     nonzero tolerances).  Covers multi-tile (bands in different tiles + the
     tile-1 stale-band clear) and single-tile (overlap-tolerant band
-    placement)."""
+    placement).
+
+    MATS is pinned to the staged stream on BOTH legs: _mats_compute
+    auto-enables the raw-material in-kernel derivation only on FULL-plane
+    layouts, so without the pin the NOCOMPACT reference leg silently
+    switches numerics (accumulated-ULP different by design) and the
+    comparison stops isolating psi compactness.  K is pinned to 1 for the
+    same reason: temporal blocking (default K=3 since round 3) recomputes
+    halo sub-steps, whose compiler-fusion noise (~2e-7 rel, the class
+    test_stream_temporal_blocking_matches_k1 documents) would swamp this
+    test's near-bitwise tolerance."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "stage")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "1")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_KB", "1")
     monkeypatch.setenv("SEP2023_TPU_STREAM_T", T_env)
     npml = 8
     cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,
@@ -357,7 +370,12 @@ def test_ac_stream_compact_psi_matches_full_planes(monkeypatch, T_env,
                                                    want_tiles):
     """Acoustic twin of test_stream_compact_psi_matches_full_planes: the
     3-field megasteps with band-compact psi (2 z + 2 x planes) vs full-plane
-    streaming — identical data and (lam, rho, stf) gradients."""
+    streaming — identical data and (lam, rho, stf) gradients.  MATS pinned
+    to the staged stream and K pinned to 1 on both legs (see the elastic
+    twin's docstring)."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "stage")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "1")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_KB", "1")
     monkeypatch.setenv("SEP2023_TPU_STREAM_T", T_env)
     npml = 8
     cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=90, dt=0.002,

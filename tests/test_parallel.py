@@ -131,6 +131,23 @@ def test_chunked_lax_map_matches_unchunked(problem):
     assert np.abs(np.asarray(g1 - g2)).max() / scale < 1e-10
 
 
+def test_chunked_gradient_accumulator_all_grads(problem):
+    """The chunked path is a custom-vjp GRADIENT ACCUMULATOR (per-chunk
+    jax.vjp inside the lax.map body — no jax.checkpoint re-forward): model
+    AND per-shot stf gradients must match the unchunked loss, including
+    through the ragged-tail chunk (8 shots / chunk 3 -> 3+3+2)."""
+    cfg, lam, mu, rho, stf, geoms, obs, w = problem
+    l_all = par.make_local_misfit(cfg)
+    l_chk = par.make_local_misfit(cfg, shot_chunk=3)
+    args = (lam, mu, rho, stf, geoms, obs, w)
+    v1, g1 = jax.value_and_grad(l_all, argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(l_chk, argnums=(0, 1, 2, 3))(*args)
+    assert np.isclose(float(v1), float(v2), rtol=1e-12)
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g1, g2):
+        scale = np.abs(np.asarray(a)).max() + 1e-30
+        assert np.abs(np.asarray(a - b)).max() / scale < 1e-10, name
+
+
 def test_per_trace_window_and_weights(problem):
     """(S, R) per-trace windows must zero late arrivals out of the misfit
     and change the gradient; per-trace weights must rescale trace
