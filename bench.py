@@ -129,6 +129,30 @@ def main():
     cells_rock = cfg_r.nz * cfg_r.nx * (cfg_r.nt - 1)
     gcell_rock = cells_rock / t_rock / 1e9
 
+    # shot-CHUNKED gradient (the production memory bound for big surveys):
+    # 12 shots in chunks of 4 through the custom-vjp gradient accumulator
+    # (3 wavefield passes per gradient — parallel._chunked_sum; the remat
+    # path it replaced measured 3.18 GCell/s on this workload)
+    cfg_c = st.SimConfig(nz=265, nx=385, dz=10.0, dx=10.0, nt=2001,
+                         dt=0.001, f0=15.0, npml=32)
+    survey_c = st.Survey(src_z=np.full(12, 1),
+                         src_x=np.linspace(10, 310, 12).astype(int),
+                         rec_z=np.full(301, 1), rec_x=np.arange(10, 311))
+    stf_c = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg_c.f0, cfg_c.nt, cfg_c.dt), jnp.float32),
+        (12, cfg_c.nt))
+    loss_c = parallel.make_pallas_misfit(cfg_c, survey_c, shot_chunk=4)
+    obs_c = jnp.zeros((12, 4, survey_c.n_rec, cfg_c.nt), jnp.float32)
+    w_c = jnp.ones((12,), jnp.float32)
+    vg_c = jax.jit(jax.value_and_grad(loss_c, argnums=(0, 1, 2)))
+    med_c = st.Medium(
+        jnp.full(cfg_c.grid.shape, 3000.0, jnp.float32),
+        jnp.full(cfg_c.grid.shape, 3000.0 / np.sqrt(3.0), jnp.float32),
+        jnp.full(cfg_c.grid.shape, 2200.0, jnp.float32))
+    t_chunk, _ = _time_pipelined(vg_c, med_c.lam, med_c.mu, med_c.rho,
+                                 stf_c, obs_c, w_c, depth=2)
+    gcell_chunk = cfg_c.nz * cfg_c.nx * (cfg_c.nt - 1) * 12 / t_chunk / 1e9
+
     # streamed-engine gradient PAST the fused backward's VMEM wall: (a) the
     # old Mosaic failure point (560x720 padded), (b) a Marmousi-style survey
     # grid (750x2000 physical -> 814x2064 padded).  Before the streamed
@@ -198,6 +222,8 @@ def main():
             "gradient_GCell_per_s": round(gcell_grad, 3),
             "rock_gradient_s_265x385x4001": round(t_rock, 4),
             "rock_gradient_GCell_per_s": round(gcell_rock, 3),
+            "chunked_gradient_GCell_per_s_12shot_chunk4": round(gcell_chunk,
+                                                                3),
             "streamed_gradient_560x720_GCell_per_s": round(gcell_s560, 3),
             "streamed_gradient_814x2064_GCell_per_s": round(gcell_marm, 3),
             "streamed_forward_814x2064_GCell_per_s": round(gcell_marm_f, 3),

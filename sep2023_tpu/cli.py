@@ -81,6 +81,7 @@ def cmd_forward(args):
                     jnp.asarray(st.medium.pad_model_np(rho, cfg.npml), dtype))
     cfg.check_stability(float(vp.max()))
     survey_tools.check_reach(cfg, survey, float(vp.max()))
+    st.medium.check_lambda(med.lam)  # Model.cu:37-40
 
     if args.physics == "acoustic":
         # the standalone CLI's acoustic branch (main.cu:180-197)
@@ -347,6 +348,7 @@ def cmd_invert(args):
     vp_max_t = float(jnp.sqrt((lam_t_pad + 2 * mu_t_pad) / rho_t_pad).max())
     cfg.check_stability(vp_max_t)
     survey_tools.check_reach(cfg, survey, vp_max_t)
+    st.medium.check_lambda(lam_t_pad)  # Model.cu:37-40
     data_dir = args.data_dir or os.path.join(args.exp_name, "Data")
     if (not args.generate_data
             and os.path.exists(os.path.join(data_dir, "Shot_pr0.bin"))):

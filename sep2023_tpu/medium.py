@@ -90,6 +90,25 @@ class Medium(NamedTuple):
         return Medium(vp=vp, vs=vs, rho=rho)
 
 
+def check_lambda(lam) -> float:
+    """Warn when the first Lamé parameter goes negative anywhere
+    (vp² < 2·vs², i.e. negative Poisson ratio past the physical bound):
+    the simulation stays defined but it almost always means a bad model or
+    head output.  The reference prints the same warning when building its
+    device model (`Model.cu:37-40`).  Call with CONCRETE arrays (drivers
+    check the true/initial models host-side; a traced check would need
+    checkify).  Returns min(lam) for convenience."""
+    import warnings
+
+    lam_min = float(jnp.min(lam))
+    if lam_min < 0:
+        warnings.warn(
+            f"negative Lame lambda (min {lam_min:.3e}): vp^2 < 2*vs^2 "
+            "somewhere in the model (Model.cu:37-40 prints the same "
+            "warning)", RuntimeWarning, stacklevel=2)
+    return lam_min
+
+
 def pad_model(arr, npml: int):
     """Replicate-pad a physical model by the PML collar on all 4 sides
     (nPad-free analogue of `fwi_utils.py:11-27`)."""

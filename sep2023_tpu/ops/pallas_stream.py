@@ -160,8 +160,12 @@ def _gm_vmem() -> bool:
     _budget_rows conservatively charges 5 planes for both).  Costs
     5*nz_ext*nxp*4 bytes of VMEM, charged
     against the tile budget by _budget_rows (smaller T -> more halo
-    recompute); whether the trade wins is an on-chip measurement
-    (tools/stream_ksweep.py --gm vmem)."""
+    recompute).  MEASURED A LOSS on v5e (round 4, tools/stream_ksweep.py
+    --gm vmem): gradient 2.64 vs 2.81 GCell/s at 560x720 (compact
+    layout), and at 814x2064 the gm-resident backward exceeds Mosaic's
+    scoped stack (compile failure — _budget_rows' calibration does not
+    extend to gm at full-plane widths).  Kept as an opt-in knob for
+    narrower shapes; off by default."""
     return os.environ.get("SEP2023_TPU_STREAM_GM", "") == "vmem"
 
 

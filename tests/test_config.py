@@ -53,6 +53,24 @@ def test_courant():
         cfg.check_stability(9000.0)
 
 
+def test_negative_lambda_warning():
+    """medium.check_lambda warns on vp^2 < 2*vs^2 (the reference's device
+    model build prints the same warning, Model.cu:37-40)."""
+    import warnings
+
+    import jax.numpy as jnp
+    import pytest
+
+    from sep2023_tpu import medium
+
+    ok = jnp.ones((4, 4))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert medium.check_lambda(ok) == 1.0
+    with pytest.warns(RuntimeWarning, match="negative Lame"):
+        assert medium.check_lambda(ok.at[2, 2].set(-1.0)) == -1.0
+
+
 def test_borehole_column_receivers():
     """Crosswell geometry: receivers down a vertical column with the ezz
     (vertical fiber) DAS channel and an anisotropic source ratio — the
