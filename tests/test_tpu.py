@@ -9,8 +9,9 @@ chip.  Run via
     SEP2023_TPU_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q
 
 (wired into .claude/skills/verify; skipped automatically on CPU).  Budget
-~25 min: every test pays at least one cold remote compile (9 tests;
-the first 5 validated green on a v5e chip in round 3).
+~30 min: every test pays at least one cold remote compile (10 tests;
+the first 5 validated green on a v5e chip in round 3, the full suite in
+round 4).
 """
 import numpy as np
 import pytest
@@ -388,3 +389,37 @@ def test_tpu_acoustic_streamed_gradient(monkeypatch):
     gv = s_grads()
     for name, a, b in zip(("lam", "rho", "stf"), gv, gs):
         assert _rel(np.asarray(a), np.asarray(b)) < 1e-5, name
+
+
+def test_tpu_chunked_accumulator_matches_remat(monkeypatch):
+    """The shot-chunked custom-vjp gradient accumulator (parallel.
+    _chunked_sum: per-chunk jax.vjp inside lax.map, 3 wavefield passes) vs
+    the jax.checkpoint remat oracle (SEP2023_TPU_CHUNK_REMAT=1, 4 passes),
+    both Mosaic-compiled on the chip.  5 shots / chunk 2 exercises the
+    ragged-tail chunk."""
+    cfg, lam, mu, rho, survey, geoms, stf, sz, sx, rxz = _problem(nt=301)
+    S = 5
+    survey5 = Survey(src_z=np.full(S, 1),
+                     src_x=np.linspace(40, 160, S).astype(int),
+                     rec_z=survey.rec_z, rec_x=survey.rec_x)
+    stf5 = jnp.broadcast_to(stf[:1], (S, cfg.nt))
+    rs = pe.check_row_survey(survey5.rec_z + cfg.npml,
+                             survey5.rec_x + cfg.npml)
+    obs = pe.forward_pallas(cfg, rs, lam * 1.02, mu, rho, stf5,
+                            jnp.asarray(survey5.src_z + cfg.npml),
+                            jnp.asarray(survey5.src_x + cfg.npml),
+                            jnp.asarray(survey5.src_rxz))
+    w = jnp.ones((S,), jnp.float32)
+    loss = parallel.make_pallas_misfit(cfg, survey5, shot_chunk=2)
+    args = (lam, mu, rho, stf5, obs, w)
+
+    def vg():
+        return jax.jit(jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3)))(*args)
+
+    v_acc, g_acc = vg()
+    monkeypatch.setenv("SEP2023_TPU_CHUNK_REMAT", "1")
+    v_rem, g_rem = vg()
+    assert np.isclose(float(v_acc), float(v_rem), rtol=1e-6)
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_acc, g_rem):
+        assert _rel(np.asarray(a), np.asarray(b)) < 1e-6, name
