@@ -322,6 +322,16 @@ def cmd_invert(args):
     # losses (no unsharded all-shots vmap bypass)
     n_shots_orig = survey.n_shots
     mesh = _resolve_mesh(args, survey.n_shots)
+    if args.shot_chunk < 0:
+        # auto-size shots-in-flight per device so the boundary-strip
+        # residuals fit HBM (an unchunked wide-grid many-shot gradient
+        # can hard-crash the TPU worker)
+        per_dev = -(-survey.n_shots // (mesh.devices.size if mesh else 1))
+        args.shot_chunk = parallel.auto_shot_chunk(cfg, per_dev)
+        if args.shot_chunk:
+            print(f"shot-chunk auto: {args.shot_chunk} shots/chunk "
+                  f"(~{parallel.strip_bytes_per_shot(cfg) / 2 ** 30:.2f} "
+                  "GB strips/shot)")
     from sep2023_tpu.ops import pallas_engine as pe
     use_pallas = args.engine == "pallas" or (
         args.engine == "auto" and not args.x64
@@ -848,9 +858,10 @@ def main(argv=None):
     i.add_argument("--scratch-dir", default="",
                    help="write final syn/residual/obs shot dumps "
                         "(if_save_scratch, libCUFD.cu:732-752)")
-    i.add_argument("--shot-chunk", type=int, default=10,
+    i.add_argument("--shot-chunk", type=int, default=-1,
                    help="shots per gradient chunk per device (bounds "
-                        "boundary-strip memory)")
+                        "boundary-strip memory; -1 = auto-size from the "
+                        "grid so the strips fit HBM, 0 = unchunked)")
     i.set_defaults(fn=cmd_invert)
 
     r = sub.add_parser("rtm", parents=[common])

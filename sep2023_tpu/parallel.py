@@ -108,6 +108,34 @@ def default_shot_misfit(channels: Sequence[str] = ("ett",)):
     return lambda o, s: mf.l2_misfit(o, s, channels=channels)
 
 
+def strip_bytes_per_shot(cfg: SimConfig, acoustic: bool = False) -> int:
+    """Boundary-strip residual bytes one shot's gradient holds in HBM:
+    (nt-1) steps of a lane-packed (nz_pad8, 128) left/right plane plus a
+    (TB_ROWS, nx_pad128) top/bottom plane (the Pallas engines' staging
+    layout; the XLA engine's flattened strips are the same order).  ~1.8
+    GB/shot at a Marmousi-style 814x2064/nt=2001 — the term that made an
+    unchunked many-shot gradient exceed HBM and hard-crash the TPU
+    worker."""
+    nz8 = -(-cfg.nz // 8) * 8
+    nxp = -(-cfg.nx // 128) * 128
+    rows = 32 if acoustic else 56          # AC_TB_ROWS / TB_ROWS
+    return (cfg.nt - 1) * (nz8 * 128 + rows * nxp) * 4
+
+
+def auto_shot_chunk(cfg: SimConfig, n_shots: int, *, acoustic: bool = False,
+                    budget_bytes: int = 6 << 30) -> int:
+    """Default shots-in-flight bound for gradient evaluations: the largest
+    chunk whose strip residuals fit `budget_bytes` (6 GiB — leaves room
+    for model planes, recordings and XLA temporaries in a v5e's 16 GB),
+    or 0 (unchunked) when every shot fits.  Chunking is close to free
+    since the gradient accumulator replaced the remat re-forward, so the
+    budget errs toward safety."""
+    per_shot = strip_bytes_per_shot(cfg, acoustic)
+    if per_shot * max(1, n_shots) <= budget_bytes:
+        return 0
+    return max(1, min(n_shots, int(budget_bytes // per_shot)))
+
+
 def _zero_ct(a):
     """Zero cotangent matching a primal: float0 for integer leaves."""
     if jnp.issubdtype(jnp.asarray(a).dtype, jnp.inexact):

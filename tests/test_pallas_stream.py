@@ -22,6 +22,21 @@ def _small_tiles(monkeypatch):
     monkeypatch.setenv("SEP2023_TPU_STREAM_T", "16")
 
 
+@pytest.fixture(autouse=True)
+def _free_compiled_programs():
+    """XLA:CPU segfaults inside backend_compile once ~20 of this module's
+    large streamed-scan programs have accumulated in one process (crash
+    frames: backend_compile_and_load; the failing POSITION moves with the
+    compile history and every test passes standalone — a cumulative
+    JIT-code/resource exhaustion, not a specific program; reproduced with
+    the persistent compile cache on AND off).  Dropping the jit caches
+    after each test frees the compiled executables and keeps the resident
+    footprint bounded; only this module pays the (intra-module) recompile
+    cost."""
+    yield
+    jax.clear_caches()
+
+
 def _mini_medium(cfg, dtype=jnp.float32):
     vp_a = jnp.full(cfg.grid.shape, 3000.0).at[26:32, 30:44].add(220.0)
     med = st.Medium(vp_a, vp_a / jnp.sqrt(3.0),

@@ -131,6 +131,41 @@ def test_chunked_lax_map_matches_unchunked(problem):
     assert np.abs(np.asarray(g1 - g2)).max() / scale < 1e-10
 
 
+def test_auto_shot_chunk_sizing():
+    """auto_shot_chunk: unchunked while the strips fit the budget, else
+    the largest chunk that does (the Marmousi-scale guard — an unchunked
+    64-shot gradient there needs ~116 GB of strips)."""
+    cfg_small = st.SimConfig(nz=165, nx=265, dz=20.0, dx=20.0, nt=1501,
+                             dt=0.002, f0=10.0, npml=32)
+    assert par.auto_shot_chunk(cfg_small, 19) == 0
+    cfg_big = st.SimConfig(nz=814, nx=2064, dz=10.0, dx=10.0, nt=2001,
+                           dt=0.001, f0=10.0, npml=32)
+    per = par.strip_bytes_per_shot(cfg_big)
+    assert per > 1 << 30  # ~1.8 GB/shot
+    c = par.auto_shot_chunk(cfg_big, 64)
+    assert c >= 1 and c * per <= 6 << 30 < (c + 1) * per
+
+
+def test_sharded_chunked_accumulator_matches_local(problem):
+    """shot_chunk INSIDE shard_map: the custom-vjp gradient accumulator
+    composes with the psum'd sharded loss (2 devices x 4 local shots in
+    chunks of 2) — value and (model, stf) gradients match the local
+    unchunked loss."""
+    cfg, lam, mu, rho, stf, geoms, obs, w = problem
+    mesh = par.shot_mesh(2)
+    loss_sh = par.make_sharded_misfit(cfg, mesh, shot_chunk=2)
+    loss_lo = par.make_local_misfit(cfg)
+    args = (lam, mu, rho, stf, geoms, obs, w)
+    v_sh, g_sh = jax.jit(jax.value_and_grad(
+        loss_sh, argnums=(0, 1, 2, 3)))(*args)
+    v_lo, g_lo = jax.jit(jax.value_and_grad(
+        loss_lo, argnums=(0, 1, 2, 3)))(*args)
+    assert np.isclose(float(v_sh), float(v_lo), rtol=1e-10)
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_sh, g_lo):
+        scale = np.abs(np.asarray(b)).max() + 1e-30
+        assert np.abs(np.asarray(a - b)).max() / scale < 1e-8, name
+
+
 def test_chunked_gradient_accumulator_all_grads(problem):
     """The chunked path is a custom-vjp GRADIENT ACCUMULATOR (per-chunk
     jax.vjp inside the lax.map body — no jax.checkpoint re-forward): model
