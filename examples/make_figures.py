@@ -198,3 +198,25 @@ def plot_overthrust(npz_path, outdir):
     path = os.path.join(outdir, "overthrust_das.png")
     fig.savefig(path, dpi=120)
     print("wrote", path)
+
+
+def plot_marmousi(npz_path, outdir):
+    """Marmousi-scale streamed-engine panel (examples/marmousi_scale.py
+    artifact): 750x2000 true / initial / inverted Vp."""
+    z = np.load(npz_path)
+    vp_t, vp_i, vp_o = z["vp_true"], z["vp_init"], z["vp_out"]
+    fig, axes = plt.subplots(3, 1, figsize=(12, 10), constrained_layout=True)
+    vmin, vmax = vp_t.min(), vp_t.max()
+    for ax, (arr, title) in zip(axes, [
+            (vp_t, "true Vp (750x2000, 7.5x20 km)"),
+            (vp_i, "initial Vp (smoothed)"),
+            (vp_o, "inverted Vp (streamed engine, TPU)")]):
+        im = ax.imshow(arr, cmap="viridis", vmin=vmin, vmax=vmax,
+                       aspect="auto")
+        ax.set_title(title)
+        ax.set_ylabel("z (cells)")
+    axes[-1].set_xlabel("x (cells)")
+    fig.colorbar(im, ax=axes, shrink=0.8)
+    path = os.path.join(outdir, "marmousi_scale.png")
+    fig.savefig(path, dpi=110)
+    print("wrote", path)

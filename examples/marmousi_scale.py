@@ -72,8 +72,10 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
           flush=True)
 
     # shot_chunk=2 bounds the streamed boundary-strip residents (~1.9 GB
-    # per in-flight shot at this nt) via rematerialized chunks — the
-    # production path; unchunked 24-shot residuals would exceed HBM
+    # per in-flight shot at this nt) via the custom-vjp gradient
+    # accumulator (parallel._chunked_sum; auto_shot_chunk picks 3 for this
+    # shape) — the production path; unchunked 24-shot residuals would
+    # exceed HBM
     data_loss = parallel.make_pallas_misfit(cfg, survey, shot_chunk=2)
 
     def loss(params, stf_, obs_):
@@ -84,13 +86,14 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
 
     obj = optimize.ScipyObjective(loss, {"vp": vp_0}, aux=(stf, obs))
     t0 = time.time()
+    f0 = obj.fun(obj.x0)   # cached — minimize's first evaluation reuses it
     res = optimize.lbfgsb(obj, maxiter=int(n_iters))
     vp_out = obj.unpack(res.x)["vp"]
     err0 = np.abs(vp_0 - vp_t).mean()
     err1 = np.abs(np.asarray(vp_out) - vp_t).mean()
     np.savez(os.path.join(outdir, "marmousi_scale.npz"),
              vp_true=vp_t, vp_init=vp_0, vp_out=np.asarray(vp_out))
-    print(f"misfit {res.fun:.4e} after {res.nit} iterations "
+    print(f"misfit {f0:.4e} -> {res.fun:.4e} after {res.nit} iterations "
           f"({obj.n_evals} evals, {time.time()-t0:.0f}s); "
           f"mean |vp err| {err0:.1f} -> {err1:.1f} m/s", flush=True)
 
