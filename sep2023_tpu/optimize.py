@@ -85,9 +85,33 @@ class ScipyObjective:
         return sciopt.Bounds(np.concatenate(lo), np.concatenate(hi))
 
     # -- evaluation ----------------------------------------------------------
+    _TRANSIENT = ("ABORTED", "UNAVAILABLE", "FAILED_PRECONDITION",
+                  "DEADLINE_EXCEEDED")
+
+    def _eval_with_retries(self, params):
+        """The remote-TPU relay occasionally throws transient runtime
+        errors (ABORTED / FAILED_PRECONDITION, see bench.py's equivalent
+        guard); without a retry a 100-iteration inversion dies mid-run.
+        Only transient-looking XLA errors retry — anything else raises
+        immediately."""
+        import time as _time
+
+        retries = int(os.environ.get("SEP2023_TPU_EVAL_RETRIES", "2"))
+        for attempt in range(retries + 1):
+            try:
+                return self._vg(params, *self._aux)
+            except Exception as e:  # noqa: BLE001 - filtered below
+                msg = str(e)
+                if (attempt >= retries
+                        or not any(t in msg for t in self._TRANSIENT)):
+                    raise
+                print(f"transient device error (attempt {attempt + 1}/"
+                      f"{retries + 1}): {msg[:120]} — retrying")
+                _time.sleep(5 * (attempt + 1))
+
     def _ensure(self, x: np.ndarray):
         if self._cached_x is None or not np.array_equal(x, self._cached_x):
-            f, g = self._vg(self.unpack(x), *self._aux)
+            f, g = self._eval_with_retries(self.unpack(x))
             self.f = float(f)
             self.g = np.concatenate(
                 [np.asarray(g[n], dtype=np.float64).ravel()

@@ -85,3 +85,34 @@ def test_preprocessed_l2_chain():
     # differentiable
     g = jax.grad(lambda s: loss(obs, s))(syn)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_objective_retries_transient_device_errors(monkeypatch):
+    """ScipyObjective retries transient relay errors (ABORTED /
+    FAILED_PRECONDITION — the remote-TPU failure mode bench.py also
+    guards) but raises programming errors immediately."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sep2023_tpu import optimize as opt
+
+    calls = {"n": 0}
+
+    def flaky(params):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("ABORTED: TPU backend error")
+        return jnp.asarray(1.5), {"x": jnp.zeros(2)}
+
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    obj = opt.ScipyObjective(lambda p: jnp.sum(p["x"]),
+                             {"x": np.zeros(2)}, value_and_grad_fn=flaky)
+    assert obj.fun(np.zeros(2)) == 1.5 and calls["n"] == 3
+
+    def broken(params):
+        raise ValueError("shape mismatch")
+
+    obj2 = opt.ScipyObjective(lambda p: jnp.sum(p["x"]),
+                              {"x": np.zeros(2)}, value_and_grad_fn=broken)
+    with pytest.raises(ValueError):
+        obj2.fun(np.zeros(2))
