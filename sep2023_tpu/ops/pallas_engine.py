@@ -1860,7 +1860,7 @@ def _transpose_cfg(cfg: SimConfig) -> SimConfig:
 
 
 def plan_fast_path(cfg: SimConfig, rec_z, rec_x, das_w=None,
-                   max_layers: int = 4,
+                   max_layers: int | None = None,
                    allow_transpose: bool = True) -> FastPlan | None:
     """Plan the fused-engine execution of an acquisition (PADDED-grid
     indices), or None if it needs the general XLA engine.
@@ -1871,7 +1871,15 @@ def plan_fast_path(cfg: SimConfig, rec_z, rec_x, das_w=None,
     das_w: (R, 3) per-receiver (exx, exz, ezz) sensitivity weights for
     das_channel='weighted' (they become static kernel constants).
     allow_transpose=False when any src_rxz is zero (the transposed source
-    rescaling divides by rxz)."""
+    rescaling divides by rxz).
+
+    max_layers caps the fiber-plan depth (recording cost per step scales
+    with K); the default 4 covers every reference layout.  Pass a larger
+    value — or set SEP2023_TPU_MAX_LAYERS, which every loss builder
+    inherits — to keep DENSE multi-row spreads (e.g. areal receiver
+    grids) on the fast engine instead of the XLA fallback."""
+    if max_layers is None:
+        max_layers = int(os.environ.get("SEP2023_TPU_MAX_LAYERS", 4))
     rec_z = np.asarray(rec_z)
     rec_x = np.asarray(rec_x)
     for transposed in ((False, True) if allow_transpose else (False,)):

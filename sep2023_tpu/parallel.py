@@ -324,7 +324,9 @@ def make_pallas_misfit(cfg: SimConfig, survey: Survey,
     fiber, or either on the transposed grid — pallas_engine.plan_fast_path);
     das_w carries (R, 3) fiber sensitivity weights when
     cfg.das_channel == 'weighted'.  shot_chunk > 0 bounds the boundary-strip
-    residual memory by processing shots in rematerialized `lax.map` chunks."""
+    residual memory via the chunked gradient accumulator (`_chunked_sum` —
+    per-chunk value+cotangents in one `lax.map` body; gradients flow to
+    the model and stf)."""
     from sep2023_tpu.ops import pallas_engine as pe
 
     plan, uidx = _pallas_plan(cfg, survey, das_w)

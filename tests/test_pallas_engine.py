@@ -506,3 +506,58 @@ def test_pallas_gradient_finite_differences():
         fd = (float(loss(lp)) - float(loss(lm))) / (2 * h)
         rel = abs(fd - g[z, x]) / (abs(g[z, x]) + 1e-30)
         assert rel < 2e-2, (z, x, fd, g[z, x], rel)
+
+
+def test_dense_areal_grid_via_max_layers(monkeypatch):
+    """A dense multi-row receiver spread (6 rows x 10 lanes — an areal
+    grid) exceeds the default 4-layer fiber cap, but SEP2023_TPU_MAX_LAYERS
+    keeps it on the fast engine (recording cost scales with K; every loss
+    builder inherits the knob through plan_fast_path)."""
+    from sep2023_tpu import parallel as par
+
+    npml = 10
+    cfg = st.SimConfig(nz=40 + 2 * npml, nx=56 + 2 * npml, dz=20.0,
+                       dx=20.0, nt=100, dt=0.002, f0=10.0, npml=npml)
+    vp = jnp.full(cfg.grid.shape, 3000.0)
+    med = st.Medium(vp, vp / jnp.sqrt(3.0), jnp.full(cfg.grid.shape, 2500.0))
+    lam, mu, rho = (med.lam.astype(jnp.float32), med.mu.astype(jnp.float32),
+                    med.rho.astype(jnp.float32))
+    zz, xx = np.meshgrid(np.arange(22, 28), np.arange(14, 24),
+                         indexing="ij")
+    survey = Survey(src_z=np.array([2]), src_x=np.array([28]),
+                    rec_z=zz.ravel(), rec_x=xx.ravel())
+    assert pe.plan_fast_path(cfg, survey.rec_z + npml,
+                             survey.rec_x + npml) is None  # default cap
+    monkeypatch.setenv("SEP2023_TPU_MAX_LAYERS", "8")
+    plan = pe.plan_fast_path(cfg, survey.rec_z + npml, survey.rec_x + npml)
+    assert plan is not None and pe._n_layers(plan.rs) == 6
+
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (1, cfg.nt))
+    geoms = par.survey_to_geoms(survey, npml, dtype=jnp.float32)
+    ref = jax.vmap(lambda s, g: st.propagate(cfg, lam, mu, rho, s, g))(
+        stf, geoms).astype(jnp.float32)
+    sz = jnp.asarray(survey.src_z + npml)
+    sx = jnp.asarray(survey.src_x + npml)
+    rxz = jnp.asarray(survey.src_rxz)
+    out = pe.propagate_pallas_plan(plan, lam, mu, rho, stf, sz, sx, rxz)
+    assert float(jnp.abs(ref).max()) > 1e-3
+    for c in range(4):
+        num = np.abs(np.asarray(out)[:, c] - np.asarray(ref)[:, c]).max()
+        assert num < 2e-5 * np.abs(np.asarray(ref)[:, c]).max(), c
+
+    obs = ref * 1.05
+
+    def loss_x(l, m, r, s):
+        syn = jax.vmap(lambda si, g: st.propagate(cfg, l, m, r, si, g))(
+            s, geoms)
+        return jnp.sum((syn.astype(jnp.float32) - obs) ** 2)
+
+    w = jnp.ones((1,), jnp.float32)
+    fn = lambda o, s: jnp.sum((s - o) ** 2)
+    g_pl = jax.grad(lambda *a: par.make_pallas_misfit(
+        cfg, survey, misfit_fn=fn)(*a, obs, w))(lam, mu, rho, stf)
+    g_x = jax.grad(loss_x)(lam, mu, rho, stf)
+    scale = np.abs(np.asarray(g_x)).max() + 1e-30
+    assert np.abs(np.asarray(g_pl - g_x)).max() / scale < 5e-4
