@@ -68,6 +68,32 @@ def _time_pipelined(fn, *args, repeats=2, depth=5):
     return best, out
 
 
+def chunked_problem(nz=265, nx=385, nt=2001, n_shots=12):
+    """The shot-chunked gradient workload — ONE definition shared by the
+    bench entry below and tools/chunk_bench.py's accumulator-vs-remat A/B
+    measurement (so the published number and the tool always measure the
+    same problem)."""
+    import sep2023_tpu as st
+
+    cfg = st.SimConfig(nz=nz, nx=nx, dz=10.0, dx=10.0, nt=nt, dt=0.001,
+                       f0=15.0, npml=32)
+    lo, hi = (10, nx - 74) if nx > 120 else (4, nx - 4)  # tiny CPU smokes
+    survey = st.Survey(src_z=np.full(n_shots, 1),
+                       src_x=np.linspace(lo, hi - 1, n_shots).astype(int),
+                       rec_z=np.full(hi - lo, 1),
+                       rec_x=np.arange(lo, hi))
+    med = st.Medium(
+        jnp.full(cfg.grid.shape, 3000.0, jnp.float32),
+        jnp.full(cfg.grid.shape, 3000.0 / np.sqrt(3.0), jnp.float32),
+        jnp.full(cfg.grid.shape, 2200.0, jnp.float32))
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, nt, cfg.dt), jnp.float32),
+        (n_shots, nt))
+    obs = jnp.zeros((n_shots, 4, survey.n_rec, nt), jnp.float32)
+    w = jnp.ones((n_shots,), jnp.float32)
+    return cfg, survey, med, stf, obs, w
+
+
 def main():
     st, cfg, survey, geoms, stf, med = _build()
 
@@ -133,25 +159,13 @@ def main():
     # 12 shots in chunks of 4 through the custom-vjp gradient accumulator
     # (3 wavefield passes per gradient — parallel._chunked_sum; the remat
     # path it replaced measured 3.18 GCell/s on this workload)
-    cfg_c = st.SimConfig(nz=265, nx=385, dz=10.0, dx=10.0, nt=2001,
-                         dt=0.001, f0=15.0, npml=32)
-    survey_c = st.Survey(src_z=np.full(12, 1),
-                         src_x=np.linspace(10, 310, 12).astype(int),
-                         rec_z=np.full(301, 1), rec_x=np.arange(10, 311))
-    stf_c = jnp.broadcast_to(
-        jnp.asarray(st.ricker(cfg_c.f0, cfg_c.nt, cfg_c.dt), jnp.float32),
-        (12, cfg_c.nt))
+    cfg_c, survey_c, med_c, stf_c, obs_c, w_c = chunked_problem()
     loss_c = parallel.make_pallas_misfit(cfg_c, survey_c, shot_chunk=4)
-    obs_c = jnp.zeros((12, 4, survey_c.n_rec, cfg_c.nt), jnp.float32)
-    w_c = jnp.ones((12,), jnp.float32)
     vg_c = jax.jit(jax.value_and_grad(loss_c, argnums=(0, 1, 2)))
-    med_c = st.Medium(
-        jnp.full(cfg_c.grid.shape, 3000.0, jnp.float32),
-        jnp.full(cfg_c.grid.shape, 3000.0 / np.sqrt(3.0), jnp.float32),
-        jnp.full(cfg_c.grid.shape, 2200.0, jnp.float32))
     t_chunk, _ = _time_pipelined(vg_c, med_c.lam, med_c.mu, med_c.rho,
                                  stf_c, obs_c, w_c, depth=2)
-    gcell_chunk = cfg_c.nz * cfg_c.nx * (cfg_c.nt - 1) * 12 / t_chunk / 1e9
+    gcell_chunk = (cfg_c.nz * cfg_c.nx * (cfg_c.nt - 1) * survey_c.n_shots
+                   / t_chunk / 1e9)
 
     # streamed-engine gradient PAST the fused backward's VMEM wall: (a) the
     # old Mosaic failure point (560x720 padded), (b) a Marmousi-style survey

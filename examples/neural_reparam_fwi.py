@@ -78,20 +78,26 @@ def invert_nn(cfg, survey, vp_bg, rho_const, stf, obs, n_steps=60,
     w = jnp.ones((survey.n_shots,), jnp.float32)
     if use_pallas:
         data_loss = parallel.make_pallas_misfit(cfg, survey)
-        d_args = lambda lam, mu, rho: (lam, mu, rho, stf, obs, w)
+        d_args = lambda lam, mu, rho, stf_, obs_: (lam, mu, rho, stf_,
+                                                   obs_, w)
     else:
         data_loss = parallel.make_local_misfit(cfg)
-        d_args = lambda lam, mu, rho: (lam, mu, rho, stf, geoms, obs, w)
-    rho = jnp.full(cfg.grid.shape, rho_const, jnp.float32)
+        d_args = lambda lam, mu, rho, stf_, obs_: (lam, mu, rho, stf_,
+                                                   geoms, obs_, w)
     vp_bg = jnp.asarray(vp_bg, jnp.float32)
 
-    def loss_fn(params):
-        vp = vp_bg + apply(params)
+    # observed data / wavelets / background are jit ARGUMENTS, not closure
+    # captures (closed-over device arrays become compiled-in constants —
+    # duplicated in HBM and shipped with every remote compile); rho is
+    # built from the scalar inside the trace (a free broadcast)
+    def loss_fn(params, vp_bg_, stf_, obs_):
+        rho = jnp.full(cfg.grid.shape, rho_const, jnp.float32)
+        vp = vp_bg_ + apply(params)
         vp_pad = jnp.pad(vp, cfg.npml, mode="edge")
         vs_pad = vp_pad / jnp.sqrt(3.0)
         lam = (vp_pad ** 2 - 2 * vs_pad ** 2) * rho
         mu = vs_pad ** 2 * rho
-        return data_loss(*d_args(lam, mu, rho))
+        return data_loss(*d_args(lam, mu, rho, stf_, obs_))
 
     opt = optax.adam(lr)
     state = opt.init(params0)
@@ -99,14 +105,14 @@ def invert_nn(cfg, survey, vp_bg, rho_const, stf, obs, n_steps=60,
     from sep2023_tpu.ops.pallas_stream import tpu_jit
 
     @tpu_jit
-    def step(params, state):
-        val, g = jax.value_and_grad(loss_fn)(params)
+    def step(params, state, vp_bg_, stf_, obs_):
+        val, g = jax.value_and_grad(loss_fn)(params, vp_bg_, stf_, obs_)
         upd, state = opt.update(g, state)
         return optax.apply_updates(params, upd), state, val
 
     params, losses = params0, []
     for _ in range(n_steps):
-        params, state, val = step(params, state)
+        params, state, val = step(params, state, vp_bg, stf, obs)
         losses.append(float(val))
     return np.asarray(vp_bg + apply(params)), losses
 

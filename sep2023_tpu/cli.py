@@ -327,11 +327,13 @@ def cmd_invert(args):
         # residuals fit HBM (an unchunked wide-grid many-shot gradient
         # can hard-crash the TPU worker)
         per_dev = -(-survey.n_shots // (mesh.devices.size if mesh else 1))
-        args.shot_chunk = parallel.auto_shot_chunk(cfg, per_dev)
+        isz = 8 if args.x64 else 4
+        args.shot_chunk = parallel.auto_shot_chunk(cfg, per_dev,
+                                                   itemsize=isz)
         if args.shot_chunk:
+            gb = parallel.strip_bytes_per_shot(cfg, itemsize=isz) / 2 ** 30
             print(f"shot-chunk auto: {args.shot_chunk} shots/chunk "
-                  f"(~{parallel.strip_bytes_per_shot(cfg) / 2 ** 30:.2f} "
-                  "GB strips/shot)")
+                  f"(~{gb:.2f} GB strips/shot)")
     from sep2023_tpu.ops import pallas_engine as pe
     use_pallas = args.engine == "pallas" or (
         args.engine == "auto" and not args.x64
@@ -359,6 +361,11 @@ def cmd_invert(args):
     cfg.check_stability(vp_max_t)
     survey_tools.check_reach(cfg, survey, vp_max_t)
     st.medium.check_lambda(lam_t_pad)  # Model.cu:37-40
+    # ... and the INITIAL model, the one a user actually supplies (the
+    # common way to feed a bad vp/vs pair into the inversion)
+    lam_0_pad, _, _ = head.apply(
+        {k: jnp.asarray(v, dtype) for k, v in init_params.items()})
+    st.medium.check_lambda(lam_0_pad)
     data_dir = args.data_dir or os.path.join(args.exp_name, "Data")
     if (not args.generate_data
             and os.path.exists(os.path.join(data_dir, "Shot_pr0.bin"))):

@@ -108,39 +108,46 @@ def default_shot_misfit(channels: Sequence[str] = ("ett",)):
     return lambda o, s: mf.l2_misfit(o, s, channels=channels)
 
 
-def strip_bytes_per_shot(cfg: SimConfig, acoustic: bool = False) -> int:
+def strip_bytes_per_shot(cfg: SimConfig, acoustic: bool = False,
+                         itemsize: int = 4) -> int:
     """Boundary-strip residual bytes one shot's gradient holds in HBM:
     (nt-1) steps of a lane-packed (nz_pad8, 128) left/right plane plus a
     (TB_ROWS, nx_pad128) top/bottom plane (the Pallas engines' staging
     layout; the XLA engine's flattened strips are the same order).  ~1.8
     GB/shot at a Marmousi-style 814x2064/nt=2001 — the term that made an
     unchunked many-shot gradient exceed HBM and hard-crash the TPU
-    worker."""
+    worker.  itemsize: 8 for x64 validation runs."""
     nz8 = -(-cfg.nz // 8) * 8
     nxp = -(-cfg.nx // 128) * 128
     rows = 32 if acoustic else 56          # AC_TB_ROWS / TB_ROWS
-    return (cfg.nt - 1) * (nz8 * 128 + rows * nxp) * 4
+    return (cfg.nt - 1) * (nz8 * 128 + rows * nxp) * itemsize
 
 
 def auto_shot_chunk(cfg: SimConfig, n_shots: int, *, acoustic: bool = False,
-                    budget_bytes: int = 6 << 30) -> int:
+                    budget_bytes: int = 6 << 30, itemsize: int = 4) -> int:
     """Default shots-in-flight bound for gradient evaluations: the largest
     chunk whose strip residuals fit `budget_bytes` (6 GiB — leaves room
     for model planes, recordings and XLA temporaries in a v5e's 16 GB),
     or 0 (unchunked) when every shot fits.  Chunking is close to free
     since the gradient accumulator replaced the remat re-forward, so the
     budget errs toward safety."""
-    per_shot = strip_bytes_per_shot(cfg, acoustic)
+    per_shot = strip_bytes_per_shot(cfg, acoustic, itemsize)
     if per_shot * max(1, n_shots) <= budget_bytes:
         return 0
     return max(1, min(n_shots, int(budget_bytes // per_shot)))
 
 
-def _zero_ct(a):
-    """Zero cotangent matching a primal: float0 for integer leaves."""
-    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.inexact):
-        return jnp.zeros(jnp.shape(a), jnp.asarray(a).dtype)
-    return np.zeros(jnp.shape(a), jax.dtypes.float0)
+def _aval(a):
+    """Static (shape, dtype) snapshot of a primal — captured while the
+    tracer is LIVE so the custom-vjp bwd never touches escaped tracers."""
+    return jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
+
+
+def _zero_ct(aval):
+    """Zero cotangent for a ShapeDtypeStruct: float0 for integer leaves."""
+    if jnp.issubdtype(aval.dtype, jnp.inexact):
+        return jnp.zeros(aval.shape, aval.dtype)
+    return np.zeros(aval.shape, jax.dtypes.float0)
 
 
 def _chunked_sum(chunk_loss, model, stf, rest, weights, shot_chunk: int):
@@ -160,9 +167,11 @@ def _chunked_sum(chunk_loss, model, stf, rest, weights, shot_chunk: int):
     Differentiation contract (chunked path): gradients flow to `model` and
     `stf` — exactly the set the reference's native op emits ({misfit,
     gLambda, gMu, gDen, gStf}, Torch_Fwi.cpp:102-103).  `rest` (geometry,
-    observed data, per-trace conditioning) and `weights` are data whose
-    cotangents are zero by construction.  The single-chunk path is a plain
-    call (fully differentiable).
+    observed data, per-trace conditioning) and `weights` are data: asking
+    for their gradients returns ZEROS (test-pinned) — set
+    SEP2023_TPU_CHUNK_REMAT=1 (or shot_chunk=0) when a workflow genuinely
+    needs data-side cotangents.  The single-chunk path is a plain call
+    (fully differentiable).
 
     A ragged tail runs as ONE smaller trailing evaluation (not zero-weight
     replica padding): a 31-shot / chunk-6 gradient does exactly 31
@@ -192,6 +201,12 @@ def _chunked_sum(chunk_loss, model, stf, rest, weights, shot_chunk: int):
                 model, stf[used:], jax.tree.map(lambda a: a[used:], rest),
                 weights[used:])
         return total
+
+    # static shape/dtype snapshots for the bwd zero cotangents (the bwd
+    # must not reference the enclosing trace's tracers — they are dead by
+    # the time it runs when the CALLER differentiates w.r.t. rest/weights)
+    rest_avals = jax.tree.map(_aval, rest)
+    w_aval = _aval(weights)
 
     def split(stf, rest, weights):
         resh = lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:])
@@ -232,7 +247,7 @@ def _chunked_sum(chunk_loss, model, stf, rest, weights, shot_chunk: int):
     def total_bwd(res, ct):
         gm, gstf = res
         return (jax.tree.map(lambda a: ct * a, gm), ct * gstf,
-                jax.tree.map(_zero_ct, rest), _zero_ct(weights))
+                jax.tree.map(_zero_ct, rest_avals), _zero_ct(w_aval))
 
     total.defvjp(total_fwd, total_bwd)
     return total(model, stf, rest, weights)

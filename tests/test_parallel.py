@@ -183,6 +183,33 @@ def test_chunked_gradient_accumulator_all_grads(problem):
         assert np.abs(np.asarray(a - b)).max() / scale < 1e-10, name
 
 
+def test_chunked_data_cotangents_are_zero_not_crash(problem):
+    """The chunked accumulator's documented contract: gradients w.r.t.
+    observed data / weights are ZEROS (the reference's native op never
+    emits them, Torch_Fwi.cpp:102-103) — and requesting them must not
+    crash with an escaped-tracer error (regression: the bwd once touched
+    the outer trace's tracers for their shapes).  The remat oracle keeps
+    full differentiability for workflows that need data-side
+    cotangents."""
+    cfg, lam, mu, rho, stf, geoms, obs, w = problem
+    l_chk = par.make_local_misfit(cfg, shot_chunk=3)
+    args = (lam, mu, rho, stf, geoms, obs, w)
+    g_obs = jax.grad(l_chk, argnums=5)(*args)
+    g_w = jax.grad(l_chk, argnums=6)(*args)
+    assert float(jnp.abs(g_obs).max()) == 0.0
+    assert float(jnp.abs(g_w).max()) == 0.0
+
+    import os
+
+    os.environ["SEP2023_TPU_CHUNK_REMAT"] = "1"
+    try:
+        g_w_full = jax.grad(par.make_local_misfit(cfg, shot_chunk=3),
+                            argnums=6)(*args)
+    finally:
+        os.environ.pop("SEP2023_TPU_CHUNK_REMAT", None)
+    assert float(jnp.abs(g_w_full).max()) > 0.0  # the oracle keeps them
+
+
 def test_per_trace_window_and_weights(problem):
     """(S, R) per-trace windows must zero late arrivals out of the misfit
     and change the gradient; per-trace weights must rescale trace

@@ -29,27 +29,12 @@ def run_one(args):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import numpy as np
-    import sep2023_tpu as st
     from sep2023_tpu import parallel
-    from bench import _time_pipelined
+    from bench import _time_pipelined, chunked_problem
 
-    cfg = st.SimConfig(nz=args.nz, nx=args.nx, dz=10.0, dx=10.0, nt=args.nt,
-                       dt=0.001, f0=15.0, npml=32)
     S = args.shots
-    survey = st.Survey(
-        src_z=np.full(S, 1),
-        src_x=np.linspace(10, args.nx - 75, S).astype(int),
-        rec_z=np.full(args.nx - 84, 1),
-        rec_x=np.arange(10, args.nx - 74))
-    vp = jnp.full(cfg.grid.shape, 3000.0, jnp.float32)
-    med = st.Medium(vp, vp / jnp.sqrt(3.0).astype(jnp.float32),
-                    jnp.full(cfg.grid.shape, 2200.0, jnp.float32))
-    stf = jnp.broadcast_to(
-        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
-        (S, cfg.nt))
-    obs = jnp.zeros((S, 4, survey.n_rec, cfg.nt), jnp.float32)
-    w = jnp.ones((S,), jnp.float32)
+    cfg, survey, med, stf, obs, w = chunked_problem(
+        nz=args.nz, nx=args.nx, nt=args.nt, n_shots=S)
 
     loss = parallel.make_pallas_misfit(cfg, survey, shot_chunk=args.chunk)
     from sep2023_tpu.ops.pallas_stream import tpu_jit
