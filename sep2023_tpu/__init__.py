@@ -24,4 +24,4 @@ from sep2023_tpu.propagator import (CHANNELS, ShotGeom, propagate,
                                     propagate_ad, propagate_shots)
 from sep2023_tpu.acoustic import AcGeom, propagate_acoustic
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
