@@ -93,29 +93,34 @@ class ScipyObjective:
         errors (ABORTED / FAILED_PRECONDITION, see bench.py's equivalent
         guard); without a retry a 100-iteration inversion dies mid-run.
         Only transient-looking XLA errors retry — anything else raises
-        immediately."""
+        immediately.  The MATERIALIZATION (float / np.asarray) happens
+        inside the retried attempt: jax dispatch is asynchronous, so
+        remote execution errors surface at the host fetch, not at the
+        `self._vg` call.  Returns (float f, packed float64 jac)."""
         import time as _time
 
+        def attempt():
+            f, g = self._vg(params, *self._aux)
+            return float(f), np.concatenate(
+                [np.asarray(g[n], dtype=np.float64).ravel()
+                 for n in self.names])
+
         retries = int(os.environ.get("SEP2023_TPU_EVAL_RETRIES", "2"))
-        for attempt in range(retries + 1):
+        for i in range(retries + 1):
             try:
-                return self._vg(params, *self._aux)
+                return attempt()
             except Exception as e:  # noqa: BLE001 - filtered below
                 msg = str(e)
-                if (attempt >= retries
-                        or not any(t in msg for t in self._TRANSIENT)):
+                if i >= retries or not any(t in msg
+                                           for t in self._TRANSIENT):
                     raise
-                print(f"transient device error (attempt {attempt + 1}/"
+                print(f"transient device error (attempt {i + 1}/"
                       f"{retries + 1}): {msg[:120]} — retrying")
-                _time.sleep(5 * (attempt + 1))
+                _time.sleep(5 * (i + 1))
 
     def _ensure(self, x: np.ndarray):
         if self._cached_x is None or not np.array_equal(x, self._cached_x):
-            f, g = self._eval_with_retries(self.unpack(x))
-            self.f = float(f)
-            self.g = np.concatenate(
-                [np.asarray(g[n], dtype=np.float64).ravel()
-                 for n in self.names])
+            self.f, self.g = self._eval_with_retries(self.unpack(x))
             self._cached_x = np.array(x)
             self.n_evals += 1
 

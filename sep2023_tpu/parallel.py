@@ -117,10 +117,12 @@ def strip_bytes_per_shot(cfg: SimConfig, acoustic: bool = False,
     GB/shot at a Marmousi-style 814x2064/nt=2001 — the term that made an
     unchunked many-shot gradient exceed HBM and hard-crash the TPU
     worker.  itemsize: 8 for x64 validation runs."""
+    from sep2023_tpu.ops import pallas_engine as pe
+
     nz8 = -(-cfg.nz // 8) * 8
     nxp = -(-cfg.nx // 128) * 128
-    rows = 32 if acoustic else 56          # AC_TB_ROWS / TB_ROWS
-    return (cfg.nt - 1) * (nz8 * 128 + rows * nxp) * itemsize
+    rows = pe.AC_TB_ROWS if acoustic else pe.TB_ROWS
+    return (cfg.nt - 1) * (nz8 * pe.LANE + rows * nxp) * itemsize
 
 
 def auto_shot_chunk(cfg: SimConfig, n_shots: int, *, acoustic: bool = False,
@@ -135,6 +137,18 @@ def auto_shot_chunk(cfg: SimConfig, n_shots: int, *, acoustic: bool = False,
     if per_shot * max(1, n_shots) <= budget_bytes:
         return 0
     return max(1, min(n_shots, int(budget_bytes // per_shot)))
+
+
+def _split_shots(tree, *, S: int, used: int, n_full: int, chunk: int):
+    """THE chunking split, shared by the accumulator, the remat oracle and
+    the forward map (one definition so the equality tests compare the same
+    semantics): a leading-S pytree -> (head reshaped to (n_full, chunk,
+    ...), ragged tail or None)."""
+    resh = lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:])
+    head = jax.tree.map(resh, tree)
+    if used == S:
+        return head, None
+    return head, jax.tree.map(lambda a: a[used:], tree)
 
 
 def _aval(a):
@@ -180,26 +194,26 @@ def _chunked_sum(chunk_loss, model, stf, rest, weights, shot_chunk: int):
     SEP2023_TPU_CHUNK_REMAT=1 selects the previous jax.checkpoint
     rematerialization instead (the fully-differentiable oracle the
     accumulator is equality-tested against, and the baseline for the
-    measured speedup)."""
+    measured speedup).  The oracle is also the path to use for
+    FORWARD-mode AD (jvp/jacfwd/Hessian-vector products): custom_vjp
+    functions reject jvp, so the accumulator supports reverse mode
+    only."""
     S = weights.shape[0]
     chunk = shot_chunk if shot_chunk and shot_chunk < S else S
     if chunk == S:
         return chunk_loss(model, stf, rest, weights)
     n_full = S // chunk
     used = n_full * chunk
+    split = functools.partial(_split_shots, S=S, used=used, n_full=n_full,
+                              chunk=chunk)
 
     if os.environ.get("SEP2023_TPU_CHUNK_REMAT"):
         remat_loss = jax.checkpoint(chunk_loss)
-        total = 0.0
-        if n_full:
-            resh = lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:])
-            total = jnp.sum(jax.lax.map(
-                lambda xs: remat_loss(model, *xs),
-                (resh(stf), jax.tree.map(resh, rest), resh(weights))))
-        if used < S:
-            total = total + remat_loss(
-                model, stf[used:], jax.tree.map(lambda a: a[used:], rest),
-                weights[used:])
+        head, tail = split((stf, rest, weights))
+        total = jnp.sum(jax.lax.map(
+            lambda xs: remat_loss(model, *xs), head))
+        if tail is not None:
+            total = total + remat_loss(model, *tail)
         return total
 
     # static shape/dtype snapshots for the bwd zero cotangents (the bwd
@@ -208,24 +222,16 @@ def _chunked_sum(chunk_loss, model, stf, rest, weights, shot_chunk: int):
     rest_avals = jax.tree.map(_aval, rest)
     w_aval = _aval(weights)
 
-    def split(stf, rest, weights):
-        resh = lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:])
-        head = (resh(stf), jax.tree.map(resh, rest), resh(weights))
-        if used == S:
-            return head, None
-        cut = lambda a: a[used:]
-        return head, (cut(stf), jax.tree.map(cut, rest), cut(weights))
-
     @jax.custom_vjp
     def total(model, stf, rest, weights):
-        head, tail = split(stf, rest, weights)
+        head, tail = split((stf, rest, weights))
         t = jnp.sum(jax.lax.map(lambda xs: chunk_loss(model, *xs), head))
         if tail is not None:
             t = t + chunk_loss(model, *tail)
         return t
 
     def total_fwd(model, stf, rest, weights):
-        head, tail = split(stf, rest, weights)
+        head, tail = split((stf, rest, weights))
 
         def eval_vg(stf_c, rest_c, w_c):
             val, pull = jax.vjp(
@@ -465,13 +471,12 @@ def _chunked_map(fn, shot_args, S: int, shot_chunk: int):
         return fn(shot_args)
     n_full = S // chunk
     used = n_full * chunk
-    head = jax.tree.map(
-        lambda a: a[:used].reshape(n_full, chunk, *a.shape[1:]), shot_args)
+    head, tail = _split_shots(shot_args, S=S, used=used, n_full=n_full,
+                              chunk=chunk)
     out = jax.lax.map(fn, head)
     out = out.reshape(used, *out.shape[2:])
-    if used < S:
-        tail = fn(jax.tree.map(lambda a: a[used:], shot_args))
-        out = jnp.concatenate([out, tail], axis=0)
+    if tail is not None:
+        out = jnp.concatenate([out, fn(tail)], axis=0)
     return out
 
 

@@ -90,7 +90,10 @@ def test_preprocessed_l2_chain():
 def test_objective_retries_transient_device_errors(monkeypatch):
     """ScipyObjective retries transient relay errors (ABORTED /
     FAILED_PRECONDITION — the remote-TPU failure mode bench.py also
-    guards) but raises programming errors immediately."""
+    guards) but raises programming errors immediately.  The error is
+    raised at MATERIALIZATION (float()), not at the dispatch call — jax
+    dispatch is asynchronous, so that is where real relay errors
+    surface; the retry must cover the host fetch."""
     import jax.numpy as jnp
     import pytest
 
@@ -98,11 +101,15 @@ def test_objective_retries_transient_device_errors(monkeypatch):
 
     calls = {"n": 0}
 
+    class _FlakyScalar:
+        def __float__(self):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("ABORTED: TPU backend error")
+            return 1.5
+
     def flaky(params):
-        calls["n"] += 1
-        if calls["n"] < 3:
-            raise RuntimeError("ABORTED: TPU backend error")
-        return jnp.asarray(1.5), {"x": jnp.zeros(2)}
+        return _FlakyScalar(), {"x": jnp.zeros(2)}
 
     monkeypatch.setattr("time.sleep", lambda s: None)
     obj = opt.ScipyObjective(lambda p: jnp.sum(p["x"]),
