@@ -144,6 +144,9 @@ def test_auto_shot_chunk_sizing():
     assert per > 1 << 30  # ~1.8 GB/shot
     c = par.auto_shot_chunk(cfg_big, 64)
     assert c >= 1 and c * per <= 6 << 30 < (c + 1) * per
+    # x64 validation runs budget 8 B/element (the CLI passes itemsize=8)
+    assert par.strip_bytes_per_shot(cfg_big, itemsize=8) == 2 * per
+    assert par.auto_shot_chunk(cfg_big, 64, itemsize=8) <= max(1, c // 2)
 
 
 def test_sharded_chunked_accumulator_matches_local(problem):
