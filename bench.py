@@ -215,7 +215,10 @@ def main():
         d = pe.propagate_pallas_acoustic(cfg, rs, l, r, s, sz_ac, sx_ac)
         return 0.5 * jnp.sum(d * d)
 
-    ac_grad = jax.jit(jax.grad(ac_loss, argnums=(0, 1, 2)))
+    # argnums = MODEL parameters only, like every elastic gradient above
+    # (the kernel computes d_stf in-kernel regardless, so the workload is
+    # unchanged; rounds 2-3 requested stf's cotangent too — cosmetic)
+    ac_grad = jax.jit(jax.grad(ac_loss, argnums=(0, 1)))
     t_ac, _ = _time_pipelined(ac_grad, lam_ac, med.rho.astype(jnp.float32),
                               stf.astype(jnp.float32), depth=3)
     gcell_ac = cells / t_ac / 1e9

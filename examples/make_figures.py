@@ -155,21 +155,23 @@ def main():
                     args.outdir, cfg.dx, cfg.dz)
         return
 
-    # quick inline inversion for the figure
+    # quick inline inversion for the figure; data threaded as aux (never
+    # close a jitted loss over device arrays — CLAUDE.md JAX rules)
     w = jnp.ones((survey.n_shots,), jnp.float32)
     loss_d = parallel.make_local_misfit(cfg, channels=("ett", "vx", "vz"))
 
-    def loss(p):
+    def loss(p, stf_, obs_):
         lam, mu, rr = apply(p["vp"])
-        return loss_d(lam, mu, rr, stf, geoms, obs, w)
+        return loss_d(lam, mu, rr, stf_, geoms, obs_, w)
 
-    obj = optimize.ScipyObjective(loss, {"vp": vp_i})
+    obj = optimize.ScipyObjective(loss, {"vp": vp_i}, aux=(stf, obs))
+    f0 = obj.fun(obj.x0)                       # evaluate AT x0 first so
+    grad0 = obj.unpack(obj.jac(obj.x0))["vp"]  # this really is iteration-0
     res = optimize.lbfgsb(obj, maxiter=15, disp=False, iprint=-1)
     vp_inv = np.asarray(obj.unpack(res.x)["vp"])
-    grad0 = obj.unpack(obj.g)["vp"]
     plot_models(vp_t, vp_i, vp_inv, np.asarray(grad0), args.outdir,
                 cfg.dx, cfg.dz)
-    print(f"misfit {obj.fun(obj.x0):.3e} -> {res.fun:.3e}")
+    print(f"misfit {f0:.3e} -> {res.fun:.3e}")
 
 
 if __name__ == "__main__":

@@ -43,7 +43,10 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
     vp_t = models.overthrust_vp(nz, nx, v_top=2600.0, v_step=300.0)
     vp_0 = models.smooth(vp_t, 24.0)
     pad = lambda m: jnp.asarray(st.medium.pad_model_np(m, npml), jnp.float32)
-    rho = pad(models.constant(nz, nx, 2300.0))
+    # rho is built from the scalar INSIDE the traced losses (a closed-over
+    # device plane would compile in as a constant — CLAUDE.md JAX rules)
+    rho_c = 2300.0
+    rho = jnp.full(cfg.grid.shape, rho_c, jnp.float32)
     cfg.check_stability(float(vp_t.max()))
 
     # 24 shots across the top, receivers on a deep row (DAS-style)
@@ -59,7 +62,8 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
 
     def to_lame(vp_pad):
         vs_pad = vp_pad / jnp.sqrt(3.0)
-        return ((vp_pad ** 2 - 2 * vs_pad ** 2) * rho, vs_pad ** 2 * rho)
+        rr = jnp.full(cfg.grid.shape, rho_c, vp_pad.dtype)  # in-trace
+        return ((vp_pad ** 2 - 2 * vs_pad ** 2) * rr, vs_pad ** 2 * rr)
 
     print("generating observed data (production forward builder) ...",
           flush=True)
@@ -82,7 +86,8 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
         vp_pad = jnp.pad(jnp.asarray(params["vp"], jnp.float32), npml,
                          mode="edge")
         lam, mu = to_lame(vp_pad)
-        return data_loss(lam, mu, rho, stf_, obs_, w)
+        rr = jnp.full(cfg.grid.shape, rho_c, jnp.float32)
+        return data_loss(lam, mu, rr, stf_, obs_, w)
 
     obj = optimize.ScipyObjective(loss, {"vp": vp_0}, aux=(stf, obs))
     t0 = time.time()

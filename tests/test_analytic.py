@@ -56,7 +56,11 @@ def test_explosion_has_no_near_or_shear_field():
     r = xyz[0] / r0
     Uperp = U - np.einsum("i,it->t", r, U)[None, :] * r[:, None]
     assert np.abs(Uperp).max() < 1e-10 * np.abs(U).max() + 1e-30
-    del i_s
+    # ... and no S-ARRIVAL either: displacement around t = r/vs (well past
+    # the P coda) stays far below the P amplitude — a sign/term bug in the
+    # far-field S radiation pattern for M=I would deposit energy there
+    u_s = np.abs(U[:, max(0, i_s - 2):i_s + 3]).max()
+    assert u_s < 1e-3 * np.abs(U).max(), (u_s, np.abs(U).max())
 
 
 def test_2d_line_integral_converges():

@@ -190,10 +190,15 @@ def test_streamed_transposed_column_survey(monkeypatch):
     _assert_close(out, ref, 3e-5)
 
 
-def test_grad_dispatch_picks_streamed_past_vmem_gate():
+def test_grad_dispatch_picks_streamed_past_vmem_gate(monkeypatch):
     """plan dispatch: inside the measured VMEM gates the fused kernel runs;
     on a Marmousi-scale grid `grad_vmem_fits` fails and the dispatcher
-    selects the streamed engine instead of the XLA fallback."""
+    selects the streamed engine instead of the XLA fallback.  The
+    module-wide SEP2023_TPU_STREAM_T=16 pin is REMOVED here so the layout
+    assertions exercise the PRODUCTION _budget_rows/_select_layout path
+    (incl. the tile-count retry that keeps the psi bottom band inside the
+    last tile — the 814-row trap CLAUDE.md documents)."""
+    monkeypatch.delenv("SEP2023_TPU_STREAM_T", raising=False)
     small = st.SimConfig(nz=165, nx=265, dz=20.0, dx=20.0, nt=100, dt=0.002,
                          f0=10.0, npml=32)
     big = st.SimConfig(nz=814, nx=2064, dz=10.0, dx=10.0, nt=100, dt=0.001,
@@ -203,9 +208,19 @@ def test_grad_dispatch_picks_streamed_past_vmem_gate():
     assert not pe.grad_vmem_fits(big)
     assert pe._grad_prop(small, rs) is pe.propagate_pallas
     assert pe._grad_prop(big, rs) is ps.propagate_pallas_streamed
-    # streamed layout at Marmousi scale: sane tile count, full coverage
-    T, n_tiles, nz_ext, nxp = ps._layout(big)
-    assert n_tiles * T >= big.nz and nxp >= big.nx
+    # streamed layout at Marmousi scale through the PRODUCTION budget:
+    # multi-tile, full coverage, hazard window respected.  Under the
+    # Kb=2 temporal-blocking budget the band-compact PsiPlan does NOT fit
+    # this shape (T shrank below the psi bottom band's reach across the
+    # retry window), so the production config is full-plane psi with the
+    # raw-material stream — pin BOTH so a layout change is loud (the
+    # BENCH_r03/r04 Marmousi numbers are measured in this config; psi
+    # compactness is worth <=8% here now that the megasteps are
+    # DMA/compute-balanced, see docs/PERF.md).
+    T, n_tiles, nz_ext, nxp, plan = ps._layout_plan(big)
+    assert n_tiles >= 2 and n_tiles * T >= big.nz and nxp >= big.nx
+    assert T >= ps.PAD  # multi-tile pipeline hazard-window requirement
+    assert plan is None and ps._mats_compute(big)
 
 
 def test_streamed_acoustic_matches_xla():

@@ -119,7 +119,8 @@ def test_tpu_streamed_matches_fused():
     cfg, lam, mu, rho, survey, geoms, stf, sz, sx, rxz = _problem(nt=301)
     rs = pe.check_row_survey(survey.rec_z + cfg.npml,
                              survey.rec_x + cfg.npml)
-    assert ps._layout(cfg)[1] >= 1
+    T, n_tiles = ps._layout(cfg)[:2]
+    assert n_tiles * T >= cfg.nz  # streamed layout covers the grid
     out_f = np.asarray(pe.forward_pallas(cfg, rs, lam, mu, rho, stf, sz, sx,
                                          rxz))
     out_s = np.asarray(jax.jit(lambda *a: ps.forward_pallas_streamed(

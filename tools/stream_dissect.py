@@ -18,7 +18,6 @@ compute), which decides what to optimize next.
 Usage:  python tools/stream_dissect.py [--grad] [--nz 560 --nx 720 --nt 1001]
 """
 import argparse
-import importlib
 import json
 import os
 import sys
