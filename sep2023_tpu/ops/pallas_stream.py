@@ -262,8 +262,12 @@ class PsiPlan:
     The psi memory variables are identically zero outside the PML bands
     (cpml.py: a = 0 there, and zero stays zero), so carrying them as full
     (nz_ext, nxp) planes streams 8 of the 13 forward / 18 backward fields
-    for nothing — the dissection benchmark (tools/stream_dissect.py) showed
-    the megasteps are stream-bound with compute at fused-engine speed.
+    for nothing — the dissection benchmark (tools/stream_dissect.py)
+    showed the K=1 megasteps fully stream-bound (bytes converted ~1:1);
+    after K=3 temporal blocking they are DMA/compute-BALANCED on the
+    forward and still DMA-dominated on the backward (docs/PERF.md), so
+    the compact bands remain the backward's main byte lever where the
+    layout admits them (see the 814-row structural gate in CLAUDE.md).
     Compactly: z-derivative psi live in two (zb, nxp) row bands, x-derivative
     psi in an (nz_ext, xl + xrw) lane block pair.  The kernels materialize
     full planes in VMEM scratch (exact: out-of-band values are zero), run
