@@ -46,10 +46,12 @@ gradient the same property, TPU-style:
     (`tpu_jit`): XLA otherwise promotes mid-size while carries into scoped
     VMEM past its own limit and errors.
 
-Measured (v5e): gradient 1.32 GCell/s at 560x720 padded and 1.23 at
-814x2064 (forwards 3.6-3.8) — both formerly a 0.5-0.6 GCell/s XLA
-fallback; forward bitwise-equal to the fused engine, gradients to 2e-7,
-tile-count invariance bitwise.
+Measured (v5e, round 4: split-band compact psi + K=3/Kb=2 temporal
+blocking + double-buffered gradient staging): forward 11.5 GCell/s and
+gradient 3.54 GCell/s at 814x2064 — formerly a 0.5-0.6 GCell/s XLA
+fallback, and at parity with the fused engine's forward plateau; forward
+bitwise-equal to the fused engine at K=1, gradients to 2e-7, tile-count
+invariance bitwise.
 
 The physics and the phase-split in-kernel adjoint are the SAME code as the
 fused engine (`_step_values`, `_stress/_velocity_phase_values`,
@@ -266,8 +268,7 @@ class PsiPlan:
     showed the K=1 megasteps fully stream-bound (bytes converted ~1:1);
     after K=3 temporal blocking they are DMA/compute-BALANCED on the
     forward and still DMA-dominated on the backward (docs/PERF.md), so
-    the compact bands remain the backward's main byte lever where the
-    layout admits them (see the 814-row structural gate in CLAUDE.md).
+    the compact bands remain the backward's main byte lever.
     Compactly: z-derivative psi live in two (zb, nxp) row bands, x-derivative
     psi in an (nz_ext, xl + xrw) lane block pair.  The kernels materialize
     full planes in VMEM scratch (exact: out-of-band values are zero), run
@@ -280,25 +281,31 @@ class PsiPlan:
     discarded), so dropping them each step leaves every gradient bitwise
     unchanged (test_stream_compact).
 
-    Gates (tiny grids / test-forced tiny tiles fall back to full planes):
-    the z bands must lie fully inside the edge tiles' extended windows and
-    outside every OTHER tile's extended window (psi feeds the recorded
-    fields pointwise, and recording may sample one halo row past a tile's
-    interior), so their placement offsets are static.
+    The z bands may straddle ANY tile boundaries: each tile loads /
+    stores its static overlap with each band (`_z_band_copies`).  This is
+    hazard-free because the band slots are VMEM pallas operands, so the
+    kernel sees DISTINCT input and output copies even under
+    input_output_aliases (the alias is an XLA buffer donation, not an
+    in-kernel identity): tile i's extraction can never leak megastep-end
+    values into tile i+1's halo materialization.  Round 4 removed the old
+    single-owner-tile placement gates on this basis — they had
+    structurally excluded Marmousi-scale grids under the Kb=2 tile-height
+    budget (814 mod T < zb + PAD + 8 for every admissible T).
 
-    Band heights/offsets are 8-row padded/aligned: the bottom band's natural
-    start `PAD + nz - zb - (n_tiles-1)*T` is not sublane-aligned for general
-    nz, so it is rounded DOWN to a multiple of 8 and the band height widened
-    to ZB = zb + 8 (Mosaic requires provably 8-aligned multi-row stores).
-    The top band uses the same ZB so both live in one (4, 2, ZB, nxp) array.
+    Band heights/offsets are 8-row padded/aligned: the bottom band's
+    natural global start `PAD + nz - zb` is not sublane-aligned for
+    general nz, so it is rounded DOWN to a multiple of 8 and the band
+    height widened to ZB = zb + 8 (Mosaic requires provably 8-aligned
+    multi-row stores; tile origins i*T and PAD are multiples of 8, so
+    every per-tile overlap offset stays provably aligned).  The top band
+    uses the same ZB so both live in one (4, 2, ZB, nxp) array.
     """
 
     def __init__(self, cfg, T, n_tiles, nz_ext, nxp):
         self.zb = zb = _pad8(max(cfg.npml, 8))
         self.ZB = zb + 8
-        # bottom-band start inside the LAST tile's extended window, 8-aligned
-        off_b = PAD + cfg.nz - zb - (n_tiles - 1) * T
-        self.b0 = (off_b // 8) * 8
+        # bottom-band start, GLOBAL buffer rows, 8-aligned (rounded down)
+        self.B0 = ((PAD + cfg.nz - zb) // 8) * 8
         self.xl = min(128, nxp)
         xr0 = min(((cfg.nx - cfg.npml) // 128) * 128, nxp - 128)
         self.xr0 = max(0, xr0)
@@ -312,11 +319,6 @@ class PsiPlan:
         zb = _pad8(max(cfg.npml, 8))
         if nxp < 128 or cfg.npml > 128 or cfg.nz < zb:
             return None
-        if n_tiles > 1:
-            # top band only in tile 0's extended window; bottom band (incl.
-            # its <=7 alignment slack rows) only in the last tile's
-            if T - PAD < zb + 8 or cfg.nz - (n_tiles - 1) * T < zb + PAD + 8:
-                return None
         return PsiPlan(cfg, T, n_tiles, nz_ext, nxp)
 
 
@@ -324,11 +326,12 @@ def _select_layout(cfg: SimConfig):
     """(T, n_tiles, nz_ext, nxp, plan), preferring a compact-psi (PsiPlan)
     layout: the compact carries stream ~2.6x fewer plane-bytes per step,
     measured 3.79 -> 6.5 GCell/s forward and 1.23 -> 1.74 GCell/s gradient
-    at 814x2064 on a v5e chip.  The balanced tile count is retried
-    (n, n+1, n+2) because the psi bottom band must fit inside the LAST
-    tile's window, which balancing can leave short (at nz=814 the
-    full-plane budget's T=96 x 9 tiles leaves a 46-row last tile — below
-    the 56-row band gate — silently disabling the plan)."""
+    at 814x2064 on a v5e chip (round 3, K=1).  Since the round-4 split-band
+    generalization (_z_band_copies) the plan builds for EVERY tiling, so
+    the compact branch succeeds at its balanced tile count unless the
+    grid/tile shape itself is degenerate (T < 32, or T < PAD multi-tile
+    under a deep SEP2023_TPU_STREAM_PAD) — the full-plane-budget fallback
+    below then still attaches a plan at its more conservative T."""
     nxp = _pad128(cfg.nx)
     nz = cfg.nz
 
@@ -754,43 +757,100 @@ def _psi_zero_all(psis, n_psi, E, nxp):
         psis[j] = jnp.zeros((E, nxp), jnp.float32)
 
 
+def _z_band_copies(plan, n_tiles, T, E):
+    """Static per-tile copy plans for the two z-psi band slots (top s=0 at
+    global buffer rows [PAD, PAD+ZB), bottom s=1 at [B0, B0+ZB)).  Bands
+    may overlap ANY tiles' windows/interiors; every tile handles its
+    static overlap, so compact psi works for every layout (no placement
+    gates).  All offsets are multiples of 8 by construction (tile origins
+    i*T, PAD, and B0 are 8-aligned), keeping Mosaic's multi-row stores
+    provably aligned.
+
+    Returns (mats, exts, clears), all indexed by tile:
+      mats[ti]   = [(slot, win_lo, slot_lo, rows)]: window-overlap loads —
+                   scratch rows [win_lo, win_lo+rows) <- slot rows
+                   [slot_lo, ...).  Full-window overlap: halo rows need
+                   megastep-start psi for the temporally blocked sub-step
+                   recompute, exactly like the full-plane state DMA.
+      exts[ti]   = same tuples for the interior-overlap stores (slot rows
+                   <- scratch rows).  Tile interiors tile the buffer
+                   disjointly; the LAST tile extends through its bottom
+                   halo so slot rows past the written interior — bottom
+                   ghost rows whose psi is exactly zero (a = b = 0 there,
+                   so one masked update zeroes whatever was materialized)
+                   — are refreshed too.
+      clears[ti] = [(lo, rows)]: scratch rows tile ti-1 materialized that
+                   tile ti must zero BEFORE its own loads (the psi scratch
+                   is reused across tiles; stale band rows would read as
+                   out-of-band values at tile ti's global rows, which the
+                   physics assumes are zero).
+    """
+    bands = ((0, PAD, PAD + plan.ZB), (1, plan.B0, plan.B0 + plan.ZB))
+    mats, exts = [], []
+    for ti in range(n_tiles):
+        w0, w1 = ti * T, ti * T + E
+        i0 = w0 + PAD
+        i1 = w1 if ti == n_tiles - 1 else i0 + T
+        m, e = [], []
+        for s, b0, b1 in bands:
+            lo, hi = max(w0, b0), min(w1, b1)
+            if hi > lo:
+                m.append((s, lo - w0, lo - b0, hi - lo))
+            lo, hi = max(i0, b0), min(i1, b1)
+            if hi > lo:
+                e.append((s, lo - w0, lo - b0, hi - lo))
+        mats.append(m)
+        exts.append(e)
+    clears = [[]] + [[(win_lo, rows) for (_, win_lo, _, rows) in mats[ti - 1]]
+                     for ti in range(1, n_tiles)]
+    return mats, exts, clears
+
+
 def _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in, xpsi_in,
                      i, r0, z_idx, x_idx):
     """Fill the (n_psi, E, nxp) psi scratch planes from band-compact storage
     for tile i.  Exact: psi is identically zero out of band (cpml.py a=0
-    there and zero stays zero).  All offsets are static under the tile
-    guards (PsiPlan gates reject layouts where a band straddles a window
-    edge).  x planes were zeroed once per invocation; only their band lanes
-    are (re)written per tile.  z planes need tile 1 to clear tile 0's top
-    band (same buffer rows, different global rows)."""
-    ZB, b0, xl, xr0, xrw = plan.ZB, plan.b0, plan.xl, plan.xr0, plan.xrw
+    there and zero stays zero).  All offsets are static under the per-tile
+    guards (see _z_band_copies).  x planes were zeroed once per invocation;
+    only their band lanes are (re)written per tile.  z planes clear the
+    previous tile's stale band rows, then load this tile's overlaps.
+
+    Reading zpsi_in/xpsi_in here is hazard-free even though they alias the
+    outputs at the XLA level: VMEM pallas operands give the kernel
+    distinct input and output copies, so extraction by earlier tiles never
+    shows through (verified bitwise vs full-plane streaming at K>1)."""
+    ZB, xl, xr0, xrw = plan.ZB, plan.xl, plan.xr0, plan.xrw
     for k, j in enumerate(x_idx):
         rows = pl.ds(_m8(r0), E)
         psis[j, :, 0:xl] = xpsi_in[k, rows, 0:xl]
         psis[j, :, xr0:xr0 + xrw] = xpsi_in[k, rows, xl:xl + xrw]
-    for k, j in enumerate(z_idx):
-        if n_tiles > 1:
-            @_when(i == 1)
-            def _clear_top(j=j):
-                psis[j, PAD:PAD + ZB, :] = jnp.zeros((ZB, nxp), jnp.float32)
+    mats, _, clears = _z_band_copies(plan, n_tiles, T, E)
+    for ti in range(n_tiles):
+        if not (clears[ti] or mats[ti]):
+            continue
 
-        @_when(i == 0)
-        def _top(j=j, k=k):
-            psis[j, PAD:PAD + ZB, :] = zpsi_in[k, 0]
-
-        # single-tile overlap is exact: both slots were extracted from the
-        # same plane last step, so overlapping rows carry identical values
-        @_when(i == n_tiles - 1)
-        def _bottom(j=j, k=k):
-            psis[j, b0:b0 + ZB, :] = zpsi_in[k, 1]
+        @_when(i == ti)
+        def _z_tile(ti=ti):
+            for lo, rows in clears[ti]:
+                for j in z_idx:
+                    psis[j, lo:lo + rows, :] = jnp.zeros((rows, nxp),
+                                                         jnp.float32)
+            # overlapping band rows (single-tile layouts) are exact: both
+            # slots were extracted from the same plane last step, so the
+            # second write repeats identical values
+            for s, win_lo, slot_lo, rows in mats[ti]:
+                for k, j in enumerate(z_idx):
+                    psis[j, win_lo:win_lo + rows, :] = (
+                        zpsi_in[k, s, slot_lo:slot_lo + rows, :])
 
 
 def _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi, zpsi_out,
                  xpsi_out, i, r0, z_idx, x_idx):
     """Store the updated psi bands back to the compact outputs (the
     out-of-band values of new_psi are exactly zero — forward — or provably
-    inert — backward adjoint — so nothing is lost)."""
-    ZB, b0, xl, xr0, xrw = plan.ZB, plan.b0, plan.xl, plan.xr0, plan.xrw
+    inert — backward adjoint — so nothing is lost).  Each tile stores its
+    interior's static overlap with each z band (see _z_band_copies)."""
+    ZB, xl, xr0, xrw = plan.ZB, plan.xl, plan.xr0, plan.xrw
     rows = pl.ds(_m8(r0 + PAD), T)
     for k, j in enumerate(x_idx):
         v = new_psi[j]
@@ -808,14 +868,17 @@ def _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi, zpsi_out,
             xpsi_out[k, nz_ext - PAD:nz_ext, :] = jnp.zeros(
                 (PAD, plan.XW), jnp.float32)
 
-    for k, j in enumerate(z_idx):
-        @_when(i == 0)
-        def _top(j=j, k=k):
-            zpsi_out[k, 0] = new_psi[j][PAD:PAD + ZB, :]
+    _, exts, _ = _z_band_copies(plan, n_tiles, T, E)
+    for ti in range(n_tiles):
+        if not exts[ti]:
+            continue
 
-        @_when(i == n_tiles - 1)
-        def _bottom(j=j, k=k):
-            zpsi_out[k, 1] = new_psi[j][b0:b0 + ZB, :]
+        @_when(i == ti)
+        def _z_tile(ti=ti):
+            for s, win_lo, slot_lo, rows_n in exts[ti]:
+                for k, j in enumerate(z_idx):
+                    zpsi_out[k, s, slot_lo:slot_lo + rows_n, :] = (
+                        new_psi[j][win_lo:win_lo + rows_n, :])
 
 
 # ---------------------------------------------------------------------------
@@ -1121,16 +1184,52 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
 # Backward megastep kernel (reconstruct + phase-split adjoint, full variant)
 # ---------------------------------------------------------------------------
 
-def _gm_in_dma(gmat_in, gm_t, tile, T, sem):
+def _gm_in_dma(gmat_in, gm2, slot, tile, T, sem2):
+    """Load tile's gradient rows into the 2-slot staging buffer.  gm is
+    double-buffered like the state slots: with a single buffer every tile
+    body had to BLOCK at its top draining tile i-1's out-DMA (started only
+    at body i-1's end — zero overlap), a serialization the backward
+    dissection priced at ~15% of the gradient wall at Marmousi scale."""
     return pltpu.make_async_copy(
         gmat_in.at[:, pl.ds(_m8(tile * T + PAD), T), :],
-        gm_t, sem)
+        gm2.at[slot], sem2.at[slot])
 
 
-def _gm_out_dma(gm_t, gmat_out, tile, T, sem):
+def _gm_out_dma(gm2, slot, gmat_out, tile, T, sem2):
     return pltpu.make_async_copy(
-        gm_t, gmat_out.at[:, pl.ds(_m8(tile * T + PAD), T), :],
-        sem)
+        gm2.at[slot], gmat_out.at[:, pl.ds(_m8(tile * T + PAD), T), :],
+        sem2.at[slot])
+
+
+def _gm_pipeline_top(i, n_tiles, gmat_in, gmat_out, gm2, T, gi_sems,
+                     go_sems):
+    """Start tile i's gradient-rows load into slot i%2, first securing that
+    the slot's previous occupant (tile i-2) finished draining — a wait that
+    is ~free in steady state (that out-DMA ran under tile i-1's compute)."""
+    q = _slot_of(i)
+    if not ({"noin", "noout"} & _dbg()):
+        @_when(i >= 2)
+        def _secure_slot():
+            _gm_out_dma(gm2, q, gmat_out, i - 2, T, go_sems).wait()
+    if "noin" not in _dbg():
+        _gm_in_dma(gmat_in, gm2, q, i, T, gi_sems).start()
+    return q
+
+
+def _gm_pipeline_bottom(i, n_tiles, gm2, gmat_out, T, gi_sems, go_sems):
+    """Start tile i's gradient drain; the LAST tile waits out both live
+    slots."""
+    q = _slot_of(i)
+    if "noout" in _dbg():
+        return
+
+    _gm_out_dma(gm2, q, gmat_out, i, T, go_sems).start()
+
+    @_when(i == n_tiles - 1)
+    def _drain_all():
+        if n_tiles >= 2:
+            _gm_out_dma(gm2, 1 - q, gmat_out, i - 1, T, go_sems).wait()
+        _gm_out_dma(gm2, q, gmat_out, i, T, go_sems).wait()
 
 
 def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
@@ -1193,17 +1292,15 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
-        # gm_t is single-buffered: drain the previous tile's out, then START
-        # the reload but defer its wait to just before the accumulation —
-        # the 5-plane load runs under the whole reconstruction + adjoint.
+        # gm_t is double-buffered: START the reload into slot i%2 (its
+        # previous occupant's drain is ~free by now) and defer its wait to
+        # just before the accumulation — the 5-plane load runs under the
+        # whole reconstruction + adjoint, and the out-DMA of tile i-1
+        # drains under tile i's compute instead of blocking its top.
         # (VMEM-resident gmat needs none of this: direct accumulate below.)
         if not gm_vmem:
-            if not ({"noin", "noout"} & _dbg()):
-                @_when(i >= 1)
-                def _gm_drain():
-                    _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
-            if "noin" not in _dbg():
-                _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).start()
+            gq = _gm_pipeline_top(i, n_tiles, gmat_in, gmat_out, gm_t, T,
+                                  gi_sem, go_sem)
 
         if "nostep" in _dbg():
             for k in range(K):
@@ -1216,14 +1313,11 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
             _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                                stage, state_out, T, E, s_sems, m_sems,
                                out_sem, EM)
-            if not gm_vmem and "noout" not in _dbg():
-                if "noin" not in _dbg():
-                    _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
-                _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
-
-                @_when(i == n_tiles - 1)
-                def _gm_final_dbg():
-                    _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
+            if not gm_vmem:
+                if not ({"noin", "noout"} & _dbg()):
+                    _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
+                _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T,
+                                    gi_sem, go_sem)
             return 0
 
         gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
@@ -1350,23 +1444,20 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
                                           + v[PAD:PAD + T, :])
         else:
             if "noin" not in _dbg():
-                _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
+                _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
             for f, v in enumerate(acc_mats):
-                gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
+                gm_t[gq, f] = gm_t[gq, f] + v[PAD:PAD + T, :]
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         # start the gradient drain BEFORE the epilogue so it overlaps the
         # wait on tile i+1's prefetched input
-        if not gm_vmem and "noout" not in _dbg():
-            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
+        if not gm_vmem:
+            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, gi_sem,
+                                go_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems,
                            out_sem, EM)
-        if not gm_vmem and "noout" not in _dbg():
-            @_when(i == n_tiles - 1)
-            def _gm_final():
-                _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
         return 0
 
     if n_tiles <= _unroll_tiles():
@@ -1407,14 +1498,14 @@ def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
         scratch += [pltpu.VMEM((8, E, nxp), f32)]
     scratch += [pltpu.VMEM((nf, T, nxp), f32)]
     if not gm_vmem:
-        scratch += [pltpu.VMEM((5, T, nxp), f32)]
+        scratch += [pltpu.VMEM((2, 5, T, nxp), f32)]
     scratch += [pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(())]
     if not gm_vmem:
-        scratch += [pltpu.SemaphoreType.DMA(()),
-                    pltpu.SemaphoreType.DMA(())]
+        scratch += [pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(1,),
@@ -1927,14 +2018,12 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
-        # drain the previous tile's gradient out, then START the reload and
-        # defer its wait to just before the accumulation (see elastic twin);
-        # the VMEM-resident gmat variant needs no staging at all
+        # START the reload into the double-buffered slot i%2 and defer its
+        # wait to just before the accumulation (see elastic twin); the
+        # VMEM-resident gmat variant needs no staging at all
         if not gm_vmem:
-            @_when(i >= 1)
-            def _gm_drain():
-                _gm_out_dma(gm_t, gmat_out, i - 1, T, go_sem).wait()
-            _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).start()
+            gq = _gm_pipeline_top(i, n_tiles, gmat_in, gmat_out, gm_t, T,
+                                  gi_sem, go_sem)
 
         gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp, src_z, src_x)
         xi = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
@@ -2028,24 +2117,20 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
                 gmat_out[f, rows_g, :] = (gmat_in[f, rows_g, :]
                                           + v[PAD:PAD + T, :])
         else:
-            _gm_in_dma(gmat_in, gm_t, i, T, gi_sem).wait()
+            _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
             for f, v in enumerate(acc_mats):
-                gm_t[f] = gm_t[f] + v[PAD:PAD + T, :]
+                gm_t[gq, f] = gm_t[gq, f] + v[PAD:PAD + T, :]
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
         # start the gradient drain BEFORE the epilogue so it overlaps the
         # wait on tile i+1's prefetched input
         if not gm_vmem:
-            _gm_out_dma(gm_t, gmat_out, i, T, go_sem).start()
+            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, gi_sem,
+                                go_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems, out_sem,
                            EM)
-
-        if not gm_vmem:
-            @_when(i == n_tiles - 1)
-            def _gm_final():
-                _gm_out_dma(gm_t, gmat_out, i, T, go_sem).wait()
         return 0
 
     if n_tiles <= _unroll_tiles():
@@ -2086,14 +2171,14 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
         scratch += [pltpu.VMEM((4, E, nxp), f32)]
     scratch += [pltpu.VMEM((nf, T, nxp), f32)]
     if not gm_vmem:
-        scratch += [pltpu.VMEM((3, T, nxp), f32)]
+        scratch += [pltpu.VMEM((2, 3, T, nxp), f32)]
     scratch += [pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(())]
     if not gm_vmem:
-        scratch += [pltpu.SemaphoreType.DMA(()),
-                    pltpu.SemaphoreType.DMA(())]
+        scratch += [pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),

@@ -195,9 +195,7 @@ def test_grad_dispatch_picks_streamed_past_vmem_gate(monkeypatch):
     on a Marmousi-scale grid `grad_vmem_fits` fails and the dispatcher
     selects the streamed engine instead of the XLA fallback.  The
     module-wide SEP2023_TPU_STREAM_T=16 pin is REMOVED here so the layout
-    assertions exercise the PRODUCTION _budget_rows/_select_layout path
-    (incl. the tile-count retry that keeps the psi bottom band inside the
-    last tile — the 814-row trap CLAUDE.md documents)."""
+    assertions exercise the PRODUCTION _budget_rows/_select_layout path."""
     monkeypatch.delenv("SEP2023_TPU_STREAM_T", raising=False)
     small = st.SimConfig(nz=165, nx=265, dz=20.0, dx=20.0, nt=100, dt=0.002,
                          f0=10.0, npml=32)
@@ -209,18 +207,70 @@ def test_grad_dispatch_picks_streamed_past_vmem_gate(monkeypatch):
     assert pe._grad_prop(small, rs) is pe.propagate_pallas
     assert pe._grad_prop(big, rs) is ps.propagate_pallas_streamed
     # streamed layout at Marmousi scale through the PRODUCTION budget:
-    # multi-tile, full coverage, hazard window respected.  Under the
-    # Kb=2 temporal-blocking budget the band-compact PsiPlan does NOT fit
-    # this shape (T shrank below the psi bottom band's reach across the
-    # retry window), so the production config is full-plane psi with the
-    # raw-material stream — pin BOTH so a layout change is loud (the
-    # BENCH_r03/r04 Marmousi numbers are measured in this config; psi
-    # compactness is worth <=8% here now that the megasteps are
-    # DMA/compute-balanced, see docs/PERF.md).
+    # multi-tile, full coverage, hazard window respected.  Since the
+    # round-4 split-band generalization the band-compact PsiPlan fits this
+    # shape even under the Kb=2 temporal-blocking budget (the bottom psi
+    # band straddles the last tile boundary; round 3's single-owner gate
+    # structurally excluded every admissible T here) — pin compact psi +
+    # the staged material stream so a layout change is loud (the
+    # _mats_compute AUTO rule only enables the raw-material stream on
+    # full-plane layouts).
     T, n_tiles, nz_ext, nxp, plan = ps._layout_plan(big)
     assert n_tiles >= 2 and n_tiles * T >= big.nz and nxp >= big.nx
     assert T >= ps.PAD  # multi-tile pipeline hazard-window requirement
-    assert plan is None and ps._mats_compute(big)
+    assert plan is not None and not ps._mats_compute(big)
+    # the bottom band is genuinely split: >= 2 tiles extract slot 1 rows
+    mats, exts, clears = ps._z_band_copies(plan, n_tiles, T, T + 2 * ps.PAD)
+    bot_owners = [ti for ti in range(n_tiles)
+                  if any(s == 1 for s, *_ in exts[ti])]
+    assert len(bot_owners) >= 2
+
+
+@pytest.mark.parametrize("nz,npml,T", [
+    (814, 32, 88), (96, 24, 80), (96, 24, 48), (72, 8, 40), (72, 8, 16),
+    (560, 32, 104), (165, 32, 64), (96, 24, 96), (40, 8, 40), (48, 24, 16),
+])
+def test_z_band_copies_cover_and_align(nz, npml, T):
+    """_z_band_copies invariants for arbitrary tilings: every band-slot row
+    is extracted by EXACTLY one tile (disjoint cover), materialization
+    covers each tile's full window overlap, every offset/height is a
+    multiple of 8 (Mosaic provable alignment), and clears[ti] equals tile
+    ti-1's materialized rows."""
+    cfg = st.SimConfig(nz=nz, nx=260, dz=10.0, dx=10.0, nt=50, dt=0.001,
+                       f0=10.0, npml=npml)
+    nxp = ps._pad128(cfg.nx)
+    n_tiles = -(-nz // T)
+    nz_ext = ps.PAD + n_tiles * T + ps.PAD
+    plan = ps.PsiPlan(cfg, T, n_tiles, nz_ext, nxp)
+    E = T + 2 * ps.PAD
+    mats, exts, clears = ps._z_band_copies(plan, n_tiles, T, E)
+    bands = {0: (ps.PAD, ps.PAD + plan.ZB), 1: (plan.B0, plan.B0 + plan.ZB)}
+    for s, (b0, b1) in bands.items():
+        got = np.zeros(b1 - b0, np.int32)
+        for ti in range(n_tiles):
+            w0 = ti * T
+            i1 = w0 + E if ti == n_tiles - 1 else w0 + ps.PAD + T
+            for s_, win_lo, slot_lo, rows in exts[ti]:
+                if s_ != s:
+                    continue
+                assert win_lo % 8 == 0 and slot_lo % 8 == 0 and rows % 8 == 0
+                # stores stay inside the tile's valid (interior/last-halo)
+                # rows and inside the slot
+                assert win_lo >= ps.PAD or ti == 0
+                assert w0 + win_lo + rows <= i1
+                assert slot_lo + rows <= plan.ZB
+                got[slot_lo:slot_lo + rows] += 1
+            for s_, win_lo, slot_lo, rows in mats[ti]:
+                if s_ != s:
+                    continue
+                assert win_lo % 8 == 0 and slot_lo % 8 == 0 and rows % 8 == 0
+                assert 0 <= win_lo and win_lo + rows <= E
+                # window overlap is exactly [max(w0,b0), min(w0+E,b1))
+                assert w0 + win_lo == max(w0, b0)
+                assert w0 + win_lo + rows == min(w0 + E, b1)
+        assert (got == 1).all(), (s, got)
+    for ti in range(1, n_tiles):
+        assert clears[ti] == [(lo, r) for (_, lo, _, r) in mats[ti - 1]]
 
 
 def test_streamed_acoustic_matches_xla():
@@ -447,6 +497,107 @@ def test_ac_stream_compact_psi_matches_full_planes(monkeypatch, T_env,
     for name, a, b in zip(("lam", "rho", "stf"), g_c, g_f):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() <= 1e-7 * max(np.abs(b).max(), 1e-30), name
+
+
+@pytest.mark.parametrize("K,Kb,fwd_tol,grad_tol", [
+    ("1", "1", 1e-9, 2e-6), ("2", "2", 2e-6, 1e-5)])
+def test_stream_compact_split_band(monkeypatch, K, Kb, fwd_tol, grad_tol):
+    """SPLIT psi bands: npml=24 (zb=24, ZB=32) on nz=96 with T=80 puts the
+    bottom band (buffer rows [88, 120)) across BOTH tiles' interiors —
+    tile 0 extracts slot rows [0, 8), the last tile [8, 32) — the layout
+    class round 3's single-owner gates rejected (and the one Marmousi
+    compact+Kb=2 needs).  Compact vs the FUSED engine: forward bitwise at
+    K=1 (tight tol), both within blocking-recompute noise at K=Kb=2.
+    MATS pinned to the staged stream so both engines use the precomputed
+    staggered material fields (bitwise-comparable forward)."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "stage")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", K)
+    monkeypatch.setenv("SEP2023_TPU_STREAM_KB", Kb)
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "80")
+    cfg = st.SimConfig(nz=96, nx=60, dz=20.0, dx=20.0, nt=110, dt=0.002,
+                       f0=10.0, npml=24)
+    T, n_tiles, _, _, plan = ps._layout_plan(cfg)
+    assert plan is not None and n_tiles == 2
+    _, exts, _ = ps._z_band_copies(plan, n_tiles, T, T + 2 * ps.PAD)
+    assert (any(s == 1 for s, *_ in exts[0])
+            and any(s == 1 for s, *_ in exts[1]))   # genuinely split
+    lam, mu, rho = _mini_medium(cfg)
+    lam = lam.at[40:52, 28:40].mul(1.15)
+    survey = Survey(src_z=np.array([28, 60]), src_x=np.array([30, 32]),
+                    rec_z=np.full(14, 36), rec_x=np.arange(26, 40))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    rxz = jnp.asarray(survey.src_rxz)
+
+    out_s = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    out_p = np.asarray(pe.propagate_pallas(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    assert np.abs(out_s - out_p).max() <= fwd_tol * np.abs(out_p).max()
+
+    obs = jnp.asarray(out_p) * 1.1 + 0.05 * float(np.abs(out_p).max())
+    g_s = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    def loss_p(lam_, mu_, rho_, stf_):
+        syn = pe.propagate_pallas(cfg, rs, lam_, mu_, rho_, stf_,
+                                  sz, sx, rxz)
+        return jnp.sum((syn - obs) ** 2)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3))(lam, mu, rho, stf)
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_s, g_p):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= grad_tol * max(np.abs(b).max(),
+                                                     1e-30), name
+
+
+def test_ac_stream_compact_split_band(monkeypatch):
+    """Acoustic twin of test_stream_compact_split_band (same split-band
+    layout), K=Kb=2, vs the fused acoustic engine."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "stage")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_K", "2")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_KB", "2")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "80")
+    cfg = st.SimConfig(nz=96, nx=60, dz=20.0, dx=20.0, nt=110, dt=0.002,
+                       f0=10.0, npml=24)
+    T, n_tiles, _, _, plan = ps._layout_plan(cfg)
+    assert plan is not None and n_tiles == 2
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[40:52, 28:40].add(250.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([28, 60]), src_x=np.array([30, 32]),
+                    rec_z=np.full(14, 36), rec_x=np.arange(26, 40))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+
+    out_s = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    out_p = np.asarray(pe.propagate_pallas_acoustic(
+        cfg, rs, lam, rho, stf, sz, sx))
+    assert np.abs(out_s - out_p).max() <= 2e-6 * np.abs(out_p).max()
+
+    obs = jnp.asarray(out_p) * 1.1 + 0.05 * float(np.abs(out_p).max())
+
+    def grads(prop):
+        def loss(lam_, rho_, stf_):
+            syn = prop(cfg, rs, lam_, rho_, stf_, sz, sx)
+            return jnp.sum((syn - obs) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
+
+    g_s = grads(ps.propagate_pallas_acoustic_streamed)
+    g_p = grads(pe.propagate_pallas_acoustic)
+    for name, a, b in zip(("lam", "rho", "stf"), g_s, g_p):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(),
+                                                 1e-30), name
 
 
 @pytest.mark.parametrize("K", ["2", "3"])
