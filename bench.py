@@ -2,8 +2,21 @@
 (Main-000-Forward-Benchmark.py: 101x201 physical grid -> 165x265 padded,
 dt=2 ms, nt=1501, 19 shots, 181 receivers, f0=10 Hz, nPml=32).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "GCell/s", "vs_baseline": N}
+Prints a JSON line
+  {"metric": ..., "value": N, "unit": "GCell/s", "vs_baseline": N, "extra": …}
+INCREMENTALLY: the flagship fused-forward line is printed (and flushed) as
+soon as it is measured, and the line is RE-printed, extended, after every
+additional section completes.  A consumer should parse the LAST complete
+JSON line on stdout.  This makes the artifact un-losable: killing the
+process at any point after the first ~2-4 minutes still leaves a parseable
+flagship line (round 4's all-or-nothing version recorded nothing when one
+slow relay window pushed the total past the driver timeout — BENCH_r04.json
+rc=124).
+
+Sections past the flagship each retry transient relay errors, are skipped
+(and recorded in extra["skipped"]) on persistent failure, and are skipped
+wholesale once the elapsed-time budget (env SEP2023_TPU_BENCH_BUDGET_S,
+default 2100 s) is exhausted.
 
 vs_baseline is measured throughput over the 1 GCell-updates/s/chip target
 from BASELINE.md (the reference publishes no numbers of its own).
@@ -17,10 +30,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+BUDGET_S = float(os.environ.get("SEP2023_TPU_BENCH_BUDGET_S", "2100"))
+_T0 = time.monotonic()
+
+
+def _elapsed():
+    return time.monotonic() - _T0
+
 
 def _build(dtype=jnp.float32):
     import sep2023_tpu as st
-    from sep2023_tpu import models, parallel
+    from sep2023_tpu import models
     from sep2023_tpu.cli import benchmark_problem
 
     cfg, survey, geoms, stf = benchmark_problem(dtype=dtype)
@@ -94,6 +114,12 @@ def chunked_problem(nz=265, nx=385, nt=2001, n_shots=12):
     return cfg, survey, med, stf, obs, w
 
 
+def _emit(result):
+    """(Re-)print the full result line; the driver parses the LAST complete
+    JSON line, so each emit supersedes the previous one."""
+    print(json.dumps(result), flush=True)
+
+
 def main():
     st, cfg, survey, geoms, stf, med = _build()
 
@@ -104,76 +130,56 @@ def main():
     if prof_dir:
         jax.profiler.start_trace(prof_dir)
 
-    fwd = jax.jit(lambda lam, mu, rho, s, g: jax.vmap(
-        lambda si, gi: st.propagate(cfg, lam, mu, rho, si, gi))(s, g))
-    t_fwd, data = _time(fwd, med.lam, med.mu, med.rho, stf, geoms)
-
     cells = cfg.nz * cfg.nx * (cfg.nt - 1) * survey.n_shots
-    gcell_xla = cells / t_fwd / 1e9
 
-    # fused Pallas engine (whole time loop in VMEM)
+    # ---- FLAGSHIP (measured + printed first): fused Pallas forward -------
     from sep2023_tpu.ops import pallas_engine as pe
     rs = pe.check_row_survey(survey.rec_z + cfg.npml, survey.rec_x + cfg.npml)
-    pallas_fwd = lambda lam, mu, rho, s: pe.forward_pallas(
+    pallas_fwd = lambda lam, mu, rho, s: pe.forward_pallas(  # noqa: E731
         cfg, rs, lam, mu, rho, s, survey.src_z + cfg.npml,
         survey.src_x + cfg.npml, survey.src_rxz)
-    t_pal1, _ = _time(pallas_fwd, med.lam, med.mu, med.rho, stf)
+    t_pal1, data = _time(pallas_fwd, med.lam, med.mu, med.rho, stf)
     t_pal, _ = _time_pipelined(pallas_fwd, med.lam, med.mu, med.rho, stf)
     gcell_fwd = cells / t_pal / 1e9
 
-    # gradient workload: misfit + (lam, mu, rho) gradients for all shots,
-    # through the fused-Pallas boundary-saving adjoint
+    result = {
+        "metric": "2D elastic forward GCell-updates/s/chip (ref workload "
+                  "165x265x1501x19, fused Pallas engine, steady-state)",
+        "value": round(gcell_fwd, 3),
+        "unit": "GCell/s",
+        "vs_baseline": round(gcell_fwd / 1.0, 3),
+        "extra": {
+            "pallas_forward_s": round(t_pal, 4),
+            "pallas_forward_single_dispatch_s": round(t_pal1, 4),
+            "single_dispatch_GCell_per_s": round(cells / t_pal1 / 1e9, 3),
+            "device": str(jax.devices()[0]),
+            "skipped": [],
+        },
+    }
+    _emit(result)
+
+    # ---- extra sections: each independently retried / skippable ----------
     from sep2023_tpu import parallel
-    w = jnp.ones((survey.n_shots,), med.lam.dtype)
-    # unchunked: all 19 shots' strips (~5 GB) fit HBM, no remat re-forward
-    loss_p = parallel.make_pallas_misfit(cfg, survey, shot_chunk=0)
-    grad_p = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
-    t_grad, _ = _time_pipelined(grad_p, med.lam, med.mu, med.rho, stf,
-                                data.astype(jnp.float32),
-                                w.astype(jnp.float32))
-    gcell_grad = cells / t_grad / 1e9
 
-    # rock-physics-scale gradient (Main-004-FWI-Rock-Physics.py:28-33:
-    # 201x321 physical -> 265x385 padded, nt=4001): one shot through the
-    # fused backward — the largest reference workload on the fast engine
-    cfg_r = st.SimConfig(nz=265, nx=385, dz=10.0, dx=10.0, nt=4001,
-                         dt=0.001, f0=15.0, npml=32)
-    survey_r = st.Survey(src_z=np.array([1]), src_x=np.array([160]),
-                         rec_z=np.full(301, 190), rec_x=np.arange(10, 311))
-    vp_r = jnp.full(cfg_r.grid.shape, 3000.0, jnp.float32)
-    med_r = st.Medium(vp_r, vp_r / jnp.sqrt(3.0).astype(jnp.float32),
-                      jnp.full(cfg_r.grid.shape, 2200.0, jnp.float32))
-    stf_r = jnp.broadcast_to(
-        jnp.asarray(st.ricker(cfg_r.f0, cfg_r.nt, cfg_r.dt), jnp.float32),
-        (1, cfg_r.nt))
-    loss_r = parallel.make_pallas_misfit(cfg_r, survey_r, shot_chunk=0)
-    obs_r = jnp.zeros((1, 4, survey_r.n_rec, cfg_r.nt), jnp.float32)
-    w_r = jnp.ones((1,), jnp.float32)
-    grad_r = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))
-    t_rock, _ = _time_pipelined(grad_r, med_r.lam, med_r.mu, med_r.rho,
-                                stf_r, obs_r, w_r, depth=3)
-    cells_rock = cfg_r.nz * cfg_r.nx * (cfg_r.nt - 1)
-    gcell_rock = cells_rock / t_rock / 1e9
+    def sec_gradient():
+        # misfit + (lam, mu, rho) gradients for all shots through the
+        # fused-Pallas boundary-saving adjoint; unchunked: all 19 shots'
+        # strips (~5 GB) fit HBM, no remat re-forward
+        w = jnp.ones((survey.n_shots,), med.lam.dtype)
+        loss_p = parallel.make_pallas_misfit(cfg, survey, shot_chunk=0)
+        grad_p = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
+        t_grad, _ = _time_pipelined(grad_p, med.lam, med.mu, med.rho, stf,
+                                    data.astype(jnp.float32),
+                                    w.astype(jnp.float32))
+        return {"gradient_s": round(t_grad, 4),
+                "gradient_GCell_per_s": round(cells / t_grad / 1e9, 3)}
 
-    # shot-CHUNKED gradient (the production memory bound for big surveys):
-    # 12 shots in chunks of 4 through the custom-vjp gradient accumulator
-    # (3 wavefield passes per gradient — parallel._chunked_sum; the remat
-    # path it replaced measured 3.18 GCell/s on this workload)
-    cfg_c, survey_c, med_c, stf_c, obs_c, w_c = chunked_problem()
-    loss_c = parallel.make_pallas_misfit(cfg_c, survey_c, shot_chunk=4)
-    vg_c = jax.jit(jax.value_and_grad(loss_c, argnums=(0, 1, 2)))
-    t_chunk, _ = _time_pipelined(vg_c, med_c.lam, med_c.mu, med_c.rho,
-                                 stf_c, obs_c, w_c, depth=2)
-    gcell_chunk = (cfg_c.nz * cfg_c.nx * (cfg_c.nt - 1) * survey_c.n_shots
-                   / t_chunk / 1e9)
-
-    # streamed-engine gradient PAST the fused backward's VMEM wall: (a) the
-    # old Mosaic failure point (560x720 padded), (b) a Marmousi-style survey
-    # grid (750x2000 physical -> 814x2064 padded).  Before the streamed
-    # engine these collapsed to the ~0.5 GCell/s XLA fallback.
     from sep2023_tpu.ops import pallas_stream as ps
 
     def _stream_gcell(nz_p, nx_p, nt_s, depth=2):
+        # streamed-engine gradient PAST the fused backward's VMEM wall;
+        # before the streamed engine these collapsed to the ~0.5 GCell/s
+        # XLA fallback.
         cfg_s = st.SimConfig(nz=nz_p, nx=nx_p, dz=10.0, dx=10.0, nt=nt_s,
                              dt=0.001, f0=10.0, npml=32)
         rs_s = pe.RowSurvey(rec_row=nz_p - 44, rec_x0=42, n_rec=nx_p - 84)
@@ -202,62 +208,133 @@ def main():
         cells_s = nz_p * nx_p * (nt_s - 1)
         return cells_s / t / 1e9, cells_s / t_f / 1e9
 
-    gcell_s560, _ = _stream_gcell(560, 720, 1001)
-    gcell_marm, gcell_marm_f = _stream_gcell(814, 2064, 601)
-
-    # acoustic fused gradient (the secondary physics mode, ac_*_adj.cu
-    # counterpart) at the same workload shape
-    lam_ac = (med.rho * 2000.0 ** 2).astype(jnp.float32)
-    sz_ac = jnp.asarray(survey.src_z + cfg.npml)
-    sx_ac = jnp.asarray(survey.src_x + cfg.npml)
-
-    def ac_loss(l, r, s):
-        d = pe.propagate_pallas_acoustic(cfg, rs, l, r, s, sz_ac, sx_ac)
-        return 0.5 * jnp.sum(d * d)
-
-    # argnums = MODEL parameters only, like every elastic gradient above
-    # (the kernel computes d_stf in-kernel regardless, so the workload is
-    # unchanged; rounds 2-3 requested stf's cotangent too — cosmetic)
-    ac_grad = jax.jit(jax.grad(ac_loss, argnums=(0, 1)))
-    t_ac, _ = _time_pipelined(ac_grad, lam_ac, med.rho.astype(jnp.float32),
-                              stf.astype(jnp.float32), depth=3)
-    gcell_ac = cells / t_ac / 1e9
-
-    result = {
-        "metric": "2D elastic forward GCell-updates/s/chip (ref workload "
-                  "165x265x1501x19, fused Pallas engine, steady-state)",
-        "value": round(gcell_fwd, 3),
-        "unit": "GCell/s",
-        "vs_baseline": round(gcell_fwd / 1.0, 3),
-        "extra": {
-            "pallas_forward_s": round(t_pal, 4),
-            "pallas_forward_single_dispatch_s": round(t_pal1, 4),
-            "single_dispatch_GCell_per_s": round(cells / t_pal1 / 1e9, 3),
-            "xla_forward_s": round(t_fwd, 4),
-            "xla_forward_GCell_per_s": round(gcell_xla, 3),
-            "gradient_s": round(t_grad, 4),
-            "gradient_GCell_per_s": round(gcell_grad, 3),
-            "rock_gradient_s_265x385x4001": round(t_rock, 4),
-            "rock_gradient_GCell_per_s": round(gcell_rock, 3),
-            "chunked_gradient_GCell_per_s_12shot_chunk4": round(gcell_chunk,
-                                                                3),
-            "streamed_gradient_560x720_GCell_per_s": round(gcell_s560, 3),
+    def sec_streamed_marmousi():
+        # Marmousi-style survey grid (750x2000 physical -> 814x2064 padded)
+        gcell_marm, gcell_marm_f = _stream_gcell(814, 2064, 601)
+        return {
             "streamed_gradient_814x2064_GCell_per_s": round(gcell_marm, 3),
-            "streamed_forward_814x2064_GCell_per_s": round(gcell_marm_f, 3),
-            "acoustic_gradient_GCell_per_s": round(gcell_ac, 3),
-            "device": str(jax.devices()[0]),
-        },
-    }
+            "streamed_forward_814x2064_GCell_per_s": round(gcell_marm_f, 3)}
+
+    def sec_rock_gradient():
+        # rock-physics-scale gradient (Main-004-FWI-Rock-Physics.py:28-33:
+        # 201x321 physical -> 265x385 padded, nt=4001): one shot through the
+        # fused backward — the largest reference workload on the fast engine
+        cfg_r = st.SimConfig(nz=265, nx=385, dz=10.0, dx=10.0, nt=4001,
+                             dt=0.001, f0=15.0, npml=32)
+        survey_r = st.Survey(src_z=np.array([1]), src_x=np.array([160]),
+                             rec_z=np.full(301, 190),
+                             rec_x=np.arange(10, 311))
+        vp_r = jnp.full(cfg_r.grid.shape, 3000.0, jnp.float32)
+        med_r = st.Medium(vp_r, vp_r / jnp.sqrt(3.0).astype(jnp.float32),
+                          jnp.full(cfg_r.grid.shape, 2200.0, jnp.float32))
+        stf_r = jnp.broadcast_to(
+            jnp.asarray(st.ricker(cfg_r.f0, cfg_r.nt, cfg_r.dt),
+                        jnp.float32), (1, cfg_r.nt))
+        loss_r = parallel.make_pallas_misfit(cfg_r, survey_r, shot_chunk=0)
+        obs_r = jnp.zeros((1, 4, survey_r.n_rec, cfg_r.nt), jnp.float32)
+        w_r = jnp.ones((1,), jnp.float32)
+        grad_r = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))
+        t_rock, _ = _time_pipelined(grad_r, med_r.lam, med_r.mu, med_r.rho,
+                                    stf_r, obs_r, w_r, depth=3)
+        cells_rock = cfg_r.nz * cfg_r.nx * (cfg_r.nt - 1)
+        return {"rock_gradient_s_265x385x4001": round(t_rock, 4),
+                "rock_gradient_GCell_per_s": round(cells_rock / t_rock / 1e9,
+                                                   3)}
+
+    def sec_chunked_gradient():
+        # shot-CHUNKED gradient (the production memory bound for big
+        # surveys): 12 shots in chunks of 4 through the custom-vjp gradient
+        # accumulator (3 wavefield passes per gradient —
+        # parallel._chunked_sum; the remat path it replaced measured
+        # 3.18 GCell/s on this workload)
+        cfg_c, survey_c, med_c, stf_c, obs_c, w_c = chunked_problem()
+        loss_c = parallel.make_pallas_misfit(cfg_c, survey_c, shot_chunk=4)
+        vg_c = jax.jit(jax.value_and_grad(loss_c, argnums=(0, 1, 2)))
+        t_chunk, _ = _time_pipelined(vg_c, med_c.lam, med_c.mu, med_c.rho,
+                                     stf_c, obs_c, w_c, depth=2)
+        gcell_chunk = (cfg_c.nz * cfg_c.nx * (cfg_c.nt - 1)
+                       * survey_c.n_shots / t_chunk / 1e9)
+        return {"chunked_gradient_GCell_per_s_12shot_chunk4":
+                round(gcell_chunk, 3)}
+
+    def sec_streamed_560():
+        # the old Mosaic failure point (560x720 padded)
+        gcell_s560, _ = _stream_gcell(560, 720, 1001)
+        return {"streamed_gradient_560x720_GCell_per_s": round(gcell_s560,
+                                                               3)}
+
+    def sec_acoustic():
+        # acoustic fused gradient (the secondary physics mode, ac_*_adj.cu
+        # counterpart) at the same workload shape
+        lam_ac = (med.rho * 2000.0 ** 2).astype(jnp.float32)
+        sz_ac = jnp.asarray(survey.src_z + cfg.npml)
+        sx_ac = jnp.asarray(survey.src_x + cfg.npml)
+
+        def ac_loss(l, r, s):
+            d = pe.propagate_pallas_acoustic(cfg, rs, l, r, s, sz_ac, sx_ac)
+            return 0.5 * jnp.sum(d * d)
+
+        # argnums = MODEL parameters only, like every elastic gradient above
+        # (the kernel computes d_stf in-kernel regardless, so the workload
+        # is unchanged)
+        ac_grad = jax.jit(jax.grad(ac_loss, argnums=(0, 1)))
+        t_ac, _ = _time_pipelined(ac_grad, lam_ac,
+                                  med.rho.astype(jnp.float32),
+                                  stf.astype(jnp.float32), depth=3)
+        return {"acoustic_gradient_GCell_per_s": round(cells / t_ac / 1e9,
+                                                       3)}
+
+    def sec_xla_forward():
+        # reference-style XLA scan engine, for the engine-vs-engine row
+        fwd = jax.jit(lambda lam, mu, rho, s, g: jax.vmap(
+            lambda si, gi: st.propagate(cfg, lam, mu, rho, si, gi))(s, g))
+        t_fwd, _ = _time(fwd, med.lam, med.mu, med.rho, stf, geoms)
+        return {"xla_forward_s": round(t_fwd, 4),
+                "xla_forward_GCell_per_s": round(cells / t_fwd / 1e9, 3)}
+
+    sections = [
+        ("gradient", sec_gradient),
+        ("streamed_814x2064", sec_streamed_marmousi),
+        ("rock_gradient", sec_rock_gradient),
+        ("chunked_gradient", sec_chunked_gradient),
+        ("streamed_560x720", sec_streamed_560),
+        ("acoustic_gradient", sec_acoustic),
+        ("xla_forward", sec_xla_forward),
+    ]
+
+    for name, fn in sections:
+        if _elapsed() > BUDGET_S:
+            result["extra"]["skipped"].append(f"{name}: budget")
+            continue
+        extras, err = None, None
+        for attempt in range(3):  # transient relay retries, per section
+            try:
+                extras = fn()
+                break
+            except Exception as e:  # noqa: BLE001 - relay errors vary widely
+                err = f"{type(e).__name__}: {str(e)[:120]}"
+                print(f"bench section {name} attempt {attempt + 1}/3 "
+                      f"failed: {err}", file=sys.stderr)
+                if _elapsed() > BUDGET_S:
+                    break
+                time.sleep(5)
+        if extras is None:
+            result["extra"]["skipped"].append(f"{name}: {err}")
+        else:
+            result["extra"].update(extras)
+        result["extra"]["elapsed_s"] = round(_elapsed(), 1)
+        _emit(result)
+
     if prof_dir:
         jax.profiler.stop_trace()
-
-    print(json.dumps(result))
     return result
 
 
 def main_with_retries(attempts: int = 3):
     """The remote TPU relay occasionally throws transient ABORTED /
-    FAILED_PRECONDITION errors; retry before giving up."""
+    FAILED_PRECONDITION errors.  Per-section retries inside main() absorb
+    most of them; this outer retry only guards the build + flagship
+    measurement (everything before the first JSON emit)."""
     last = None
     for i in range(attempts):
         try:
