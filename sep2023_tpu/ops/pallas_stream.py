@@ -235,6 +235,14 @@ def _budget_rows(cfg: SimConfig, compact: bool) -> int:
     rows = (100 * 2 ** 20) // (nxp * 4)
     if _gm_vmem():   # the VMEM-resident gradient accumulator's 5 planes
         rows -= 5 * (_pad8(cfg.nz) + 2 * PAD + 16)
+    # Widest nxp the ext/tpl constants are VALIDATED at is 2176 (Marmousi
+    # 814x2064 padded; the pass/fail points above).  NOTE the constants
+    # deliberately UNDER-charge ~3.8 MB: the doubled gradient-staging
+    # buffer gm_t (2, 5, T, nxp) rides the calibration margin — charging
+    # it (ext 76 -> 81) shrank T 88 -> 80 at nxp=2176 and LOST (grad 3.54
+    # -> 3.25).  An uncalibrated wider shape that hits a Mosaic
+    # scoped-stack compile failure (relay-scrubbed HTTP 500) should first
+    # try SEP2023_TPU_STREAM_T to force a smaller T.
     ext, tpl = (76, 15) if compact else (76, 23)
     T = (rows - ext * 2 * PAD) // (ext + tpl * _stream_K_bwd(cfg))
     # T >= PAD keeps the 2-slot pipeline's hazard window adjacent-only:
@@ -1216,7 +1224,7 @@ def _gm_pipeline_top(i, n_tiles, gmat_in, gmat_out, gm2, T, gi_sems,
     return q
 
 
-def _gm_pipeline_bottom(i, n_tiles, gm2, gmat_out, T, gi_sems, go_sems):
+def _gm_pipeline_bottom(i, n_tiles, gm2, gmat_out, T, go_sems):
     """Start tile i's gradient drain; the LAST tile waits out both live
     slots."""
     q = _slot_of(i)
@@ -1316,8 +1324,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
             if not gm_vmem:
                 if not ({"noin", "noout"} & _dbg()):
                     _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
-                _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T,
-                                    gi_sem, go_sem)
+                _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, go_sem)
             return 0
 
         gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
@@ -1453,8 +1460,7 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
         # start the gradient drain BEFORE the epilogue so it overlaps the
         # wait on tile i+1's prefetched input
         if not gm_vmem:
-            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, gi_sem,
-                                go_sem)
+            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, go_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems,
                            out_sem, EM)
@@ -2126,8 +2132,7 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
         # start the gradient drain BEFORE the epilogue so it overlaps the
         # wait on tile i+1's prefetched input
         if not gm_vmem:
-            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, gi_sem,
-                                go_sem)
+            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, go_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems, out_sem,
                            EM)

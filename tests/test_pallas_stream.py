@@ -509,7 +509,17 @@ def test_stream_compact_split_band(monkeypatch, K, Kb, fwd_tol, grad_tol):
     compact+Kb=2 needs).  Compact vs the FUSED engine: forward bitwise at
     K=1 (tight tol), both within blocking-recompute noise at K=Kb=2.
     MATS pinned to the staged stream so both engines use the precomputed
-    staggered material fields (bitwise-comparable forward)."""
+    staggered material fields (bitwise-comparable forward).
+
+    TOOLCHAIN CANARY — rerun on real TPU after any jax/jaxlib/Pallas bump:
+    split-band hazard freedom relies on VMEM pallas operands getting
+    DISTINCT in/out copies under input_output_aliases (the alias is XLA
+    buffer donation, not an in-kernel identity — _psi_materialize
+    docstring).  If a toolchain upgrade ever makes aliased VMEM operands
+    true in-place views, tile i's band extraction would leak into tile
+    i+1's materialization and this K>1 multi-tile bitwise comparison is
+    the test that catches it (test_tpu_streamed_multitile_compact_gradient
+    exercises the aliased compact path on real hardware)."""
     monkeypatch.setenv("SEP2023_TPU_STREAM_MATS", "stage")
     monkeypatch.setenv("SEP2023_TPU_STREAM_K", K)
     monkeypatch.setenv("SEP2023_TPU_STREAM_KB", Kb)
