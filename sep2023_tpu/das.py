@@ -4,8 +4,10 @@ sensitivity weights, and the gauge-length quadrature response.
 Python/JAX re-design of:
   - fiber geometry + Frenet-tangent sensitivity generation
     (`DAS_Waveform_Modeling/matlab/DAS_Geometry_Homogeneous.m`,
-     `frenet.m`, `interparc.m` — MATLAB, offline) — here `arc_fiber`,
-    `spline_fiber`, `resample_arclength`, `tangents`, `sensitivity_weights`
+     `frenet.m`, `interparc.m`, `segment.m` — MATLAB, offline) — here
+    `arc_fiber`, `spline_fiber`, `resample_arclength` (spline-parametric
+    true arc length), `segment_cable` (fiber -> gauge channels),
+    `tangents`, `sensitivity_weights`
   - the analytical gauge-length response by quadrature along the cable
     (`DAS_Waveform_Modeling/src/dasResponse.py`) — here `das_response`
   - the differentiable gauge-averaging map for the inversion path — here
@@ -39,14 +41,73 @@ QUAD_POINTS = {
 # Geometry
 # ---------------------------------------------------------------------------
 
-def resample_arclength(points: np.ndarray, n: int) -> np.ndarray:
-    """Resample a polyline (m, d) to n points equally spaced in arc length
-    (the role of the vendored `interparc.m`; cubic-refined linear variant)."""
-    seg = np.linalg.norm(np.diff(points, axis=0), axis=1)
-    s = np.concatenate([[0.0], np.cumsum(seg)])
-    s_new = np.linspace(0.0, s[-1], n)
-    return np.stack([np.interp(s_new, s, points[:, d])
-                     for d in range(points.shape[1])], axis=1)
+def _arc_spline(points: np.ndarray):
+    """Parametric cubic spline through (m, d) points, parameterized by
+    normalized chord length (interparc.m 'spline' mode: the spline fit of
+    interparc.m:254-305), plus a dense true-arc-length table s(u) from
+    integrating the spline speed |dC/du| (the integral interparc.m solves
+    with ode45; composite trapezoid on a 64x-per-segment grid here — the
+    inversion error is O((du)^2) and far below the gauge discretization).
+
+    Returns (eval_at_s, tangent_at_s, L): callables mapping TRUE arc-length
+    positions (scalar or array in [0, L]) to points / unit tangents on the
+    spline (the exact Frenet T of `frenet.m`), and the total arc length."""
+    pts = np.asarray(points, np.float64)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    pts = pts[np.concatenate([[True], seg > 0])]  # drop duplicate knots
+    if pts.shape[0] < 4:   # not-a-knot needs 4 knots; fall back to chords
+        s = np.concatenate(
+            [[0.0], np.cumsum(np.linalg.norm(np.diff(pts, axis=0), axis=1))])
+
+        def eval_linear(s_q):
+            return np.stack([np.interp(s_q, s, pts[:, d])
+                             for d in range(pts.shape[1])], axis=-1)
+
+        def tan_linear(s_q):
+            return tangents(eval_linear(np.linspace(0.0, s[-1], 101)))[
+                np.clip(np.rint(np.asarray(s_q) / s[-1] * 100), 0,
+                        100).astype(int)]
+
+        return eval_linear, tan_linear, float(s[-1])
+    from scipy.interpolate import CubicSpline
+    chord = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    u = np.concatenate([[0.0], np.cumsum(chord)])
+    u /= u[-1]
+    sp = CubicSpline(u, pts, axis=0)
+    dsp = sp.derivative()
+    uu = np.linspace(0.0, 1.0, 64 * (pts.shape[0] - 1) + 1)
+    speed = np.linalg.norm(dsp(uu), axis=1)
+    s = np.concatenate(
+        [[0.0],
+         np.cumsum(0.5 * (speed[1:] + speed[:-1]) * np.diff(uu))])
+
+    def eval_at(s_q):
+        return sp(np.interp(s_q, s, uu))
+
+    def tangent_at(s_q):
+        d = dsp(np.interp(s_q, s, uu))
+        return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    return eval_at, tangent_at, float(s[-1])
+
+
+def resample_arclength(points: np.ndarray, n: int,
+                       method: str = "spline") -> np.ndarray:
+    """Resample a polyline (m, d) to n points equally spaced in TRUE arc
+    length along a parametric cubic spline through the points — the role
+    (and default mode) of the vendored `interparc.m`.  method='linear'
+    keeps the chordal-polyline variant (interparc's 'linear' mode; also
+    the automatic fallback below 4 distinct points)."""
+    if method == "linear":
+        seg = np.linalg.norm(np.diff(points, axis=0), axis=1)
+        s = np.concatenate([[0.0], np.cumsum(seg)])
+        s_new = np.linspace(0.0, s[-1], n)
+        return np.stack([np.interp(s_new, s, points[:, d])
+                         for d in range(points.shape[1])], axis=1)
+    if method != "spline":
+        raise ValueError(method)
+    eval_at, _, L = _arc_spline(points)
+    return eval_at(np.linspace(0.0, L, n))
 
 
 def tangents(points: np.ndarray) -> np.ndarray:
@@ -107,14 +168,49 @@ def straight_fiber(gauge_length: float, direction=(1.0, 0.0, 0.0),
 
 
 def spline_fiber(control_points: np.ndarray, npts: int = N_CABLE_PTS) -> np.ndarray:
-    """Cable through arbitrary 3D control points, resampled to equal arc
-    length (the Overthrust generator, DAS_Geometry_Overthrust.m:28-50)."""
-    from scipy.interpolate import CubicSpline
+    """Cable through arbitrary 3D control points, resampled to equal TRUE
+    arc length along the chord-length-parameterized cubic spline (the
+    Overthrust generator, DAS_Geometry_Overthrust.m:28-66, whose
+    `interparc(n, Px, Py, Pz, 'spline')` call this mirrors)."""
     cp = np.asarray(control_points, dtype=np.float64)
-    u = np.linspace(0, 1, cp.shape[0])
-    dense = CubicSpline(u, cp, axis=0)(np.linspace(0, 1, 50 * cp.shape[0]))
-    pts3 = resample_arclength(dense, npts)
-    return _finish_cable(pts3)
+    return _finish_cable(resample_arclength(cp, npts, method="spline"))
+
+
+def segment_cable(points: np.ndarray, gauge_length: float,
+                  pts_per_channel: int = N_CABLE_PTS):
+    """Cut one long fiber into equal-arc gauge channels (`segment.m:1-41` +
+    the channel/quadrature layout of DAS_Geometry_Overthrust.m:60-66).
+
+    The reference brute-force searches the channel-node count whose mean
+    interparc spacing is closest to `gauge_length` (segment.m:13-28); a
+    true-arc-length resampler spaces nodes at exactly L/(n_nodes-1), so
+    the optimal count is closed-form: n_nodes = round(L/GL) + 1, and the
+    residual `error` segment.m prints is |L/(n_nodes-1) - GL|.
+
+    Channels are the INTERIOR nodes (the reference's first/last nodes
+    degenerate to single-point sensitivities — Overthrust.m:81-95 — i.e.
+    no full gauge fits around them); each channel gets `pts_per_channel`
+    points spanning the centered gauge [s_i - GL/2, s_i + GL/2], grouped
+    contiguously so `gauge_matrix(n_channels, pts_per_channel)` composes
+    directly with the recorded per-point strains.
+
+    Returns (cable, nodes, error): cable (n_channels*pts_per_channel, 9)
+    with EXACT spline-tangent sensitivity weights (no finite differences
+    across channel-group seams), nodes (n_nodes, 3) the segment.m node
+    output, and the mean-spacing error."""
+    eval_at, tangent_at, L = _arc_spline(points)
+    if L <= gauge_length:
+        raise ValueError(f"fiber arc length {L:.3f} shorter than one "
+                         f"gauge ({gauge_length})")
+    n_nodes = max(2, int(round(L / gauge_length)) + 1)
+    spacing = L / (n_nodes - 1)
+    s_nodes = np.linspace(0.0, L, n_nodes)
+    nodes = eval_at(s_nodes)
+    off = np.linspace(-gauge_length / 2, gauge_length / 2, pts_per_channel)
+    s_ch = np.clip((s_nodes[1:-1, None] + off[None, :]).reshape(-1), 0.0, L)
+    cable = np.concatenate(
+        [eval_at(s_ch), sensitivity_weights(tangent_at(s_ch))], axis=1)
+    return cable, nodes, abs(spacing - gauge_length)
 
 
 # ---------------------------------------------------------------------------

@@ -276,3 +276,75 @@ def test_spline_fiber_overthrust_fwi_plan():
         scale = np.abs(ref[:, c]).max()
         rel = np.abs(out[:, c] - ref[:, c]).max() / scale
         assert rel < 3e-5, (c, rel)
+
+
+def test_resample_arclength_spline_vs_analytic_circle():
+    """Spline-parametric resampling (interparc.m 'spline' mode): on a
+    quarter circle known analytically, the spline arc length must beat the
+    chordal estimate by orders of magnitude and the resampled points must
+    be equally spaced in TRUE arc length and lie on the circle."""
+    R, theta = 100.0, np.pi / 2
+    t = np.linspace(0.0, theta, 13)   # coarse knots
+    knots = np.stack([R * np.cos(t), R * np.sin(t), 0 * t], axis=1)
+    L_true = R * theta
+    chord = np.linalg.norm(np.diff(knots, axis=0), axis=1).sum()
+    _, _, L_spline = das._arc_spline(knots)
+    assert abs(L_spline - L_true) < 0.02 * abs(chord - L_true)
+    assert abs(L_spline - L_true) / L_true < 1e-5
+
+    pts = das.resample_arclength(knots, 41)
+    r = np.linalg.norm(pts[:, :2], axis=1)
+    np.testing.assert_allclose(r, R, rtol=1e-5)        # on the circle
+    ang = np.arctan2(pts[:, 1], pts[:, 0])
+    darc = R * np.diff(ang)
+    np.testing.assert_allclose(darc, L_true / 40, rtol=1e-4)  # equal TRUE arc
+    # the old chordal variant stays available and is measurably worse
+    pts_lin = das.resample_arclength(knots, 41, method="linear")
+    r_lin = np.linalg.norm(pts_lin[:, :2], axis=1)
+    assert np.abs(r_lin - R).max() > 10 * np.abs(r - R).max()
+
+
+def test_segment_cable_overthrust():
+    """segment_cable (segment.m + DAS_Geometry_Overthrust.m:60-66): the
+    Overthrust spline fiber cut into gauge channels whose groups compose
+    with gauge_matrix."""
+    # the examples/overthrust_das.py cable, meters
+    cp = np.array([[150.0, 420.0, 0.0], [350.0, 330.0, 0.0],
+                   [550.0, 430.0, 0.0], [750.0, 360.0, 0.0],
+                   [900.0, 420.0, 0.0]])
+    GL = 50.0
+    cable, nodes, err = das.segment_cable(cp, GL)
+    _, _, L = das._arc_spline(cp)
+    n_nodes = int(round(L / GL)) + 1
+    n_chan = n_nodes - 2
+    assert nodes.shape == (n_nodes, 3)
+    assert cable.shape == (n_chan * das.N_CABLE_PTS, 9)
+    assert err < 0.02 * GL   # segment.m's mean-spacing error figure
+
+    # every channel's 21 points span one gauge length in arc
+    pts = cable[:, :3].reshape(n_chan, das.N_CABLE_PTS, 3)
+    for c in range(n_chan):
+        span = np.linalg.norm(np.diff(pts[c], axis=0), axis=1).sum()
+        assert abs(span - GL) < 0.01 * GL, c
+    # channel centers = the interior segment.m nodes
+    np.testing.assert_allclose(pts[:, das.N_CABLE_PTS // 2, :],
+                               nodes[1:-1], atol=1e-6)
+    # exact spline tangents: normalized projection weights everywhere
+    w = cable[:, 3:]
+    np.testing.assert_allclose(w[:, 0] + w[:, 3] + w[:, 5], 1.0, atol=1e-9)
+    # composes with the gauge averaging map
+    A = das.gauge_matrix(n_chan)
+    ett = np.random.default_rng(0).normal(
+        size=(n_chan * das.N_CABLE_PTS, 8))
+    avg = np.asarray(das.apply_gauge(jnp.asarray(ett), A))
+    assert avg.shape == (n_chan, 8)
+    # trapezoid average of a constant field is that constant
+    const = np.asarray(das.apply_gauge(jnp.ones((n_chan * 21, 4)), A))
+    np.testing.assert_allclose(const, 1.0, rtol=1e-6)
+
+
+def test_segment_cable_too_short_raises():
+    cp = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [2.0, 0.0, 0.0],
+                   [3.0, 0.0, 0.0]])
+    with pytest.raises(ValueError):
+        das.segment_cable(cp, 100.0)
