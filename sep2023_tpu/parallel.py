@@ -125,18 +125,44 @@ def strip_bytes_per_shot(cfg: SimConfig, acoustic: bool = False,
     return (cfg.nt - 1) * (nz8 * pe.LANE + rows * nxp) * itemsize
 
 
+def hbm_budget_bytes(device=None, fallback: int = 6 << 30) -> int:
+    """Boundary-strip HBM budget for `auto_shot_chunk`: 3/8 of the
+    device's reported `bytes_limit` (6 GiB on a 16 GB v5e — the remaining
+    5/8 covers model/gradient planes, recordings and XLA temporaries), or
+    `fallback` when the backend reports no memory stats.  Both XLA:CPU
+    and the axon TPU relay return None from `memory_stats()` (verified),
+    so in this environment the fallback IS the production value; a local
+    TPU runtime reports real limits and scales the budget with HBM size."""
+    try:
+        dev = device if device is not None else jax.devices()[0]
+        limit = int((dev.memory_stats() or {}).get("bytes_limit", 0))
+    except Exception:   # relay proxies may raise instead of returning None
+        limit = 0
+    if limit > 0:
+        return max(1 << 30, (limit * 3) // 8)
+    return fallback
+
+
 def auto_shot_chunk(cfg: SimConfig, n_shots: int, *, acoustic: bool = False,
-                    budget_bytes: int = 6 << 30, itemsize: int = 4) -> int:
+                    budget_bytes: int | None = None, itemsize: int = 4,
+                    n_devices: int = 1) -> int:
     """Default shots-in-flight bound for gradient evaluations: the largest
-    chunk whose strip residuals fit `budget_bytes` (6 GiB — leaves room
-    for model planes, recordings and XLA temporaries in a v5e's 16 GB),
-    or 0 (unchunked) when every shot fits.  Chunking is close to free
-    since the gradient accumulator replaced the remat re-forward, so the
-    budget errs toward safety."""
+    chunk whose strip residuals fit the HBM budget (`hbm_budget_bytes()`
+    when budget_bytes is None), or 0 (unchunked) when every shot fits.
+    `n_shots` is the GLOBAL shot count; under shot data-parallelism pass
+    `n_devices` so the bound applies to each device's ceil(S/D) local
+    shots (the CLI divides before calling; both routes agree).  Chunking
+    is close to free since the gradient accumulator replaced the remat
+    re-forward, so the budget errs toward safety: an unchunked Marmousi
+    many-shot gradient previously exceeded HBM and hard-crashed the TPU
+    worker (~1.8 GB strips/shot at 814x2064/nt=2001)."""
+    if budget_bytes is None:
+        budget_bytes = hbm_budget_bytes()
+    local_shots = -(-max(1, n_shots) // max(1, n_devices))
     per_shot = strip_bytes_per_shot(cfg, acoustic, itemsize)
-    if per_shot * max(1, n_shots) <= budget_bytes:
+    if per_shot * local_shots <= budget_bytes:
         return 0
-    return max(1, min(n_shots, int(budget_bytes // per_shot)))
+    return max(1, min(local_shots, int(budget_bytes // per_shot)))
 
 
 def _split_shots(tree, *, S: int, used: int, n_full: int, chunk: int):

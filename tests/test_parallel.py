@@ -149,6 +149,48 @@ def test_auto_shot_chunk_sizing():
     assert par.auto_shot_chunk(cfg_big, 64, itemsize=8) <= max(1, c // 2)
 
 
+def test_auto_shot_chunk_marmousi_pin():
+    """PIN the chunk choices at the exact shape whose unchunked gradient
+    hard-crashed the TPU worker (814x2064 padded, nt=2001, 24 shots —
+    the CLAUDE.md HBM-pressure incident): 3 shots/chunk at f32 under the
+    6 GiB fallback budget, 1 at x64, and unchunked once 8-way shot-DP
+    leaves only 3 local shots."""
+    cfg = st.SimConfig(nz=814, nx=2064, dz=10.0, dx=10.0, nt=2001,
+                       dt=0.001, f0=10.0, npml=32)
+    assert par.auto_shot_chunk(cfg, 24) == 3
+    assert par.auto_shot_chunk(cfg, 24, itemsize=8) == 1
+    assert par.auto_shot_chunk(cfg, 24, n_devices=8) == 0
+    # the tiny CPU-suite shape stays unchunked
+    cfg_tiny = st.SimConfig(nz=48, nx=64, dz=20.0, dx=20.0, nt=301,
+                            dt=0.002, f0=10.0, npml=10)
+    assert par.auto_shot_chunk(cfg_tiny, 8) == 0
+
+
+def test_hbm_budget_derivation():
+    """hbm_budget_bytes: 3/8 of a reported bytes_limit, 6 GiB fallback
+    when the backend reports nothing (XLA:CPU and the axon relay both
+    return None from memory_stats — verified in-environment)."""
+
+    class FakeDev:
+        def __init__(self, stats):
+            self._s = stats
+
+        def memory_stats(self):
+            return self._s
+
+    gib = 1 << 30
+    assert par.hbm_budget_bytes(FakeDev(None)) == 6 * gib
+    assert par.hbm_budget_bytes(FakeDev({})) == 6 * gib
+    assert par.hbm_budget_bytes(FakeDev({"bytes_limit": 16 * gib})) == 6 * gib
+    assert par.hbm_budget_bytes(FakeDev({"bytes_limit": 32 * gib})) == 12 * gib
+    # a derived 12 GiB budget widens the Marmousi chunk 3 -> 7
+    cfg = st.SimConfig(nz=814, nx=2064, dz=10.0, dx=10.0, nt=2001,
+                       dt=0.001, f0=10.0, npml=32)
+    assert par.auto_shot_chunk(cfg, 24, budget_bytes=12 * gib) == 7
+    # the in-environment device reports no stats -> fallback in force
+    assert par.hbm_budget_bytes() == 6 * gib
+
+
 def test_sharded_chunked_accumulator_matches_local(problem):
     """shot_chunk INSIDE shard_map: the custom-vjp gradient accumulator
     composes with the psum'd sharded loss (2 devices x 4 local shots in
