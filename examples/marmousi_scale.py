@@ -3,8 +3,17 @@
 A 750x2000-cell (7.5 km x 20 km at dz=dx=10 m) overthrust-style model —
 814x2064 padded, far past the fused engine's VMEM range — inverted
 end-to-end on one chip: observed data from the true model, L-BFGS-B from a
-smoothed init, gradients through the grid-size-independent streamed
+HARD-smoothed init, gradients through the grid-size-independent streamed
 backward (ops/pallas_stream.py).
+
+The init is smoothed hard enough (sigma = 60 cells at full scale) that the
+model-error metric has real headroom, and recovery is reported where the
+physics can recover it: the ILLUMINATED zone between the surface sources
+and the deep receiver line (a gently-smoothed init starts within ~1% mean
+|vp err| and few-iteration demos then show misfit dropping while the mean
+error is flat — the metric trap CLAUDE.md documents; the reference's twin
+experiments dump visibly-recovering per-iteration models instead,
+Main-001-FWI-Anomaly-Vp-Vs-Den.py:137-154).
 
 Run:  python examples/marmousi_scale.py [outdir] [n_iters]
 """
@@ -25,10 +34,12 @@ from sep2023_tpu.ops import pallas_engine as pe
 from sep2023_tpu.ops import pallas_stream as ps
 
 
-def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
-         nt=2001, n_shots=24, npml=32):
+def main(outdir="scratch/marmousi_scale", n_iters=30, nz=750, nx=2000,
+         nt=2001, n_shots=24, npml=32, smooth_cells=None, shot_chunk=2):
     """Defaults are the Marmousi-scale TPU run; the smaller overrides let
-    the same machinery smoke-test on CPU (interpret mode)."""
+    the same machinery smoke-test on CPU (interpret mode).  Returns the
+    metrics dict it prints (misfit + illuminated-zone model error, both
+    of which must IMPROVE for the demo to count as a recovery)."""
     os.makedirs(outdir, exist_ok=True)
     n_iters, nz, nx, nt, n_shots = (int(v) for v in
                                     (n_iters, nz, nx, nt, n_shots))
@@ -41,7 +52,12 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
           f"streamed layout {ps._layout(cfg)}", flush=True)
 
     vp_t = models.overthrust_vp(nz, nx, v_top=2600.0, v_step=300.0)
-    vp_0 = models.smooth(vp_t, 24.0)
+    # hard smoothing: the structural layering is gone from the init (mean
+    # |vp err| starts at several hundred m/s at full scale, not the ~1%
+    # a gentle sigma leaves)
+    if smooth_cells is None:
+        smooth_cells = max(8.0, 60.0 * nz / 750.0)
+    vp_0 = models.smooth(vp_t, float(smooth_cells))
     pad = lambda m: jnp.asarray(st.medium.pad_model_np(m, npml), jnp.float32)
     # rho is built from the scalar INSIDE the traced losses (a closed-over
     # device plane would compile in as a constant — CLAUDE.md JAX rules)
@@ -49,16 +65,25 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
     rho = jnp.full(cfg.grid.shape, rho_c, jnp.float32)
     cfg.check_stability(float(vp_t.max()))
 
-    # 24 shots across the top, receivers on a deep row (DAS-style)
-    src_x = np.linspace(40, nx - 40, n_shots).astype(np.int64)
+    # shots across the top, receivers on a deep row (DAS-style)
+    mx = max(4, nx // 50)
+    src_x = np.linspace(mx, nx - mx, n_shots).astype(np.int64)
     rec_row = int(0.6 * nz)
     survey = Survey(src_z=np.full(len(src_x), 2), src_x=src_x,
-                    rec_z=np.full(nx - 40, rec_row),
-                    rec_x=np.arange(20, nx - 20))
+                    rec_z=np.full(nx - 2 * (mx // 2), rec_row),
+                    rec_x=np.arange(mx // 2, nx - mx // 2))
     stf = jnp.broadcast_to(
         jnp.asarray(st.ricker(cfg.f0, nt, dt), jnp.float32),
         (len(src_x), nt))
     w = jnp.ones((len(src_x),), jnp.float32)
+
+    # the ILLUMINATED zone: between the surface sources and the receiver
+    # line, inside the lateral source spread — where transmission FWI has
+    # ray coverage and a recovery claim is physically meaningful
+    zone = (slice(4, rec_row), slice(mx, nx - mx))
+
+    def zone_err(vp):
+        return float(np.abs(np.asarray(vp) - vp_t)[zone].mean())
 
     def to_lame(vp_pad):
         vs_pad = vp_pad / jnp.sqrt(3.0)
@@ -69,18 +94,19 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
           flush=True)
     t0 = time.time()
     gen = ps.tpu_jit(parallel.make_forward(cfg, survey, use_pallas=True,
-                                           shot_chunk=4))
+                                           shot_chunk=shot_chunk))
     lam_t, mu_t = to_lame(pad(vp_t))
     obs = jax.block_until_ready(gen(lam_t, mu_t, rho, stf))
     print(f"  {len(src_x)} shots in {time.time()-t0:.1f}s (incl. compile)",
           flush=True)
 
-    # shot_chunk=2 bounds the streamed boundary-strip residents (~1.9 GB
-    # per in-flight shot at this nt) via the custom-vjp gradient
-    # accumulator (parallel._chunked_sum; auto_shot_chunk picks 3 for this
-    # shape) — the production path; unchunked 24-shot residuals would
-    # exceed HBM
-    data_loss = parallel.make_pallas_misfit(cfg, survey, shot_chunk=2)
+    # shot_chunk bounds the streamed boundary-strip residents (~1.9 GB
+    # per in-flight shot at full-scale nt) via the custom-vjp gradient
+    # accumulator (parallel._chunked_sum; auto_shot_chunk picks 3 for the
+    # full shape) — the production path; unchunked 24-shot residuals
+    # would exceed HBM
+    data_loss = parallel.make_pallas_misfit(cfg, survey,
+                                            shot_chunk=shot_chunk)
 
     def loss(params, stf_, obs_):
         vp_pad = jnp.pad(jnp.asarray(params["vp"], jnp.float32), npml,
@@ -90,17 +116,32 @@ def main(outdir="scratch/marmousi_scale", n_iters=3, nz=750, nx=2000,
         return data_loss(lam, mu, rr, stf_, obs_, w)
 
     obj = optimize.ScipyObjective(loss, {"vp": vp_0}, aux=(stf, obs))
+    err_hist = [zone_err(vp_0)]
+
+    def track(xk):
+        err_hist.append(zone_err(obj.unpack(xk)["vp"]))
+        print(f"  iter {len(err_hist) - 1}: zone |vp err| "
+              f"{err_hist[-1]:.1f} m/s", flush=True)
+
     t0 = time.time()
     f0 = obj.fun(obj.x0)   # cached — minimize's first evaluation reuses it
-    res = optimize.lbfgsb(obj, maxiter=int(n_iters))
+    res = optimize.lbfgsb(obj, maxiter=int(n_iters), callback=track)
     vp_out = obj.unpack(res.x)["vp"]
-    err0 = np.abs(vp_0 - vp_t).mean()
-    err1 = np.abs(np.asarray(vp_out) - vp_t).mean()
+    err0_all = float(np.abs(vp_0 - vp_t).mean())
+    err1_all = float(np.abs(np.asarray(vp_out) - vp_t).mean())
     np.savez(os.path.join(outdir, "marmousi_scale.npz"),
-             vp_true=vp_t, vp_init=vp_0, vp_out=np.asarray(vp_out))
+             vp_true=vp_t, vp_init=vp_0, vp_out=np.asarray(vp_out),
+             zone_err_per_iter=np.asarray(err_hist))
+    metrics = {"misfit0": float(f0), "misfit1": float(res.fun),
+               "nit": int(res.nit), "n_evals": int(obj.n_evals),
+               "zone_err0": err_hist[0], "zone_err1": zone_err(vp_out),
+               "err0_all": err0_all, "err1_all": err1_all}
     print(f"misfit {f0:.4e} -> {res.fun:.4e} after {res.nit} iterations "
           f"({obj.n_evals} evals, {time.time()-t0:.0f}s); "
-          f"mean |vp err| {err0:.1f} -> {err1:.1f} m/s", flush=True)
+          f"illuminated-zone mean |vp err| {metrics['zone_err0']:.1f} -> "
+          f"{metrics['zone_err1']:.1f} m/s "
+          f"(whole model {err0_all:.1f} -> {err1_all:.1f})", flush=True)
+    return metrics
 
 
 if __name__ == "__main__":

@@ -24,12 +24,16 @@ from sep2023_tpu.ops import misfit as mf
 from sep2023_tpu.ops import pallas_engine as pe
 
 
-def main(outdir="scratch/overthrust_das"):
+def main(outdir="scratch/overthrust_das", n_iters=10, nt=501, src_step=10):
+    """Defaults are the demo run; smaller nt/n_iters/denser src_step let
+    the suite smoke-test the script on CPU (interpret-mode Pallas).
+    Returns the metrics dict it prints."""
     os.makedirs(outdir, exist_ok=True)
+    n_iters, nt, src_step = int(n_iters), int(nt), int(src_step)
     npml = 16
     nz, nx, dh = 60, 100, 10.0
     cfg = st.SimConfig(nz=nz + 2 * npml, nx=nx + 2 * npml, dz=dh, dx=dh,
-                       nt=501, dt=0.001, f0=15.0, npml=npml,
+                       nt=nt, dt=0.001, f0=15.0, npml=npml,
                        das_channel="weighted")
 
     # --- model: folded + thrusted layers (DAS_Geometry_Overthrust.m's
@@ -50,7 +54,7 @@ def main(outdir="scratch/overthrust_das"):
     print(f"cable: {len(rec_z)} channels, depth rows "
           f"{rec_z.min()}..{rec_z.max()}")
 
-    src_x = np.arange(10, nx - 10, 10)
+    src_x = np.arange(10, nx - 10, src_step)
     sz = jnp.asarray(np.full(len(src_x), 1) + npml)
     sx = jnp.asarray(src_x + npml)
     rxz = jnp.ones((len(src_x),), jnp.float32)
@@ -84,17 +88,28 @@ def main(outdir="scratch/overthrust_das"):
 
     print("inverting vp from the DAS 'ett' channel ...")
     obj = optimize.ScipyObjective(loss, {"vp": vp_init}, aux=(stf, obs))
-    res = optimize.lbfgsb(obj, maxiter=10)
-    vp_out = obj.unpack(res.x)["vp"]
+    f0 = obj.fun(obj.x0)   # cached — minimize's first evaluation reuses it
+    res = optimize.lbfgsb(obj, maxiter=n_iters)
+    vp_out = np.asarray(obj.unpack(res.x)["vp"])
     np.savez(os.path.join(outdir, "overthrust_das.npz"),
              vp_true=vp_true, vp_init=vp_init, vp_out=vp_out,
              rec_z=rec_z, rec_x=rec_x, das_w=das_w, cable=cable)
-    err0 = np.abs(vp_init - vp_true).mean()
-    err1 = np.abs(vp_out - vp_true).mean()
-    print(f"misfit {res.fun:.4e} after {res.nit} iterations; "
-          f"mean |vp err| {err0:.1f} -> {err1:.1f} m/s")
+    # report recovery where the transmission geometry illuminates: between
+    # the surface sources and the fiber depth, inside the source spread
+    zone = (slice(2, int(rec_z.max()) + 2), slice(10, nx - 10))
+    zerr0 = float(np.abs(vp_init - vp_true)[zone].mean())
+    zerr1 = float(np.abs(vp_out - vp_true)[zone].mean())
+    err0 = float(np.abs(vp_init - vp_true).mean())
+    err1 = float(np.abs(vp_out - vp_true).mean())
+    metrics = {"misfit0": float(f0), "misfit1": float(res.fun),
+               "nit": int(res.nit), "zone_err0": zerr0, "zone_err1": zerr1,
+               "err0_all": err0, "err1_all": err1}
+    print(f"misfit {f0:.4e} -> {res.fun:.4e} after {res.nit} iterations; "
+          f"illuminated-zone mean |vp err| {zerr0:.1f} -> {zerr1:.1f} m/s "
+          f"(whole model {err0:.1f} -> {err1:.1f})")
     print(f"wrote {outdir}/overthrust_das.npz")
+    return metrics
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    main(*sys.argv[1:])

