@@ -305,6 +305,8 @@ def main():
     for name, fn in sections:
         if _elapsed() > BUDGET_S:
             result["extra"]["skipped"].append(f"{name}: budget")
+            result["extra"]["elapsed_s"] = round(_elapsed(), 1)
+            _emit(result)   # surface the skip markers in the final line
             continue
         extras, err = None, None
         for attempt in range(3):  # transient relay retries, per section
