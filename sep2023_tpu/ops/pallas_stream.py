@@ -1416,7 +1416,13 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
                       + eng._dz_plus_t(d_sdiffs[2]))
             adj_f = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
             adj_p = (*d_spsi_in, *d_vpsi_in)
-            d_mats = tuple(a + b for a, b in zip(d_mats_m, d_mats_v))
+            # accumulate INTERIOR rows only: the halo rows of the per-step
+            # material cotangents are never read (the gm add below used to
+            # slice [PAD:PAD+T] after summing full (E, nxp) planes), so
+            # slicing before the adds drops 2*PAD/E (~27% at T=88/PAD=16)
+            # of this VPU work and shrinks the live temporaries
+            d_mats = tuple(a[PAD:PAD + T, :] + b[PAD:PAD + T, :]
+                           for a, b in zip(d_mats_m, d_mats_v))
             acc_mats = d_mats if acc_mats is None else tuple(
                 a + b for a, b in zip(acc_mats, d_mats))
 
@@ -1447,13 +1453,12 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
             # gradient output rows in place (tile interiors are disjoint)
             rows_g = pl.ds(_m8(r0 + PAD), T)
             for f, v in enumerate(acc_mats):
-                gmat_out[f, rows_g, :] = (gmat_in[f, rows_g, :]
-                                          + v[PAD:PAD + T, :])
+                gmat_out[f, rows_g, :] = gmat_in[f, rows_g, :] + v
         else:
             if "noin" not in _dbg():
                 _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
             for f, v in enumerate(acc_mats):
-                gm_t[gq, f] = gm_t[gq, f] + v[PAD:PAD + T, :]
+                gm_t[gq, f] = gm_t[gq, f] + v
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
@@ -2094,7 +2099,9 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
             cot_vx = d_vels[1] + eng._dx_minus_t(d_vdiffs[1])
             adj_f = (d_p_t, cot_vz, cot_vx)
             adj_p = (*d_ppsi_in, *d_vpsi_in)
-            d_mats = (d_lam, d_bycs[0], d_bycs[1])
+            # interior-only accumulation (see the elastic twin's comment)
+            d_mats = tuple(d[PAD:PAD + T, :]
+                           for d in (d_lam, d_bycs[0], d_bycs[1]))
             acc_mats = d_mats if acc_mats is None else tuple(
                 a + b for a, b in zip(acc_mats, d_mats))
 
@@ -2120,12 +2127,11 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
             # gradient output rows in place (tile interiors are disjoint)
             rows_g = pl.ds(_m8(r0 + PAD), T)
             for f, v in enumerate(acc_mats):
-                gmat_out[f, rows_g, :] = (gmat_in[f, rows_g, :]
-                                          + v[PAD:PAD + T, :])
+                gmat_out[f, rows_g, :] = gmat_in[f, rows_g, :] + v
         else:
             _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
             for f, v in enumerate(acc_mats):
-                gm_t[gq, f] = gm_t[gq, f] + v[PAD:PAD + T, :]
+                gm_t[gq, f] = gm_t[gq, f] + v
 
         _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
                           aux_sem)
