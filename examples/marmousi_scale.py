@@ -1,19 +1,22 @@
 """Marmousi-scale twin-experiment FWI on the streamed Pallas engine.
 
-A 750x2000-cell (7.5 km x 20 km at dz=dx=10 m) overthrust-style model —
-814x2064 padded, far past the fused engine's VMEM range — inverted
-end-to-end on one chip: observed data from the true model, L-BFGS-B from a
-HARD-smoothed init, gradients through the grid-size-independent streamed
-backward (ops/pallas_stream.py).
+A 750x2000-cell (7.5 km x 20 km at dz=dx=10 m) overthrust-style model
+with three Gaussian vp anomalies — 814x2064 padded, far past the fused
+engine's VMEM range — inverted end-to-end on one chip: observed data from
+the true model, L-BFGS-B from the smoothed anomaly-free background,
+gradients through the grid-size-independent streamed backward
+(ops/pallas_stream.py).
 
-The init is smoothed hard enough (sigma = 60 cells at full scale) that the
-model-error metric has real headroom, and recovery is reported where the
-physics can recover it: the ILLUMINATED zone between the surface sources
-and the deep receiver line (a gently-smoothed init starts within ~1% mean
-|vp err| and few-iteration demos then show misfit dropping while the mean
-error is flat — the metric trap CLAUDE.md documents; the reference's twin
-experiments dump visibly-recovering per-iteration models instead,
-Main-001-FWI-Anomaly-Vp-Vs-Den.py:137-154).
+This is the reference's twin-experiment design (anomalies on a known
+background, Main-001-FWI-Anomaly-Vp-Vs-Den.py:137-154) at Marmousi scale:
+the +-250 m/s blobs (sigma ~400 m) sit WITHIN the 6 Hz transmission
+resolution (lambda/2 ~ 225 m), so the IN-ANOMALY mean |vp err| drops
+visibly within tens of iterations — a model metric that demonstrates
+recovery, not just misfit.  (An earlier variant inverted the bare
+hard-smoothed overthrust: the data misfit fell 128x but the pointwise
+error budget was dominated by sharp layer interfaces ABOVE the 6 Hz
+resolution limit, so mean |vp err| moved ~2% — the metric trap CLAUDE.md
+documents.  Smooth blobs are what this acquisition can actually see.)
 
 Run:  python examples/marmousi_scale.py [outdir] [n_iters]
 """
@@ -35,29 +38,39 @@ from sep2023_tpu.ops import pallas_stream as ps
 
 
 def main(outdir="scratch/marmousi_scale", n_iters=30, nz=750, nx=2000,
-         nt=2001, n_shots=24, npml=32, smooth_cells=None, shot_chunk=2):
+         nt=2001, n_shots=24, npml=32, smooth_cells=None, shot_chunk=2,
+         f0=6.0):
     """Defaults are the Marmousi-scale TPU run; the smaller overrides let
     the same machinery smoke-test on CPU (interpret mode).  Returns the
-    metrics dict it prints (misfit + illuminated-zone model error, both
-    of which must IMPROVE for the demo to count as a recovery)."""
+    metrics dict it prints (misfit + IN-ANOMALY model error, both of
+    which must IMPROVE for the demo to count as a recovery; the
+    illuminated-zone and whole-model errors are reported alongside)."""
     os.makedirs(outdir, exist_ok=True)
     n_iters, nz, nx, nt, n_shots = (int(v) for v in
                                     (n_iters, nz, nx, nt, n_shots))
     dh = 10.0
     dt = 0.001                    # 2 s window (receivers at 0.6 nz ~ 1.5 s out)
+    # f0=6 Hz at full scale; CPU smokes pass a higher f0 so the blobs
+    # stay within the lambda/2 resolution on their tiny grids
     cfg = st.SimConfig(nz=nz + 2 * npml, nx=nx + 2 * npml, dz=dh, dx=dh,
-                       nt=nt, dt=dt, f0=6.0, npml=npml)
+                       nt=nt, dt=dt, f0=float(f0), npml=npml)
     print(f"grid {cfg.nz}x{cfg.nx} padded, nt={nt}; "
           f"fused gradient fits: {pe.grad_vmem_fits(cfg)}; "
           f"streamed layout {ps._layout(cfg)}", flush=True)
 
-    vp_t = models.overthrust_vp(nz, nx, v_top=2600.0, v_step=300.0)
-    # hard smoothing: the structural layering is gone from the init (mean
-    # |vp err| starts at several hundred m/s at full scale, not the ~1%
-    # a gentle sigma leaves)
+    vp_bg = models.overthrust_vp(nz, nx, v_top=2600.0, v_step=300.0)
+    # truth = background + smooth Gaussian blobs (the recoverable target);
+    # init = gently smoothed background WITHOUT the blobs (kinematics near
+    # truth -> no cycle skipping; the anomalies carry the signal)
+    sig_b = max(5.0, 0.055 * nz)
+    vp_t = vp_bg
+    for zf, xf, amp in ((0.22, 0.32, 250.0), (0.38, 0.52, -250.0),
+                        (0.30, 0.70, 200.0)):
+        vp_t = models.gaussian_anomaly(vp_t, zf * nz, xf * nx, sig_b, amp)
+    anom_mask = np.abs(vp_t - vp_bg) > 25.0
     if smooth_cells is None:
-        smooth_cells = max(8.0, 60.0 * nz / 750.0)
-    vp_0 = models.smooth(vp_t, float(smooth_cells))
+        smooth_cells = max(6.0, 24.0 * nz / 750.0)
+    vp_0 = models.smooth(vp_bg, float(smooth_cells))
     pad = lambda m: jnp.asarray(st.medium.pad_model_np(m, npml), jnp.float32)
     # rho is built from the scalar INSIDE the traced losses (a closed-over
     # device plane would compile in as a constant — CLAUDE.md JAX rules)
@@ -84,6 +97,9 @@ def main(outdir="scratch/marmousi_scale", n_iters=30, nz=750, nx=2000,
 
     def zone_err(vp):
         return float(np.abs(np.asarray(vp) - vp_t)[zone].mean())
+
+    def anom_err(vp):
+        return float(np.abs(np.asarray(vp) - vp_t)[anom_mask].mean())
 
     def to_lame(vp_pad):
         vs_pad = vp_pad / jnp.sqrt(3.0)
@@ -116,30 +132,33 @@ def main(outdir="scratch/marmousi_scale", n_iters=30, nz=750, nx=2000,
         return data_loss(lam, mu, rr, stf_, obs_, w)
 
     obj = optimize.ScipyObjective(loss, {"vp": vp_0}, aux=(stf, obs))
-    err_hist = [zone_err(vp_0)]
+    err_hist = [anom_err(vp_0)]
 
     def track(xk):
-        err_hist.append(zone_err(obj.unpack(xk)["vp"]))
-        print(f"  iter {len(err_hist) - 1}: zone |vp err| "
+        err_hist.append(anom_err(obj.unpack(xk)["vp"]))
+        print(f"  iter {len(err_hist) - 1}: in-anomaly |vp err| "
               f"{err_hist[-1]:.1f} m/s", flush=True)
 
     t0 = time.time()
-    f0 = obj.fun(obj.x0)   # cached — minimize's first evaluation reuses it
+    # (m0, not f0 — don't shadow the frequency parameter)
+    m0 = obj.fun(obj.x0)   # cached — minimize's first evaluation reuses it
     res = optimize.lbfgsb(obj, maxiter=int(n_iters), callback=track)
     vp_out = obj.unpack(res.x)["vp"]
     err0_all = float(np.abs(vp_0 - vp_t).mean())
     err1_all = float(np.abs(np.asarray(vp_out) - vp_t).mean())
     np.savez(os.path.join(outdir, "marmousi_scale.npz"),
              vp_true=vp_t, vp_init=vp_0, vp_out=np.asarray(vp_out),
-             zone_err_per_iter=np.asarray(err_hist))
-    metrics = {"misfit0": float(f0), "misfit1": float(res.fun),
+             anom_mask=anom_mask, anom_err_per_iter=np.asarray(err_hist))
+    metrics = {"misfit0": float(m0), "misfit1": float(res.fun),
                "nit": int(res.nit), "n_evals": int(obj.n_evals),
-               "zone_err0": err_hist[0], "zone_err1": zone_err(vp_out),
+               "anom_err0": err_hist[0], "anom_err1": anom_err(vp_out),
+               "zone_err0": zone_err(vp_0), "zone_err1": zone_err(vp_out),
                "err0_all": err0_all, "err1_all": err1_all}
-    print(f"misfit {f0:.4e} -> {res.fun:.4e} after {res.nit} iterations "
+    print(f"misfit {m0:.4e} -> {res.fun:.4e} after {res.nit} iterations "
           f"({obj.n_evals} evals, {time.time()-t0:.0f}s); "
-          f"illuminated-zone mean |vp err| {metrics['zone_err0']:.1f} -> "
-          f"{metrics['zone_err1']:.1f} m/s "
+          f"in-anomaly mean |vp err| {metrics['anom_err0']:.1f} -> "
+          f"{metrics['anom_err1']:.1f} m/s; illuminated-zone "
+          f"{metrics['zone_err0']:.1f} -> {metrics['zone_err1']:.1f} "
           f"(whole model {err0_all:.1f} -> {err1_all:.1f})", flush=True)
     return metrics
 
