@@ -37,6 +37,19 @@ gradient the same property, TPU-style:
     (recording samples one halo row) and K<=2 backward; nt-1 pads to a
     multiple of lcm(K, K_bwd) with zero-amplitude ghost steps that the
     backward reverses exactly (their recordings carry zero cotangent);
+  * RING SWEEPS (`_stream_J`): J megasteps may run inside ONE kernel
+    invocation, the 2-slot pipeline WRAPPING from the last tile to the
+    next sweep's tile 0, so the per-invocation fill/drain (the blocking
+    tile-0 prime + last-tile drain — ~9% of the backward at 814x2064,
+    which no cross-invocation prefetch can hide: DMAs die at kernel
+    return) amortizes J-fold.  Unlike deeper K, sweeps re-load halos
+    from HBM, so the VMEM budget and valid-row window are untouched;
+    the cost is J-fold kernel code.  Sweeps > 0 source the carries
+    through the OUTPUT refs (the same donated HBM buffer on hardware;
+    the distinction makes interpret-mode chaining — and the CPU
+    equality tests — exact), and compact psi adds a top-halo
+    copy-down (_psi_ring_fix) because the previous tile's extraction
+    overwrites the band rows the next tile's halo needs;
   * boundary strips (`Boundary.cu` layout: left/right columns packed into
     a (nz_ext, 128) plane, top/bottom rows into a (56, nxp) plane) and the
     per-step recording rows ride the scan as ys (forward) / xs (backward) —
@@ -650,8 +663,26 @@ def _stage_out_dmas(stage, dst_hbm, tile, T, sem2):
     return body, tail
 
 
+def _ring_src(j, state_in, state_out):
+    """The state source ref for sweep j of a ring kernel: sweep 0 reads
+    the carry INPUT; later sweeps read the OUTPUT ref, where the previous
+    sweep's extraction lives.  On hardware the two are the same aliased
+    HBM buffer (input_output_aliases donates the carry), so this is
+    free; under interpret mode (which does NOT emulate the aliasing —
+    in and out are distinct arrays) it is what makes multi-sweep
+    chaining, and therefore the CPU equality tests, semantically exact."""
+    return state_in if j == 0 else state_out
+
+
+def _ring_slot(i, n_tiles, j):
+    """Global 2-slot parity j*n_tiles + i (mod 2): keeps the slot
+    alternation unbroken across ring sweep boundaries for ODD tile
+    counts (even counts reduce to the per-sweep i%2)."""
+    return _slot_of(i + (j * n_tiles) % 2)
+
+
 def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
-                       s_sems, m_sems, EM=None):
+                       s_sems, m_sems, EM=None, j=0, J=1, state_out=None):
     """2-slot input pipeline over an IN-PLACE (aliased) state buffer.
 
     Tile i's loads were waited at the END of iteration i-1 (i=0 primes
@@ -660,16 +691,27 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
     `_pipeline_epilogue` BEFORE tile i's output DMA starts — that ordering
     is what makes input/output aliasing safe: the 16 halo rows tile i+1
     reads overlap the rows tile i writes, so the read must be secured
-    first (all later tiles read disjoint rows)."""
+    first (all later tiles read disjoint rows).
+
+    Ring mode (J > 1, static j, state_out given): only sweep 0 primes;
+    later sweeps find tile 0 already prefetched by sweep j-1's last tile,
+    whose prologue WRAPS to tile 0 reading the OUT ref (_ring_src).  The
+    wrap prefetch reads tile 0's window — rows [0, E) — whose last
+    writers are tiles 0 and 1 of sweep j-1: with n_tiles >= 4 those
+    output DMAs were drained by _wait_prev_out at tiles 1 and 2, strictly
+    before this prologue runs, and the zero top pad was written inline by
+    _write_state_pads, so the wrap reads exactly the sweep's final
+    values."""
     EM = E if EM is None else EM
-    p = _slot_of(i)
+    p = _ring_slot(i, n_tiles, j)
     if "noin" in _dbg():
         return p
     q = 1 - p
+    src = _ring_src(j, state_in, state_out)
 
-    @_when(i == 0)
+    @_when((i == 0) if j == 0 else False)
     def _prime():
-        cp_s = _in_dma(state_in, sst2, 0, 0, T, E, s_sems)
+        cp_s = _in_dma(src, sst2, 0, 0, T, E, s_sems)
         cp_m = _in_dma(mats_in, mat2, 0, 0, T, EM, m_sems)
         cp_s.start()
         cp_m.start()
@@ -678,47 +720,71 @@ def _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2, T, E,
 
     @_when(i + 1 < n_tiles)
     def _prefetch():
-        _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).start()
+        _in_dma(src, sst2, q, i + 1, T, E, s_sems).start()
         _in_dma(mats_in, mat2, q, i + 1, T, EM, m_sems).start()
+
+    if j < J - 1:
+        @_when(i == n_tiles - 1)
+        def _prefetch_wrap():
+            _in_dma(state_out, sst2, q, 0, T, E, s_sems).start()
+            _in_dma(mats_in, mat2, q, 0, T, EM, m_sems).start()
 
     return p
 
 
 def _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2, stage,
-                       state_out, T, E, s_sems, m_sems, out_sem, EM=None):
+                       state_out, T, E, s_sems, m_sems, out_sem, EM=None,
+                       j=0, J=1):
     """Start this tile's output BODY (rows that no later in-DMA reads),
     secure tile i+1's prefetched input (the aliasing hazard gate), then
-    start the output TAIL; the final tile drains its own out."""
+    start the output TAIL; the final tile OF THE LAST SWEEP drains its
+    own out (ring sweeps in between hand their tail straight to the next
+    sweep's _wait_prev_out)."""
     EM = E if EM is None else EM
-    q = 1 - _slot_of(i)
+    q = 1 - _ring_slot(i, n_tiles, j)
     body, tail = _stage_out_dmas(stage, state_out, i, T, out_sem)
     if "noout" not in _dbg():
         body.start()
 
     if "noin" not in _dbg():
+        src = _ring_src(j, state_in, state_out)
+
         @_when(i + 1 < n_tiles)
         def _secure_next():
-            _in_dma(state_in, sst2, q, i + 1, T, E, s_sems).wait()
+            _in_dma(src, sst2, q, i + 1, T, E, s_sems).wait()
             _in_dma(mats_in, mat2, q, i + 1, T, EM, m_sems).wait()
+
+        if j < J - 1:
+            @_when(i == n_tiles - 1)
+            def _secure_wrap():
+                _in_dma(state_out, sst2, q, 0, T, E, s_sems).wait()
+                _in_dma(mats_in, mat2, q, 0, T, EM, m_sems).wait()
 
     if "noout" in _dbg():
         return
 
     tail.start()
 
-    @_when(i == n_tiles - 1)
+    @_when((i == n_tiles - 1) if j == J - 1 else False)
     def _drain():
         body.wait()
         tail.wait()
 
 
-def _wait_prev_out(i, stage, state_out, T, out_sem):
+def _wait_prev_out(i, stage, state_out, T, out_sem, n_tiles=None, j=0):
+    """Drain the previous tile's output DMAs before reusing the stage.
+    Ring sweeps j > 0 wrap: tile 0 drains the prior sweep's LAST tile."""
     if "noout" in _dbg():
         return
+    if j > 0:
+        prev = jnp.where(i >= 1, i - 1, n_tiles - 1)
+        cond = True
+    else:
+        prev, cond = i - 1, i >= 1
 
-    @_when(i >= 1)
+    @_when(cond)
     def _():
-        body, tail = _stage_out_dmas(stage, state_out, i - 1, T, out_sem)
+        body, tail = _stage_out_dmas(stage, state_out, prev, T, out_sem)
         body.wait()
         tail.wait()
 
@@ -765,7 +831,7 @@ def _psi_zero_all(psis, n_psi, E, nxp):
         psis[j] = jnp.zeros((E, nxp), jnp.float32)
 
 
-def _z_band_copies(plan, n_tiles, T, E):
+def _z_band_copies(plan, n_tiles, T, E, ring=False):
     """Static per-tile copy plans for the two z-psi band slots (top s=0 at
     global buffer rows [PAD, PAD+ZB), bottom s=1 at [B0, B0+ZB)).  Bands
     may overlap ANY tiles' windows/interiors; every tile handles its
@@ -809,13 +875,71 @@ def _z_band_copies(plan, n_tiles, T, E):
                 e.append((s, lo - w0, lo - b0, hi - lo))
         mats.append(m)
         exts.append(e)
-    clears = [[]] + [[(win_lo, rows) for (_, win_lo, _, rows) in mats[ti - 1]]
-                     for ti in range(1, n_tiles)]
+    # ring sweeps (J > 1): tile 0 follows the LAST tile, whose band rows
+    # it must clear like any other predecessor's (harmless at sweep 0:
+    # the rows are still zero from _psi_zero_all)
+    clears = [[(win_lo, rows) for (_, win_lo, _, rows) in mats[-1]]
+              if ring and n_tiles > 1 else []]
+    clears += [[(win_lo, rows) for (_, win_lo, _, rows) in mats[ti - 1]]
+               for ti in range(1, n_tiles)]
     return mats, exts, clears
 
 
+def _clamp_rows(lo, rows, floor):
+    """(lo, rows) clipped to rows >= floor (empty -> rows 0).  floor and
+    lo are 8-aligned by construction, so the clip stays aligned."""
+    shift = max(0, floor - lo)
+    return lo + shift, rows - shift
+
+
+def _psi_ring_fix(plan, n_tiles, T, E, nxp, psis, i, z_idx, x_idx):
+    """Start-of-sweep psi for the window's TOP HALO rows [0, PAD) in ring
+    mode.  Ring sweeps materialize from the psi OUTPUT refs (sweep j-1's
+    extraction), where the previous tile's just-extracted interior has
+    already overwritten the rows this tile's top halo needs at their
+    start-of-sweep values.  Those values still sit in the psi scratch
+    itself: tile i-1 materialized its window [T lower], and nothing
+    overwrites the scratch between tiles — so copy rows [T, T+PAD) down
+    to [0, PAD) where they are IN BAND, and zero the rest (out-of-band
+    psi must read as zero; the previous tile's scratch rows there hold
+    values for different global rows).  Runs BEFORE any loads (the x/z
+    loads overwrite the copy's source rows).  At tile 0 the top halo is
+    the global ghost pad: all zero.  Static per-tile geometry, 8-aligned
+    (tile origins, PAD and band edges are all multiples of 8)."""
+    for j in z_idx:
+        psis[j, 0:PAD, :] = jnp.zeros((PAD, nxp), jnp.float32)
+    xl, xr0, xrw = plan.xl, plan.xr0, plan.xrw
+    for j in x_idx:
+        psis[j, 0:PAD, 0:xl] = jnp.zeros((PAD, xl), jnp.float32)
+        psis[j, 0:PAD, xr0:xr0 + xrw] = jnp.zeros((PAD, xrw), jnp.float32)
+    bands = ((PAD, PAD + plan.ZB), (plan.B0, plan.B0 + plan.ZB))
+    for ti in range(1, n_tiles):
+        r0t = ti * T
+        zcp = []
+        for b0, b1 in bands:
+            lo, hi = max(r0t, b0), min(r0t + PAD, b1)
+            if hi > lo:
+                zcp.append((lo - r0t, hi - lo))
+        if not zcp:
+            continue
+
+        @_when(i == ti)
+        def _copy_down(zcp=zcp):
+            for w0, rows in zcp:
+                for j in z_idx:
+                    psis[j, w0:w0 + rows, :] = psis[j, T + w0:T + w0 + rows,
+                                                    :]
+
+    @_when(i >= 1)
+    def _copy_down_x():
+        for j in x_idx:
+            psis[j, 0:PAD, 0:xl] = psis[j, T:T + PAD, 0:xl]
+            psis[j, 0:PAD, xr0:xr0 + xrw] = psis[j, T:T + PAD,
+                                                 xr0:xr0 + xrw]
+
+
 def _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in, xpsi_in,
-                     i, r0, z_idx, x_idx):
+                     i, r0, z_idx, x_idx, ring=False):
     """Fill the (n_psi, E, nxp) psi scratch planes from band-compact storage
     for tile i.  Exact: psi is identically zero out of band (cpml.py a=0
     there and zero stays zero).  All offsets are static under the per-tile
@@ -826,13 +950,24 @@ def _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in, xpsi_in,
     Reading zpsi_in/xpsi_in here is hazard-free even though they alias the
     outputs at the XLA level: VMEM pallas operands give the kernel
     distinct input and output copies, so extraction by earlier tiles never
-    shows through (verified bitwise vs full-plane streaming at K>1)."""
+    shows through (verified bitwise vs full-plane streaming at K>1).
+
+    RING mode (J > 1 megastep sweeps per invocation): sweeps after the
+    first pass the psi OUTPUT refs as the source — the only place the
+    previous sweep's extraction lives.  There the previous tile's interior
+    extraction HAS overwritten the rows this window's top halo [0, PAD)
+    needs at start-of-sweep values, so those rows come from
+    _psi_ring_fix's scratch copy-down instead, and every load (and clear)
+    is clamped to window rows >= PAD."""
     ZB, xl, xr0, xrw = plan.ZB, plan.xl, plan.xr0, plan.xrw
+    if ring:
+        _psi_ring_fix(plan, n_tiles, T, E, nxp, psis, i, z_idx, x_idx)
+    floor = PAD if ring else 0
     for k, j in enumerate(x_idx):
-        rows = pl.ds(_m8(r0), E)
-        psis[j, :, 0:xl] = xpsi_in[k, rows, 0:xl]
-        psis[j, :, xr0:xr0 + xrw] = xpsi_in[k, rows, xl:xl + xrw]
-    mats, _, clears = _z_band_copies(plan, n_tiles, T, E)
+        rows = pl.ds(_m8(r0 + floor), E - floor)
+        psis[j, floor:E, 0:xl] = xpsi_in[k, rows, 0:xl]
+        psis[j, floor:E, xr0:xr0 + xrw] = xpsi_in[k, rows, xl:xl + xrw]
+    mats, _, clears = _z_band_copies(plan, n_tiles, T, E, ring=ring)
     for ti in range(n_tiles):
         if not (clears[ti] or mats[ti]):
             continue
@@ -840,6 +975,9 @@ def _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in, xpsi_in,
         @_when(i == ti)
         def _z_tile(ti=ti):
             for lo, rows in clears[ti]:
+                lo, rows = _clamp_rows(lo, rows, floor)
+                if rows <= 0:
+                    continue
                 for j in z_idx:
                     psis[j, lo:lo + rows, :] = jnp.zeros((rows, nxp),
                                                          jnp.float32)
@@ -847,9 +985,13 @@ def _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in, xpsi_in,
             # slots were extracted from the same plane last step, so the
             # second write repeats identical values
             for s, win_lo, slot_lo, rows in mats[ti]:
+                lo_c, rows_c = _clamp_rows(win_lo, rows, floor)
+                if rows_c <= 0:
+                    continue
+                sl_c = slot_lo + (lo_c - win_lo)
                 for k, j in enumerate(z_idx):
-                    psis[j, win_lo:win_lo + rows, :] = (
-                        zpsi_in[k, s, slot_lo:slot_lo + rows, :])
+                    psis[j, lo_c:lo_c + rows_c, :] = (
+                        zpsi_in[k, s, sl_c:sl_c + rows_c, :])
 
 
 def _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi, zpsi_out,
@@ -894,7 +1036,7 @@ def _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi, zpsi_out,
 # ---------------------------------------------------------------------------
 
 def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan, K,
-                     srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
+                     J, srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
     EM = _mats_rows(cfg, E)
     nz_ext = PAD + n_tiles * T + PAD
@@ -937,80 +1079,98 @@ def _fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan, K,
 
     # the tile loop lives INSIDE the kernel so the 2-slot DMA pipeline
     # actually spans tiles (DMAs persist across fori_loop iterations; grid
-    # iterations would drain them)
-    def tile_body(i, _):
-        r0 = i * T
-        p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                               T, E, s_sems, m_sems, EM)
-        sst = _Slot(sst2, p)
-        mat_t = _Slot(mat2, p)
-
-        gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
-                                           srcz_ref[0], srcx_ref[0])
-        prof = _slice_prof(prof_refs, r0, E)
-        mats = _mats_tile(cfg, mat_t, E)
-
-        fields = tuple(sst[f] for f in range(5))
+    # iterations would drain them).  J > 1 runs J ring sweeps of K
+    # sub-steps each in ONE invocation (static sweep index js): the
+    # pipeline wraps between sweeps, so only sweep 0 pays the blocking
+    # tile-0 prime (see _stream_J).
+    def make_tile_body(js):
+        base = js * K
         if plan:
-            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
-                             xpsi_in, i, r0, Z_IDX, X_IDX)
-            psi = tuple(psis[j] for j in range(8))
+            zsrc, xsrc = ((zpsi_in, xpsi_in) if js == 0
+                          else (zpsi_out, xpsi_out))
+
+        def tile_body(i, _):
+            r0 = i * T
+            p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2,
+                                   mat2, T, E, s_sems, m_sems, EM,
+                                   j=js, J=J, state_out=state_out)
+            sst = _Slot(sst2, p)
+            mat_t = _Slot(mat2, p)
+
+            gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp,
+                                               srcz_ref[0], srcx_ref[0])
+            prof = _slice_prof(prof_refs, r0, E)
+            mats = _mats_tile(cfg, mat_t, E)
+
+            fields = tuple(sst[f] for f in range(5))
+            if plan:
+                _psi_materialize(plan, n_tiles, T, E, nxp, psis, zsrc,
+                                 xsrc, i, r0, Z_IDX, X_IDX, ring=js > 0)
+                psi = tuple(psis[j] for j in range(8))
+            else:
+                psi = tuple(sst[5 + j] for j in range(8))
+
+            # temporally blocked sub-steps: K leapfrog steps per tile
+            # sweep (valid rows shrink 4/side per sub-step; PAD=16 admits
+            # K<=4).  Sub-step k's pre-update strips are stashed through
+            # the (dead) input slot so the band saver's guarded
+            # dynamic-row stores keep their known-good ref addressing.
+            for k in range(K):
+                if save_strips:
+                    if k > 0:
+                        for f, v in enumerate(fields):
+                            sst[f] = v
+                    _save_strips_tile(cfg, sst, lr_out.at[base + k],
+                                      tb_out.at[base + k], r0, E, T, i,
+                                      n_tiles, margin=4 * k)
+                if "nostep" in _dbg():
+                    recs = None
+                    break
+                fields, psi, recs = eng._step_values(
+                    cfg, rs, prof, mask, src_hot, rxz_ref[0], fields, psi,
+                    mats, amp_ref[base + k], recw, zi=gz,
+                    rec_window=(r0, r0 + T))
+                if recs is not None:
+                    for c in range(NC):
+                        r_ = (base + k) * NC + c
+                        rec_out[r_:r_ + 1, :] = (rec_out[r_:r_ + 1, :]
+                                                 + recs[c])
+            new_fields, new_psi = fields, psi
+
+            # results go to the out STAGE (interior rows only); the input
+            # slot is never DMA'd out, so its reuse (tile i+2's prefetch,
+            # strictly after this body) needs no out drain even when
+            # sub-steps stash into it
+            _wait_prev_out(i, stage, state_out, T, out_sem, n_tiles, js)
+            for f, v in enumerate(new_fields):
+                stage[f] = v[PAD:PAD + T, :]
+            if plan:
+                _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi,
+                             zpsi_out, xpsi_out, i, r0, Z_IDX, X_IDX)
+            else:
+                for j, v in enumerate(new_psi):
+                    stage[5 + j] = v[PAD:PAD + T, :]
+
+            _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
+                              aux_sem)
+            _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
+                               stage, state_out, T, E, s_sems, m_sems,
+                               out_sem, EM, j=js, J=J)
+            return 0
+
+        return tile_body
+
+    for js in range(J):
+        body = make_tile_body(js)
+        if n_tiles <= _unroll_tiles():
+            for i_static in range(n_tiles):
+                body(i_static, 0)
         else:
-            psi = tuple(sst[5 + j] for j in range(8))
-
-        # temporally blocked sub-steps: K leapfrog steps per tile sweep
-        # (valid rows shrink 4/side per sub-step; PAD=16 admits K<=4).
-        # Sub-step k's pre-update strips are stashed through the (dead)
-        # input slot so the band saver's guarded dynamic-row stores keep
-        # their known-good ref addressing.
-        for k in range(K):
-            if save_strips:
-                if k > 0:
-                    for f, v in enumerate(fields):
-                        sst[f] = v
-                _save_strips_tile(cfg, sst, lr_out.at[k], tb_out.at[k],
-                                  r0, E, T, i, n_tiles, margin=4 * k)
-            if "nostep" in _dbg():
-                recs = None
-                break
-            fields, psi, recs = eng._step_values(
-                cfg, rs, prof, mask, src_hot, rxz_ref[0], fields, psi, mats,
-                amp_ref[k], recw, zi=gz, rec_window=(r0, r0 + T))
-            if recs is not None:
-                for c in range(NC):
-                    rec_out[k * NC + c:k * NC + c + 1, :] = (
-                        rec_out[k * NC + c:k * NC + c + 1, :] + recs[c])
-        new_fields, new_psi = fields, psi
-
-        # results go to the out STAGE (interior rows only); the input slot
-        # is never DMA'd out, so its reuse (tile i+2's prefetch, strictly
-        # after this body) needs no out drain even when sub-steps stash
-        # into it
-        _wait_prev_out(i, stage, state_out, T, out_sem)
-        for f, v in enumerate(new_fields):
-            stage[f] = v[PAD:PAD + T, :]
-        if plan:
-            _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, new_psi,
-                         zpsi_out, xpsi_out, i, r0, Z_IDX, X_IDX)
-        else:
-            for j, v in enumerate(new_psi):
-                stage[5 + j] = v[PAD:PAD + T, :]
-
-        _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
-                          aux_sem)
-        _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                           stage, state_out, T, E, s_sems, m_sems,
-                           out_sem, EM)
-        return 0
-
-    if n_tiles <= _unroll_tiles():
-        for i_static in range(n_tiles):
-            tile_body(i_static, 0)
-    else:
-        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+            jax.lax.fori_loop(0, n_tiles, body, 0)
 
 
-def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1):
+def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1,
+                       J: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     EM = _mats_rows(cfg, E)
@@ -1019,6 +1179,7 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1):
     NC = 4 * eng._n_layers(rs)
     recw_in = _recw_inputs_padded(cfg, rs, nxp)
     n_recw = len(recw_in)
+    KJ = K * J
 
     out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
@@ -1026,15 +1187,15 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1):
         out_shape += [jax.ShapeDtypeStruct((4, 2, plan.ZB, nxp), f32),
                       jax.ShapeDtypeStruct((4, nz_ext, plan.XW), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-    out_shape += [jax.ShapeDtypeStruct((K * NC, nxp), f32)]
+    out_shape += [jax.ShapeDtypeStruct((KJ * NC, nxp), f32)]
     out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if save_strips:
-        out_shape += [jax.ShapeDtypeStruct((K, nz_ext, LANE), f32),
-                      jax.ShapeDtypeStruct((K, TB_ROWS, nxp), f32)]
+        out_shape += [jax.ShapeDtypeStruct((KJ, nz_ext, LANE), f32),
+                      jax.ShapeDtypeStruct((KJ, TB_ROWS, nxp), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     kernel = functools.partial(_fwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
-                               n_recw, save_strips, plan, K)
+                               n_recw, save_strips, plan, K, J)
     n_mats = 3 if _mats_compute(cfg) else 5
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
                pltpu.VMEM((2, n_mats, EM, nxp), f32)]
@@ -1071,7 +1232,7 @@ def _make_fwd_megastep(cfg: SimConfig, rs, save_strips: bool, K: int = 1):
     )
 
     def step(state, psic, mats_ext, profs, sz1, sx1, rxz1, amp):
-        return call(sz1, sx1, rxz1, jnp.reshape(amp, (K,)).astype(f32),
+        return call(sz1, sx1, rxz1, jnp.reshape(amp, (KJ,)).astype(f32),
                     state, mats_ext, *psic, *profs, *recw_in)
 
     return step
@@ -1118,16 +1279,42 @@ def _stream_K_bwd(cfg: SimConfig) -> int:
     return min(_stream_K(cfg), PAD // 8)
 
 
+def _stream_J(cfg: SimConfig, bwd: bool = False) -> int:
+    """Megastep GROUPING depth: J megasteps (K or Kb sub-steps each) run
+    as ring-pipelined sweeps inside ONE kernel invocation, amortizing the
+    per-invocation pipeline fill/drain (the blocking tile-0 prime + the
+    last tile's drain, which cross-invocation prefetch cannot hide —
+    DMAs do not survive a kernel return) J-fold.  The backward dissection
+    (docs/PERF.md §6) prices that overhead at ~9% of the gradient wall at
+    814x2064 (full 0.328 s vs DMA-bound 0.299 s — one tile's in-stream
+    out of 10).  Unlike deeper temporal blocking (K), sweeps re-load
+    their halos from HBM, so J does NOT shrink the valid-row window or
+    the VMEM tile budget — it only multiplies kernel code size.
+
+    Ring safety needs n_tiles >= 4 (the wrap prefetch of tile 0's window
+    must stay clear of in-flight output DMAs: with T >= PAD every hazard
+    then reduces to the already-fenced adjacent-tile case) — smaller
+    layouts silently run J=1.  SEP2023_TPU_STREAM_J / _JB override
+    (J_fwd / J_bwd); both default to 1 until validated on-chip."""
+    env = os.environ.get("SEP2023_TPU_STREAM_JB" if bwd
+                         else "SEP2023_TPU_STREAM_J")
+    J = max(1, int(env)) if env else 1
+    if J > 1 and _select_layout(cfg)[1] < 4:
+        return 1
+    return J
+
+
 def _pad_unit(cfg: SimConfig, save_strips: bool) -> int:
-    """Ghost-step padding unit: the forward pads nt-1 to a multiple of K;
-    a gradient forward pads to lcm(K, K_bwd) so the backward's megasteps
-    tile the same padded count."""
-    K = _stream_K(cfg)
-    if not save_strips:
-        return K
-    Kb = _stream_K_bwd(cfg)
+    """Ghost-step padding unit: the forward pads nt-1 to a multiple of
+    its per-invocation step count K*J; a gradient forward pads to
+    lcm(K*J_fwd, Kb*J_bwd) so the backward's invocations tile the same
+    padded count."""
     import math
-    return K * Kb // math.gcd(K, Kb)
+    KJ = _stream_K(cfg) * _stream_J(cfg)
+    if not save_strips:
+        return KJ
+    KJb = _stream_K_bwd(cfg) * _stream_J(cfg, bwd=True)
+    return KJ * KJb // math.gcd(KJ, KJb)
 
 
 def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
@@ -1142,10 +1329,12 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     recording rows carry zero cotangent)."""
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     K = _stream_K(cfg)
+    J = _stream_J(cfg)
+    KJ = K * J
     f32 = jnp.float32
     mats_ext = _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
-    step = _make_fwd_megastep(cfg, rs, save_strips, K)
+    step = _make_fwd_megastep(cfg, rs, save_strips, K, J)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     rxz1 = jnp.reshape(rxz1, (1,)).astype(f32)
@@ -1156,9 +1345,9 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     np_ = len(psic0)
     unit = _pad_unit(cfg, save_strips)
     nsteps = -(-(cfg.nt - 1) // unit) * unit
-    n_mega = nsteps // K
-    amps = jnp.zeros((n_mega * K,), f32).at[:cfg.nt - 1].set(
-        stf1[:cfg.nt - 1].astype(f32)).reshape(n_mega, K)
+    n_mega = nsteps // KJ
+    amps = jnp.zeros((n_mega * KJ,), f32).at[:cfg.nt - 1].set(
+        stf1[:cfg.nt - 1].astype(f32)).reshape(n_mega, KJ)
 
     def body(carry, amp):
         state, psic = carry[0], carry[1:]
@@ -1172,18 +1361,18 @@ def _stream_forward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
 
     fin, ys = jax.lax.scan(body, (state0, *psic0), amps)
     final = fin[0]
-    rec_seq = ys[0] if save_strips else ys          # (n_mega, K*NC, nxp)
-    NC = rec_seq.shape[1] // K
-    rec_seq = rec_seq.reshape(n_mega * K, NC, nxp)[:cfg.nt - 1]
+    rec_seq = ys[0] if save_strips else ys          # (n_mega, K*J*NC, nxp)
+    NC = rec_seq.shape[1] // KJ
+    rec_seq = rec_seq.reshape(n_mega * KJ, NC, nxp)[:cfg.nt - 1]
     planes = jnp.concatenate(
         [jnp.zeros((NC, 1, nxp), f32), jnp.moveaxis(rec_seq, 0, 1)],
         axis=1)[None]                               # (1, NC, nt, nxp)
     data = eng._extract_data(cfg, rs, planes)[0]    # (4, R, nt)
     if save_strips:
-        # strips stay at the PADDED step count (n_mega*K, ...): the
+        # strips stay at the PADDED step count (n_mega*K*J, ...): the
         # backward reverses ghost steps too
-        lr_all = ys[1].reshape(n_mega * K, nz_ext, LANE)
-        tb_all = ys[2].reshape(n_mega * K, TB_ROWS, nxp)
+        lr_all = ys[1].reshape(n_mega * KJ, nz_ext, LANE)
+        tb_all = ys[2].reshape(n_mega * KJ, TB_ROWS, nxp)
         return data, lr_all, tb_all, final
     return data
 
@@ -1210,37 +1399,51 @@ def _gm_out_dma(gm2, slot, gmat_out, tile, T, sem2):
 
 
 def _gm_pipeline_top(i, n_tiles, gmat_in, gmat_out, gm2, T, gi_sems,
-                     go_sems):
-    """Start tile i's gradient-rows load into slot i%2, first securing that
-    the slot's previous occupant (tile i-2) finished draining — a wait that
-    is ~free in steady state (that out-DMA ran under tile i-1's compute)."""
-    q = _slot_of(i)
+                     go_sems, j=0, J=1):
+    """Start tile i's gradient-rows load into its parity slot, first
+    securing that the slot's previous occupant (tile i-2, ring-wrapped
+    across sweeps) finished draining — a wait that is ~free in steady
+    state (that out-DMA ran under tile i-1's compute).
+
+    Ring read-after-write: sweep j's load of tile i's rows must see sweep
+    j-1's drain of the SAME rows.  The chain of these secure-slot waits
+    covers it transitively: every drain on a slot is waited by that
+    slot's next occupant, and (j-1, i)'s drain precedes (j, i)'s load by
+    n_tiles - 2 >= 2 occupancies of its slot."""
+    q = _ring_slot(i, n_tiles, j)
     if not ({"noin", "noout"} & _dbg()):
-        @_when(i >= 2)
+        if j > 0:
+            prev2 = jnp.where(i >= 2, i - 2, i - 2 + n_tiles)
+            cond = True
+        else:
+            prev2, cond = i - 2, i >= 2
+
+        @_when(cond)
         def _secure_slot():
-            _gm_out_dma(gm2, q, gmat_out, i - 2, T, go_sems).wait()
+            _gm_out_dma(gm2, q, gmat_out, prev2, T, go_sems).wait()
     if "noin" not in _dbg():
-        _gm_in_dma(gmat_in, gm2, q, i, T, gi_sems).start()
+        _gm_in_dma(_ring_src(j, gmat_in, gmat_out), gm2, q, i, T,
+                   gi_sems).start()
     return q
 
 
-def _gm_pipeline_bottom(i, n_tiles, gm2, gmat_out, T, go_sems):
-    """Start tile i's gradient drain; the LAST tile waits out both live
-    slots."""
-    q = _slot_of(i)
+def _gm_pipeline_bottom(i, n_tiles, gm2, gmat_out, T, go_sems, j=0, J=1):
+    """Start tile i's gradient drain; the LAST tile of the LAST sweep
+    waits out both live slots."""
+    q = _ring_slot(i, n_tiles, j)
     if "noout" in _dbg():
         return
 
     _gm_out_dma(gm2, q, gmat_out, i, T, go_sems).start()
 
-    @_when(i == n_tiles - 1)
+    @_when((i == n_tiles - 1) if j == J - 1 else False)
     def _drain_all():
         if n_tiles >= 2:
             _gm_out_dma(gm2, 1 - q, gmat_out, i - 1, T, go_sems).wait()
         _gm_out_dma(gm2, q, gmat_out, i, T, go_sems).wait()
 
 
-def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
+def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, J, gm_vmem,
                      srcz_ref, srcx_ref, rxz_ref, amp_ref, *args):
     E = T + 2 * PAD
     EM = _mats_rows(cfg, E)
@@ -1292,193 +1495,217 @@ def _bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
     if plan:
         _psi_zero_all(psis, 8, E, nxp)
 
-    # tile loop inside the kernel: the DMA pipeline spans tiles
-    def tile_body(i, _):
-        r0 = i * T
-        p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                               T, E, s_sems, m_sems, EM)
-        sst = _Slot(sst2, p)
-        mat_t = _Slot(mat2, p)
+    # tile loop inside the kernel: the DMA pipeline spans tiles.  J > 1
+    # runs J ring sweeps per invocation (static js); the backward's
+    # sweeps walk time DESCENDING, so sweep js reverses sub-step block
+    # J-1-js (the forward laid amp/strips/drec out time-ascending).
+    def make_tile_body(js):
+        base = (J - 1 - js) * K
+        if plan:
+            zsrc, xsrc = ((zpsi_in, xpsi_in) if js == 0
+                          else (zpsi_out, xpsi_out))
 
-        # gm_t is double-buffered: START the reload into slot i%2 (its
-        # previous occupant's drain is ~free by now) and defer its wait to
-        # just before the accumulation — the 5-plane load runs under the
-        # whole reconstruction + adjoint, and the out-DMA of tile i-1
-        # drains under tile i's compute instead of blocking its top.
-        # (VMEM-resident gmat needs none of this: direct accumulate below.)
-        if not gm_vmem:
-            gq = _gm_pipeline_top(i, n_tiles, gmat_in, gmat_out, gm_t, T,
-                                  gi_sem, go_sem)
+        def tile_body(i, _):
+            r0 = i * T
+            p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2,
+                                   mat2, T, E, s_sems, m_sems, EM,
+                                   j=js, J=J, state_out=state_out)
+            sst = _Slot(sst2, p)
+            mat_t = _Slot(mat2, p)
 
-        if "nostep" in _dbg():
-            for k in range(K):
-                dstf_out[k] = jnp.float32(0.0)
-            _wait_prev_out(i, stage, state_out, T, out_sem)
-            for f in range(nf):
+            # gm_t is double-buffered: START the reload into the parity
+            # slot (its previous occupant's drain is ~free by now) and
+            # defer its wait to just before the accumulation — the
+            # 5-plane load runs under the whole reconstruction + adjoint,
+            # and the out-DMA of tile i-1 drains under tile i's compute
+            # instead of blocking its top.  (VMEM-resident gmat needs
+            # none of this: direct accumulate below.)
+            if not gm_vmem:
+                gq = _gm_pipeline_top(i, n_tiles, gmat_in, gmat_out, gm_t,
+                                      T, gi_sem, go_sem, j=js, J=J)
+
+            if "nostep" in _dbg():
+                for k in range(K):
+                    dstf_out[base + k] = jnp.float32(0.0)
+                _wait_prev_out(i, stage, state_out, T, out_sem, n_tiles,
+                               js)
+                for f in range(nf):
+                    stage[f] = sst[f, PAD:PAD + T, :]
+                _write_state_pads(nf, sst, state_out, i, n_tiles, T, E,
+                                  nxp, aux_sem)
+                _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2,
+                                   mat2, stage, state_out, T, E, s_sems,
+                                   m_sems, out_sem, EM, j=js, J=J)
+                if not gm_vmem:
+                    if not ({"noin", "noout"} & _dbg()):
+                        _gm_in_dma(_ring_src(js, gmat_in, gmat_out), gm_t,
+                                   gq, i, T, gi_sem).wait()
+                    _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T,
+                                        go_sem, j=js, J=J)
+                return 0
+
+            gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
+                                                      src_z, src_x)
+            prof = _slice_prof(prof_refs, r0, E)
+            m = _mats_tile(cfg, mat_t, E)
+            (lam, lp2m, avemu, byca, bycb) = m
+            if plan:
+                _psi_materialize(plan, n_tiles, T, E, nxp, psis, zsrc,
+                                 xsrc, i, r0, Z_IDX, X_IDX, ring=js > 0)
+            zero4 = tuple(jnp.zeros((E, nxp), jnp.float32)
+                          for _ in range(4))
+            own_src = ((src_z + PAD) >= (r0 + PAD)) & ((src_z + PAD)
+                                                       < (r0 + PAD + T))
+
+            # temporally blocked sub-steps, reversed (latest time first): valid
+            # rows shrink 8/side per reconstruct+adjoint chain, so PAD=16
+            # admits K <= 2.  The adjoint state rides as VALUES between
+            # sub-steps; the reconstruction always lives in the input slot.
+            adj_f = adj_p = None
+            acc_mats = None
+            for k in range(K - 1, -1, -1):
+                amp = amp_ref[base + k]
+                lr_k = lr_ref.at[base + k]
+                tb_k = tb_ref.at[base + k]
+
+                # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) ------
+                (vz, vx, szz, sxx, sxz) = tuple(sst[f] for f in range(5))
+                szz_tp1, sxx_tp1 = szz, sxx
+                vd = eng._velocity_diffs(szz, sxx, sxz)
+                dvz = vd[0] * rdz + vd[1] * rdx
+                dvx = vd[2] * rdz + vd[3] * rdx
+                sst[0] = vz - interior * (dvz * byca * dt)
+                sst[1] = vx - interior * (dvx * bycb * dt)
+                _inject_strips_tile(cfg, sst, lr_k, tb_k, r0, E, which=(0, 1))
+                vz, vx = sst[0], sst[1]
+                s_amp = cfg.src_scale * dt * amp
+                szz = szz - src_hot * s_amp
+                sxx = sxx - src_hot * (rxz * s_amp)
+                sd = eng._stress_diffs(vz, vx)
+                dvz_dz = sd[0] * rdz
+                dvx_dx = sd[1] * rdx
+                sst[2] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
+                sst[3] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
+                dvx_dz = sd[2] * rdz
+                dvz_dx = sd[3] * rdx
+                sst[4] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
+                _inject_strips_tile(cfg, sst, lr_k, tb_k, r0, E,
+                                    which=(2, 3, 4))
+                fields_t = tuple(sst[f] for f in range(5))
+
+                if adj_f is None:
+                    adj_f = tuple(sst[5 + f] for f in range(5))
+                    if plan:
+                        adj_p = tuple(psis[j] for j in range(8))
+                    else:
+                        adj_p = tuple(sst[10 + j] for j in range(8))
+                kb = base + k
+                d_rec = tuple(drec_ref[kb * NC + c:kb * NC + c + 1, :]
+                              for c in range(NC))
+
+                # ---- phase-split adjoint reusing the reconstruction stencils
+                # (identical construction to pallas_engine._bwd_kernel's phased
+                # branch; per-phase jax.vjp on diffs-as-inputs + closed-form
+                # stencil transposes)
+                vfun = lambda vels, stv, vpsi, vdiffs, mats_: (
+                    eng._velocity_phase_values(cfg, rs, prof, mask, vels, stv,
+                                               vpsi, vdiffs, mats_, recw,
+                                               zi=gz))
+                _, vvjp = jax.vjp(vfun, (fields_t[0], fields_t[1]),
+                                  (szz_tp1, sxx_tp1), zero4, vd, m)
+                (d_vels, d_stv, d_vpsi_in, d_vdiffs, d_mats_v) = vvjp(
+                    ((adj_f[0], adj_f[1]), adj_p[4:], d_rec))
+
+                cot_szz = adj_f[2] + d_stv[0] + eng._dz_plus_t(d_vdiffs[0])
+                cot_sxx = adj_f[3] + d_stv[1] + eng._dx_plus_t(d_vdiffs[3])
+                cot_sxz = (adj_f[4] + eng._dx_minus_t(d_vdiffs[1])
+                           + eng._dz_minus_t(d_vdiffs[2]))
+
+                sfun = lambda stresses, spsi, sdiffs, mats_, a: (
+                    eng._stress_phase_values(cfg, prof, mask, src_hot, rxz,
+                                             stresses, spsi, sdiffs, mats_, a))
+                _, svjp = jax.vjp(sfun, (fields_t[2], fields_t[3], fields_t[4]),
+                                  zero4, sd, m, amp)
+                (d_st, d_spsi_in, d_sdiffs, d_mats_m, d_amp) = svjp(
+                    ((cot_szz, cot_sxx, cot_sxz), adj_p[:4]))
+
+                cot_vz = (d_vels[0] + eng._dz_minus_t(d_sdiffs[0])
+                          + eng._dx_plus_t(d_sdiffs[3]))
+                cot_vx = (d_vels[1] + eng._dx_minus_t(d_sdiffs[1])
+                          + eng._dz_plus_t(d_sdiffs[2]))
+                adj_f = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
+                adj_p = (*d_spsi_in, *d_vpsi_in)
+                # accumulate INTERIOR rows only: the halo rows of the per-step
+                # material cotangents are never read (the gm add below used to
+                # slice [PAD:PAD+T] after summing full (E, nxp) planes), so
+                # slicing before the adds drops 2*PAD/E (~27% at T=88/PAD=16)
+                # of this VPU work and shrinks the live temporaries
+                d_mats = tuple(a[PAD:PAD + T, :] + b[PAD:PAD + T, :]
+                               for a, b in zip(d_mats_m, d_mats_v))
+                acc_mats = d_mats if acc_mats is None else tuple(
+                    a + b for a, b in zip(acc_mats, d_mats))
+
+                # d_stf: exactly one tile owns the source row — it alone writes
+                @_when(own_src)
+                def _write_dstf(k=k, d_amp=d_amp):
+                    dstf_out[base + k] = d_amp
+
+            d_fields, d_psi = adj_f, adj_p
+
+            # results -> the out STAGE: reconstructed primal interiors + the new
+            # adjoint state (the input slot's state planes hold the fully
+            # reconstructed t = mK step; the adjoint planes stay stale but are
+            # only ever read at the first sub-step)
+            _wait_prev_out(i, stage, state_out, T, out_sem, n_tiles,
+                           js)
+            for f in range(5):
                 stage[f] = sst[f, PAD:PAD + T, :]
-            _write_state_pads(nf, sst, state_out, i, n_tiles, T, E,
-                              nxp, aux_sem)
+            for f, v in enumerate(d_fields):
+                stage[5 + f] = v[PAD:PAD + T, :]
+            if plan:
+                _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, d_psi,
+                             zpsi_out, xpsi_out, i, r0, Z_IDX, X_IDX)
+            else:
+                for j, v in enumerate(d_psi):
+                    stage[10 + j] = v[PAD:PAD + T, :]
+            if gm_vmem:
+                # VMEM-resident accumulator: read-modify-write the aliased
+                # gradient output rows in place (tile interiors are disjoint)
+                rows_g = pl.ds(_m8(r0 + PAD), T)
+                gsrc = _ring_src(js, gmat_in, gmat_out)
+                for f, v in enumerate(acc_mats):
+                    gmat_out[f, rows_g, :] = gsrc[f, rows_g, :] + v
+            else:
+                if "noin" not in _dbg():
+                    _gm_in_dma(_ring_src(js, gmat_in, gmat_out), gm_t,
+                               gq, i, T, gi_sem).wait()
+                for f, v in enumerate(acc_mats):
+                    gm_t[gq, f] = gm_t[gq, f] + v
+
+            _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
+                              aux_sem)
+            # start the gradient drain BEFORE the epilogue so it overlaps the
+            # wait on tile i+1's prefetched input
+            if not gm_vmem:
+                _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T,
+                                    go_sem, j=js, J=J)
             _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                                stage, state_out, T, E, s_sems, m_sems,
-                               out_sem, EM)
-            if not gm_vmem:
-                if not ({"noin", "noout"} & _dbg()):
-                    _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
-                _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, go_sem)
+                               out_sem, EM, j=js, J=J)
             return 0
 
-        gz, mask, src_hot, interior = _tile_masks(cfg, T, r0, E, nxp,
-                                                  src_z, src_x)
-        prof = _slice_prof(prof_refs, r0, E)
-        m = _mats_tile(cfg, mat_t, E)
-        (lam, lp2m, avemu, byca, bycb) = m
-        if plan:
-            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
-                             xpsi_in, i, r0, Z_IDX, X_IDX)
-        zero4 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(4))
-        own_src = ((src_z + PAD) >= (r0 + PAD)) & ((src_z + PAD)
-                                                   < (r0 + PAD + T))
+        return tile_body
 
-        # temporally blocked sub-steps, reversed (latest time first): valid
-        # rows shrink 8/side per reconstruct+adjoint chain, so PAD=16
-        # admits K <= 2.  The adjoint state rides as VALUES between
-        # sub-steps; the reconstruction always lives in the input slot.
-        adj_f = adj_p = None
-        acc_mats = None
-        for k in range(K - 1, -1, -1):
-            amp = amp_ref[k]
-            lr_k = lr_ref.at[k]
-            tb_k = tb_ref.at[k]
-
-            # ---- reconstruct state_t (libCUFD.cu:553-582 ordering) ------
-            (vz, vx, szz, sxx, sxz) = tuple(sst[f] for f in range(5))
-            szz_tp1, sxx_tp1 = szz, sxx
-            vd = eng._velocity_diffs(szz, sxx, sxz)
-            dvz = vd[0] * rdz + vd[1] * rdx
-            dvx = vd[2] * rdz + vd[3] * rdx
-            sst[0] = vz - interior * (dvz * byca * dt)
-            sst[1] = vx - interior * (dvx * bycb * dt)
-            _inject_strips_tile(cfg, sst, lr_k, tb_k, r0, E, which=(0, 1))
-            vz, vx = sst[0], sst[1]
-            s_amp = cfg.src_scale * dt * amp
-            szz = szz - src_hot * s_amp
-            sxx = sxx - src_hot * (rxz * s_amp)
-            sd = eng._stress_diffs(vz, vx)
-            dvz_dz = sd[0] * rdz
-            dvx_dx = sd[1] * rdx
-            sst[2] = szz - interior * ((lp2m * dvz_dz + lam * dvx_dx) * dt)
-            sst[3] = sxx - interior * ((lam * dvz_dz + lp2m * dvx_dx) * dt)
-            dvx_dz = sd[2] * rdz
-            dvz_dx = sd[3] * rdx
-            sst[4] = sxz - interior * (avemu * (dvx_dz + dvz_dx) * dt)
-            _inject_strips_tile(cfg, sst, lr_k, tb_k, r0, E,
-                                which=(2, 3, 4))
-            fields_t = tuple(sst[f] for f in range(5))
-
-            if adj_f is None:
-                adj_f = tuple(sst[5 + f] for f in range(5))
-                if plan:
-                    adj_p = tuple(psis[j] for j in range(8))
-                else:
-                    adj_p = tuple(sst[10 + j] for j in range(8))
-            d_rec = tuple(drec_ref[k * NC + c:k * NC + c + 1, :]
-                          for c in range(NC))
-
-            # ---- phase-split adjoint reusing the reconstruction stencils
-            # (identical construction to pallas_engine._bwd_kernel's phased
-            # branch; per-phase jax.vjp on diffs-as-inputs + closed-form
-            # stencil transposes)
-            vfun = lambda vels, stv, vpsi, vdiffs, mats_: (
-                eng._velocity_phase_values(cfg, rs, prof, mask, vels, stv,
-                                           vpsi, vdiffs, mats_, recw,
-                                           zi=gz))
-            _, vvjp = jax.vjp(vfun, (fields_t[0], fields_t[1]),
-                              (szz_tp1, sxx_tp1), zero4, vd, m)
-            (d_vels, d_stv, d_vpsi_in, d_vdiffs, d_mats_v) = vvjp(
-                ((adj_f[0], adj_f[1]), adj_p[4:], d_rec))
-
-            cot_szz = adj_f[2] + d_stv[0] + eng._dz_plus_t(d_vdiffs[0])
-            cot_sxx = adj_f[3] + d_stv[1] + eng._dx_plus_t(d_vdiffs[3])
-            cot_sxz = (adj_f[4] + eng._dx_minus_t(d_vdiffs[1])
-                       + eng._dz_minus_t(d_vdiffs[2]))
-
-            sfun = lambda stresses, spsi, sdiffs, mats_, a: (
-                eng._stress_phase_values(cfg, prof, mask, src_hot, rxz,
-                                         stresses, spsi, sdiffs, mats_, a))
-            _, svjp = jax.vjp(sfun, (fields_t[2], fields_t[3], fields_t[4]),
-                              zero4, sd, m, amp)
-            (d_st, d_spsi_in, d_sdiffs, d_mats_m, d_amp) = svjp(
-                ((cot_szz, cot_sxx, cot_sxz), adj_p[:4]))
-
-            cot_vz = (d_vels[0] + eng._dz_minus_t(d_sdiffs[0])
-                      + eng._dx_plus_t(d_sdiffs[3]))
-            cot_vx = (d_vels[1] + eng._dx_minus_t(d_sdiffs[1])
-                      + eng._dz_plus_t(d_sdiffs[2]))
-            adj_f = (cot_vz, cot_vx, d_st[0], d_st[1], d_st[2])
-            adj_p = (*d_spsi_in, *d_vpsi_in)
-            # accumulate INTERIOR rows only: the halo rows of the per-step
-            # material cotangents are never read (the gm add below used to
-            # slice [PAD:PAD+T] after summing full (E, nxp) planes), so
-            # slicing before the adds drops 2*PAD/E (~27% at T=88/PAD=16)
-            # of this VPU work and shrinks the live temporaries
-            d_mats = tuple(a[PAD:PAD + T, :] + b[PAD:PAD + T, :]
-                           for a, b in zip(d_mats_m, d_mats_v))
-            acc_mats = d_mats if acc_mats is None else tuple(
-                a + b for a, b in zip(acc_mats, d_mats))
-
-            # d_stf: exactly one tile owns the source row — it alone writes
-            @_when(own_src)
-            def _write_dstf(k=k, d_amp=d_amp):
-                dstf_out[k] = d_amp
-
-        d_fields, d_psi = adj_f, adj_p
-
-        # results -> the out STAGE: reconstructed primal interiors + the new
-        # adjoint state (the input slot's state planes hold the fully
-        # reconstructed t = mK step; the adjoint planes stay stale but are
-        # only ever read at the first sub-step)
-        _wait_prev_out(i, stage, state_out, T, out_sem)
-        for f in range(5):
-            stage[f] = sst[f, PAD:PAD + T, :]
-        for f, v in enumerate(d_fields):
-            stage[5 + f] = v[PAD:PAD + T, :]
-        if plan:
-            _psi_extract(plan, n_tiles, T, E, nxp, nz_ext, d_psi,
-                         zpsi_out, xpsi_out, i, r0, Z_IDX, X_IDX)
+    for js in range(J):
+        body = make_tile_body(js)
+        if n_tiles <= _unroll_tiles():
+            for i_static in range(n_tiles):
+                body(i_static, 0)
         else:
-            for j, v in enumerate(d_psi):
-                stage[10 + j] = v[PAD:PAD + T, :]
-        if gm_vmem:
-            # VMEM-resident accumulator: read-modify-write the aliased
-            # gradient output rows in place (tile interiors are disjoint)
-            rows_g = pl.ds(_m8(r0 + PAD), T)
-            for f, v in enumerate(acc_mats):
-                gmat_out[f, rows_g, :] = gmat_in[f, rows_g, :] + v
-        else:
-            if "noin" not in _dbg():
-                _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
-            for f, v in enumerate(acc_mats):
-                gm_t[gq, f] = gm_t[gq, f] + v
-
-        _write_state_pads(nf, sst, state_out, i, n_tiles, T, E, nxp,
-                          aux_sem)
-        # start the gradient drain BEFORE the epilogue so it overlaps the
-        # wait on tile i+1's prefetched input
-        if not gm_vmem:
-            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, go_sem)
-        _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                           stage, state_out, T, E, s_sems, m_sems,
-                           out_sem, EM)
-        return 0
-
-    if n_tiles <= _unroll_tiles():
-        for i_static in range(n_tiles):
-            tile_body(i_static, 0)
-    else:
-        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+            jax.lax.fori_loop(0, n_tiles, body, 0)
 
 
-def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
+def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1, J: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     EM = _mats_rows(cfg, E)
@@ -1491,7 +1718,7 @@ def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
     gm_space = pltpu.VMEM if gm_vmem else pltpu.HBM
 
     kernel = functools.partial(_bwd_mega_kernel, cfg, rs, T, n_tiles, nxp,
-                               n_recw, plan, K, gm_vmem)
+                               n_recw, plan, K, J, gm_vmem)
     out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if plan:
@@ -1499,7 +1726,7 @@ def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
                       jax.ShapeDtypeStruct((4, nz_ext, plan.XW), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     out_shape += [jax.ShapeDtypeStruct((5, nz_ext, nxp), f32),
-                  jax.ShapeDtypeStruct((K,), f32)]
+                  jax.ShapeDtypeStruct((K * J,), f32)]
     out_specs += [pl.BlockSpec(memory_space=gm_space),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
     n_mats = 3 if _mats_compute(cfg) else 5
@@ -1546,7 +1773,7 @@ def _make_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
 
     def step(state, psic, gmat, mats_ext, profs, sz1, sx1, rxz1, amp, lr_t,
              tb_t, drec_t):
-        return call(sz1, sx1, rxz1, jnp.reshape(amp, (K,)).astype(f32),
+        return call(sz1, sx1, rxz1, jnp.reshape(amp, (K * J,)).astype(f32),
                     state, mats_ext, gmat, *psic, *profs, *recw_in,
                     lr_t, tb_t, drec_t)
 
@@ -1559,10 +1786,12 @@ def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     Returns (d_lam, d_mu, d_rho, d_stf(nt,))."""
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     Kb = _stream_K_bwd(cfg)
+    Jb = _stream_J(cfg, bwd=True)
+    KJb = Kb * Jb
     f32 = jnp.float32
     mats_ext = _stream_mats_ext(cfg, lam, mu, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
-    step = _make_bwd_megastep(cfg, rs, Kb)
+    step = _make_bwd_megastep(cfg, rs, Kb, Jb)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     rxz1 = jnp.reshape(rxz1, (1,)).astype(f32)
@@ -1580,8 +1809,8 @@ def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
     # zero-padded to the forward's (temporally blocked) ghost steps
     dd = eng._place_cotangent(cfg, rs, d_data[None], cfg.nt, nxp)[0]
     drec_seq = jnp.moveaxis(dd, 1, 0)               # (nt, NC, nxp)
-    n_pad = lr_all.shape[0]                         # multiple of Kb
-    n_megab = n_pad // Kb
+    n_pad = lr_all.shape[0]                         # multiple of Kb*Jb
+    n_megab = n_pad // KJb
     NCr = drec_seq.shape[1]
     drec_pad = jnp.zeros((n_pad, NCr, nxp), f32).at[:cfg.nt - 1].set(
         drec_seq[1:])
@@ -1593,13 +1822,13 @@ def _stream_backward(cfg: SimConfig, rs, lam, mu, rho, stf1, sz1, sx1, rxz1,
         lr_t, tb_t, drec_t, amp = xs
         outs = step(state, psic, gmat, mats_ext, profs, sz1, sx1,
                     rxz1, amp, lr_t, tb_t, drec_t)
-        d_amp = outs[2 + np_]                       # (Kb,)
+        d_amp = outs[2 + np_]                       # (Kb*Jb,)
         return (*outs[:1 + np_], outs[1 + np_]), d_amp
 
-    xs = (lr_all.reshape(n_megab, Kb, nz_ext, LANE),
-          tb_all.reshape(n_megab, Kb, TB_ROWS, nxp),
-          drec_pad.reshape(n_megab, Kb * NCr, nxp),
-          amps_pad.reshape(n_megab, Kb))
+    xs = (lr_all.reshape(n_megab, KJb, nz_ext, LANE),
+          tb_all.reshape(n_megab, KJb, TB_ROWS, nxp),
+          drec_pad.reshape(n_megab, KJb * NCr, nxp),
+          amps_pad.reshape(n_megab, KJb))
     fin, d_stf_main = jax.lax.scan(rbody, (state0, *psic0, gmat0), xs,
                                    reverse=True)
     d_stf_main = d_stf_main.reshape(n_pad)[:cfg.nt - 1]

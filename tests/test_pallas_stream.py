@@ -655,6 +655,75 @@ def test_stream_temporal_blocking_matches_k1(monkeypatch, K):
         assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
 
 
+@pytest.mark.parametrize("J,compact", [("2", True), ("3", True),
+                                       ("2", False)])
+def test_stream_ring_sweeps_match_j1(monkeypatch, J, compact):
+    """Ring-pipelined megastep grouping (_stream_J: J megasteps per kernel
+    invocation, the 2-slot DMA pipeline wrapping across sweeps) vs the
+    J=1 scan — identical forward data, matching gradients.  nt-1 = 72 is
+    a multiple of every padding unit in play (lcm over J in {1,2,3} of
+    lcm(3J_f, 2J_b) = 6/12/18), so the ghost-step count is identical and
+    the runs are arithmetic-identical: the forward is asserted (near)
+    bitwise.  T=16 gives >= 4 tiles on 72 rows (the ring-safety gate);
+    n_tiles = 5 is ODD, exercising the cross-sweep slot-parity wrap
+    (_ring_slot).  Covers both the compact-psi plan (sweeps > 0
+    materialize from the psi OUTPUT refs + _psi_ring_fix halo copy-down)
+    and the full-plane layout (psi rides the state pipeline)."""
+    if not compact:
+        monkeypatch.setenv("SEP2023_TPU_STREAM_NOCOMPACT", "1")
+    npml = 8
+    cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=73, dt=0.002,
+                      f0=10.0, npml=npml)
+    T, n_tiles = ps._layout(cfg)[:2]
+    assert n_tiles == 5 and (ps._layout_plan(cfg)[4] is not None) == compact
+    lam, mu, rho = _mini_medium(cfg)
+    survey = Survey(src_z=np.array([3, 40]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 50), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    rxz = jnp.asarray(survey.src_rxz)
+
+    out_1 = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())
+    g_1 = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_J", J)
+    monkeypatch.setenv("SEP2023_TPU_STREAM_JB", J)
+    assert ps._stream_J(cfg) == int(J) == ps._stream_J(cfg, bwd=True)
+    out_j = np.asarray(ps.propagate_pallas_streamed(
+        cfg, rs, lam, mu, rho, stf, sz, sx, rxz))
+    g_j = _stream_grads(cfg, rs, lam, mu, rho, stf, sz, sx, rxz, obs)
+
+    assert np.abs(out_j - out_1).max() <= 1e-7 * np.abs(out_1).max()
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_j, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(),
+                                                 1e-30), name
+
+
+def test_stream_ring_gate_needs_four_tiles(monkeypatch):
+    """J > 1 silently degrades to 1 when the layout has < 4 tiles: the
+    ring wrap prefetch of tile 0's window is only provably clear of
+    in-flight output DMAs past that count (see _stream_J)."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_J", "3")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_JB", "2")
+    npml = 8
+    cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=73, dt=0.002,
+                      f0=10.0, npml=npml)
+    assert ps._layout(cfg)[1] >= 4
+    assert ps._stream_J(cfg) == 3 and ps._stream_J(cfg, bwd=True) == 2
+    assert ps._pad_unit(cfg, save_strips=True) == 36   # lcm(3*3, 2*2)
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")   # 2 tiles
+    assert ps._layout(cfg)[1] == 2
+    assert ps._stream_J(cfg) == 1 and ps._stream_J(cfg, bwd=True) == 1
+    assert ps._pad_unit(cfg, save_strips=True) == 6
+
+
 def test_stream_deep_pad_temporal_blocking(monkeypatch):
     """SEP2023_TPU_STREAM_PAD deepens the tile halo so temporal blocking
     can go past PAD=16's K<=3/Kb<=2: at PAD=32 a K=5 forward (4K+1=21 <=
