@@ -203,22 +203,43 @@ def plot_overthrust(npz_path, outdir):
 
 
 def plot_marmousi(npz_path, outdir):
-    """Marmousi-scale streamed-engine panel (examples/marmousi_scale.py
-    artifact): 750x2000 true / initial / inverted Vp."""
+    """Marmousi-scale streamed-engine twin experiment
+    (examples/marmousi_scale.py artifact): true / initial / inverted Vp,
+    the true vs recovered anomaly perturbations, and the per-iteration
+    IN-ANOMALY model error — the recovery metric."""
     z = np.load(npz_path)
     vp_t, vp_i, vp_o = z["vp_true"], z["vp_init"], z["vp_out"]
-    fig, axes = plt.subplots(3, 1, figsize=(12, 10), constrained_layout=True)
+    fig = plt.figure(figsize=(14, 11), constrained_layout=True)
+    gs = fig.add_gridspec(4, 2)
     vmin, vmax = vp_t.min(), vp_t.max()
-    for ax, (arr, title) in zip(axes, [
-            (vp_t, "true Vp (750x2000, 7.5x20 km)"),
-            (vp_i, "initial Vp (smoothed)"),
-            (vp_o, "inverted Vp (streamed engine, TPU)")]):
+    for r, (arr, title) in enumerate([
+            (vp_t, "true Vp: overthrust + 3 Gaussian anomalies "
+                   "(750x2000, 7.5x20 km)"),
+            (vp_i, "initial Vp (smoothed background, no anomalies)"),
+            (vp_o, "inverted Vp (streamed engine, 30 L-BFGS-B iters, "
+                   "TPU)")]):
+        ax = fig.add_subplot(gs[r, :])
         im = ax.imshow(arr, cmap="viridis", vmin=vmin, vmax=vmax,
                        aspect="auto")
         ax.set_title(title)
         ax.set_ylabel("z (cells)")
-    axes[-1].set_xlabel("x (cells)")
-    fig.colorbar(im, ax=axes, shrink=0.8)
+        fig.colorbar(im, ax=ax, shrink=0.9)
+    dv = np.abs(vp_t - vp_i).max()
+    ax = fig.add_subplot(gs[3, 0])
+    im = ax.imshow(vp_o - vp_i, cmap="seismic", vmin=-dv, vmax=dv,
+                   aspect="auto")
+    ax.set_title("recovered perturbation (inverted - initial)")
+    ax.set_xlabel("x (cells)")
+    ax.set_ylabel("z (cells)")
+    fig.colorbar(im, ax=ax, shrink=0.9)
+    if "anom_err_per_iter" in z:
+        ax = fig.add_subplot(gs[3, 1])
+        err = z["anom_err_per_iter"]
+        ax.plot(np.arange(len(err)), err, "o-", color="tab:red")
+        ax.set_title("in-anomaly mean |vp error| per iteration")
+        ax.set_xlabel("L-BFGS-B iteration")
+        ax.set_ylabel("m/s")
+        ax.grid(alpha=0.3)
     path = os.path.join(outdir, "marmousi_scale.png")
     fig.savefig(path, dpi=110)
     print("wrote", path)
