@@ -1295,10 +1295,21 @@ def _stream_J(cfg: SimConfig, bwd: bool = False) -> int:
     must stay clear of in-flight output DMAs: with T >= PAD every hazard
     then reduces to the already-fenced adjacent-tile case) — smaller
     layouts silently run J=1.  SEP2023_TPU_STREAM_J / _JB override
-    (J_fwd / J_bwd); both default to 1 until validated on-chip."""
+    (J_fwd / J_bwd).
+
+    DEFAULT 3/3 on compiled backends (interpret-mode tests keep J=1:
+    they pay J-fold trace time for nothing).  Measured on v5e at
+    814x2064 / nt=1001 (tools/stream_jsweep.py, round 5): gradient
+    3.611 (1x1) -> 3.709 (2x2) -> 3.770 (2x3) -> 3.784 GCell/s (3x3,
+    98.8% of the 3-pass DMA bound), forward 11.99 -> 12.34; J_bwd=4
+    fails to compile at that shape (Mosaic scoped-stack, the 4x kernel
+    body) — the relay scrubs the message to HTTP 500."""
     env = os.environ.get("SEP2023_TPU_STREAM_JB" if bwd
                          else "SEP2023_TPU_STREAM_J")
-    J = max(1, int(env)) if env else 1
+    if env:
+        J = max(1, int(env))
+    else:
+        J = 1 if eng._interpret() else 3
     if J > 1 and _select_layout(cfg)[1] < 4:
         return 1
     return J

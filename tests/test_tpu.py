@@ -9,9 +9,9 @@ chip.  Run via
     SEP2023_TPU_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q
 
 (wired into .claude/skills/verify; skipped automatically on CPU).  Budget
-~30 min: every test pays at least one cold remote compile (10 tests;
-the first 5 validated green on a v5e chip in round 3, the full suite in
-round 4).
+~30 min: every test pays at least one cold remote compile (11 tests;
+the first 5 validated green on a v5e chip in round 3, the next 5 in
+round 4, the ring-sweep test in round 5).
 """
 import numpy as np
 import pytest
@@ -321,6 +321,48 @@ def test_tpu_temporal_blocking_matches_k1(monkeypatch):
     assert _rel(out_k, out_1) < 1e-5
     for name, a, b in zip(("lam", "mu", "rho", "stf"), g_k, g_1):
         assert _rel(np.asarray(a), np.asarray(b)) < 1e-3, name
+
+
+def test_tpu_ring_sweeps_match_j1(monkeypatch):
+    """Mosaic-compiled RING-SWEEP megastep grouping (_stream_J: J
+    megasteps per kernel invocation, the DMA pipeline wrapping across
+    sweeps, sweeps > 0 chaining the carries through the donated output
+    refs) vs the J=1 scan, on the chip — the one property interpret mode
+    cannot check is the ring's DMA ordering on real hardware, which this
+    covers.  STREAM_T=40 forces 5 tiles (the ring needs >= 4, and odd
+    exercises the cross-sweep slot parity).  nt-1 = 300 is a multiple of
+    every padding unit in play (6 and lcm(6,6)=6), so the runs are
+    arithmetic-identical; Pallas-vs-Pallas tight gates."""
+    monkeypatch.setenv("SEP2023_TPU_STREAM_T", "40")
+    cfg, lam, mu, rho, survey, geoms, stf, sz, sx, rxz = _problem(nt=301)
+    rs = pe.check_row_survey(survey.rec_z + cfg.npml,
+                             survey.rec_x + cfg.npml)
+    assert ps._layout(cfg)[1] == 5
+    obs = [None]
+
+    def run(J):
+        if J is not None:
+            monkeypatch.setenv("SEP2023_TPU_STREAM_J", str(J[0]))
+            monkeypatch.setenv("SEP2023_TPU_STREAM_JB", str(J[1]))
+        out = np.asarray(jax.jit(lambda *a: ps.forward_pallas_streamed(
+            cfg, rs, *a))(lam, mu, rho, stf, sz, sx, rxz))
+        if obs[0] is None:
+            obs[0] = jnp.asarray(out * 1.01)
+
+        def loss(lam_, mu_, rho_, stf_):
+            syn = ps.propagate_pallas_streamed(cfg, rs, lam_, mu_, rho_,
+                                               stf_, sz, sx, rxz)
+            return jnp.sum((syn - obs[0]) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(lam, mu, rho, stf)
+        return out, g
+
+    out_1, g_1 = run((1, 1))
+    out_j, g_j = run((2, 3))
+    assert np.abs(out_1).max() > 1.0  # real arrivals, not reach noise
+    assert _rel(out_j, out_1) < 1e-6
+    for name, a, b in zip(("lam", "mu", "rho", "stf"), g_j, g_1):
+        assert _rel(np.asarray(a), np.asarray(b)) < 1e-4, name
 
 
 def test_tpu_stream_gm_vmem_matches_default(monkeypatch):
