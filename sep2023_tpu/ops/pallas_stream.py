@@ -1947,7 +1947,7 @@ def _ac_interior_tile(cfg, gz, xi):
 
 
 def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
-                        K, srcz_ref, srcx_ref, amp_ref, *args):
+                        K, J, srcz_ref, srcx_ref, amp_ref, *args):
     E = T + 2 * PAD
     EM = _mats_rows(cfg, E)
     nz_ext = PAD + n_tiles * T + PAD
@@ -1988,10 +1988,14 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
     if plan:
         _psi_zero_all(psis, 4, E, nxp)
 
-    def tile_body(i, _):
+    # ring sweeps: js is a STATIC sweep index bound via functools.partial
+    # (see the elastic twin's make_tile_body for the full rationale)
+    def tile_body(i, _, js=0):
+        base = js * K
         r0 = i * T
         p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                               T, E, s_sems, m_sems, EM)
+                               T, E, s_sems, m_sems, EM, j=js, J=J,
+                               state_out=state_out)
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
@@ -2002,8 +2006,10 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
 
         fields = tuple(sst[f] for f in range(3))
         if plan:
-            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
-                             xpsi_in, i, r0, AC_Z_IDX, AC_X_IDX)
+            zsrc, xsrc = ((zpsi_in, xpsi_in) if js == 0
+                          else (zpsi_out, xpsi_out))
+            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zsrc,
+                             xsrc, i, r0, AC_Z_IDX, AC_X_IDX, ring=js > 0)
             psi = tuple(psis[j] for j in range(4))
         else:
             psi = tuple(sst[3 + j] for j in range(4))
@@ -2014,18 +2020,18 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
                 if k > 0:
                     for f, v in enumerate(fields):
                         sst[f] = v
-                _save_strips_tile_n(cfg, sst, lr_out.at[k], tb_out.at[k],
-                                    r0, E, T, i, n_tiles, AC_N_FIELDS,
-                                    margin=4 * k)
+                _save_strips_tile_n(cfg, sst, lr_out.at[base + k],
+                                    tb_out.at[base + k], r0, E, T, i,
+                                    n_tiles, AC_N_FIELDS, margin=4 * k)
             fields, psi, recs = eng._ac_step_values(
-                cfg, rs, prof, mask, src_hot, fields, psi, mats, amp_ref[k],
-                recw, zi=gz, rec_window=(r0, r0 + T))
+                cfg, rs, prof, mask, src_hot, fields, psi, mats,
+                amp_ref[base + k], recw, zi=gz, rec_window=(r0, r0 + T))
             for c in range(NC):
-                rec_out[k * NC + c:k * NC + c + 1, :] = (
-                    rec_out[k * NC + c:k * NC + c + 1, :] + recs[c])
+                r_ = (base + k) * NC + c
+                rec_out[r_:r_ + 1, :] = rec_out[r_:r_ + 1, :] + recs[c]
         new_fields, new_psi = fields, psi
 
-        _wait_prev_out(i, stage, state_out, T, out_sem)
+        _wait_prev_out(i, stage, state_out, T, out_sem, n_tiles, js)
         for f, v in enumerate(new_fields):
             stage[f] = v[PAD:PAD + T, :]
         if plan:
@@ -2039,14 +2045,16 @@ def _ac_fwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, save_strips, plan,
                           aux_sem)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems, out_sem,
-                           EM)
+                           EM, j=js, J=J)
         return 0
 
-    if n_tiles <= _unroll_tiles():
-        for i_static in range(n_tiles):
-            tile_body(i_static, 0)
-    else:
-        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    for js in range(J):
+        body = functools.partial(tile_body, js=js)
+        if n_tiles <= _unroll_tiles():
+            for i_static in range(n_tiles):
+                body(i_static, 0)
+        else:
+            jax.lax.fori_loop(0, n_tiles, body, 0)
 
 
 def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
@@ -2086,7 +2094,7 @@ def _save_strips_tile_n(cfg, sst, lr_out, tb_out, r0, E, T, i, n_tiles,
 
 
 def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool,
-                          K: int = 1):
+                          K: int = 1, J: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     EM = _mats_rows(cfg, E)
@@ -2095,6 +2103,7 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool,
     NC = 4 * eng._n_layers(rs)
     recw_in = _recw_inputs_padded(cfg, rs, nxp)
     n_recw = len(recw_in)
+    KJ = K * J
 
     out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
@@ -2102,15 +2111,15 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool,
         out_shape += [jax.ShapeDtypeStruct((2, 2, plan.ZB, nxp), f32),
                       jax.ShapeDtypeStruct((2, nz_ext, plan.XW), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-    out_shape += [jax.ShapeDtypeStruct((K * NC, nxp), f32)]
+    out_shape += [jax.ShapeDtypeStruct((KJ * NC, nxp), f32)]
     out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if save_strips:
-        out_shape += [jax.ShapeDtypeStruct((K, nz_ext, LANE), f32),
-                      jax.ShapeDtypeStruct((K, AC_TB_ROWS, nxp), f32)]
+        out_shape += [jax.ShapeDtypeStruct((KJ, nz_ext, LANE), f32),
+                      jax.ShapeDtypeStruct((KJ, AC_TB_ROWS, nxp), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     kernel = functools.partial(_ac_fwd_mega_kernel, cfg, rs, T, n_tiles,
-                               nxp, n_recw, save_strips, plan, K)
+                               nxp, n_recw, save_strips, plan, K, J)
     n_mats = 2 if _mats_compute(cfg) else 3
     scratch = [pltpu.VMEM((2, nf, E, nxp), f32),
                pltpu.VMEM((2, n_mats, EM, nxp), f32)]
@@ -2145,7 +2154,7 @@ def _make_ac_fwd_megastep(cfg: SimConfig, rs, save_strips: bool,
     )
 
     def step(state, psic, mats_ext, profs, sz1, sx1, amp):
-        return call(sz1, sx1, jnp.reshape(amp, (K,)).astype(f32),
+        return call(sz1, sx1, jnp.reshape(amp, (KJ,)).astype(f32),
                     state, mats_ext, *psic, *profs, *recw_in)
 
     return step
@@ -2168,10 +2177,12 @@ def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     twin."""
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     K = _stream_K(cfg)
+    J = _stream_J(cfg)
+    KJ = K * J
     f32 = jnp.float32
     mats_ext = _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
-    step = _make_ac_fwd_megastep(cfg, rs, save_strips, K)
+    step = _make_ac_fwd_megastep(cfg, rs, save_strips, K, J)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     nf = 3 if plan else AC_NF_FWD
@@ -2181,9 +2192,9 @@ def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     np_ = len(psic0)
     unit = _pad_unit(cfg, save_strips)
     nsteps = -(-(cfg.nt - 1) // unit) * unit
-    n_mega = nsteps // K
-    amps = jnp.zeros((n_mega * K,), f32).at[:cfg.nt - 1].set(
-        stf1[:cfg.nt - 1].astype(f32)).reshape(n_mega, K)
+    n_mega = nsteps // KJ
+    amps = jnp.zeros((n_mega * KJ,), f32).at[:cfg.nt - 1].set(
+        stf1[:cfg.nt - 1].astype(f32)).reshape(n_mega, KJ)
 
     def body(carry, amp):
         state, psic = carry[0], carry[1:]
@@ -2198,21 +2209,21 @@ def _ac_stream_forward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
     fin, ys = jax.lax.scan(body, (state0, *psic0), amps)
     final = fin[0]
     rec_seq = ys[0] if save_strips else ys
-    NC = rec_seq.shape[1] // K
-    rec_seq = rec_seq.reshape(n_mega * K, NC, nxp)[:cfg.nt - 1]
+    NC = rec_seq.shape[1] // KJ
+    rec_seq = rec_seq.reshape(n_mega * KJ, NC, nxp)[:cfg.nt - 1]
     planes = jnp.concatenate(
         [jnp.zeros((NC, 1, nxp), f32), jnp.moveaxis(rec_seq, 0, 1)],
         axis=1)[None]
     data = eng._extract_data(cfg, rs, planes)[0][:3]   # (pr, vx, vz)
     if save_strips:
-        lr_all = ys[1].reshape(n_mega * K, nz_ext, LANE)
-        tb_all = ys[2].reshape(n_mega * K, AC_TB_ROWS, nxp)
+        lr_all = ys[1].reshape(n_mega * KJ, nz_ext, LANE)
+        tb_all = ys[2].reshape(n_mega * KJ, AC_TB_ROWS, nxp)
         return data, lr_all, tb_all, final
     return data
 
 
-def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
-                        srcz_ref, srcx_ref, amp_ref, *args):
+def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, J,
+                        gm_vmem, srcz_ref, srcx_ref, amp_ref, *args):
     E = T + 2 * PAD
     EM = _mats_rows(cfg, E)
     nz_ext = PAD + n_tiles * T + PAD
@@ -2262,19 +2273,24 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
     if plan:
         _psi_zero_all(psis, 4, E, nxp)
 
-    def tile_body(i, _):
+    # ring sweeps: js is a STATIC sweep index bound via functools.partial;
+    # the backward's sweeps walk time DESCENDING, so sweep js reverses
+    # sub-step block J-1-js (see the elastic twin)
+    def tile_body(i, _, js=0):
+        base = (J - 1 - js) * K
         r0 = i * T
         p = _pipeline_prologue(i, n_tiles, state_in, mats_in, sst2, mat2,
-                               T, E, s_sems, m_sems, EM)
+                               T, E, s_sems, m_sems, EM, j=js, J=J,
+                               state_out=state_out)
         sst = _Slot(sst2, p)
         mat_t = _Slot(mat2, p)
 
-        # START the reload into the double-buffered slot i%2 and defer its
-        # wait to just before the accumulation (see elastic twin); the
+        # START the reload into the double-buffered parity slot and defer
+        # its wait to just before the accumulation (see elastic twin); the
         # VMEM-resident gmat variant needs no staging at all
         if not gm_vmem:
             gq = _gm_pipeline_top(i, n_tiles, gmat_in, gmat_out, gm_t, T,
-                                  gi_sem, go_sem)
+                                  gi_sem, go_sem, j=js, J=J)
 
         gz, mask, src_hot, _ = _tile_masks(cfg, T, r0, E, nxp, src_z, src_x)
         xi = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
@@ -2282,8 +2298,10 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
         prof = _slice_prof(prof_refs, r0, E)
         (lam, byca, bycb) = _ac_mats_tile(cfg, mat_t, E)
         if plan:
-            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zpsi_in,
-                             xpsi_in, i, r0, AC_Z_IDX, AC_X_IDX)
+            zsrc, xsrc = ((zpsi_in, xpsi_in) if js == 0
+                          else (zpsi_out, xpsi_out))
+            _psi_materialize(plan, n_tiles, T, E, nxp, psis, zsrc,
+                             xsrc, i, r0, AC_Z_IDX, AC_X_IDX, ring=js > 0)
         zero2 = tuple(jnp.zeros((E, nxp), jnp.float32) for _ in range(2))
         own_src = (src_z >= r0) & (src_z < r0 + T)
 
@@ -2291,9 +2309,9 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
         adj_f = adj_p = None
         acc_mats = None
         for k in range(K - 1, -1, -1):
-            amp = amp_ref[k]
-            lr_k = lr_ref.at[k]
-            tb_k = tb_ref.at[k]
+            amp = amp_ref[base + k]
+            lr_k = lr_ref.at[base + k]
+            tb_k = tb_ref.at[base + k]
 
             # ---- reconstruct state_t (acoustic ordering, _ac_bwd_kernel) --
             (pf, vz, vx) = tuple(sst[f] for f in range(3))
@@ -2316,7 +2334,8 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
                     adj_p = tuple(psis[j] for j in range(4))
                 else:
                     adj_p = tuple(sst[6 + j] for j in range(4))
-            d_rec = tuple(drec_ref[k * NC + c:k * NC + c + 1, :]
+            kb = base + k
+            d_rec = tuple(drec_ref[kb * NC + c:kb * NC + c + 1, :]
                           for c in range(NC))
 
             # ---- phase-split adjoint (same construction as _ac_bwd_kernel)
@@ -2347,11 +2366,11 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
 
             @_when(own_src)
             def _write_dstf(k=k, d_amp=d_amp):
-                dstf_out[k] = d_amp
+                dstf_out[base + k] = d_amp
 
         d_fields, d_psi = adj_f, adj_p
 
-        _wait_prev_out(i, stage, state_out, T, out_sem)
+        _wait_prev_out(i, stage, state_out, T, out_sem, n_tiles, js)
         for f in range(3):
             stage[f] = sst[f, PAD:PAD + T, :]
         for f, v in enumerate(d_fields):
@@ -2366,10 +2385,12 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
             # VMEM-resident accumulator: read-modify-write the aliased
             # gradient output rows in place (tile interiors are disjoint)
             rows_g = pl.ds(_m8(r0 + PAD), T)
+            gsrc = _ring_src(js, gmat_in, gmat_out)
             for f, v in enumerate(acc_mats):
-                gmat_out[f, rows_g, :] = gmat_in[f, rows_g, :] + v
+                gmat_out[f, rows_g, :] = gsrc[f, rows_g, :] + v
         else:
-            _gm_in_dma(gmat_in, gm_t, gq, i, T, gi_sem).wait()
+            _gm_in_dma(_ring_src(js, gmat_in, gmat_out), gm_t, gq, i, T,
+                       gi_sem).wait()
             for f, v in enumerate(acc_mats):
                 gm_t[gq, f] = gm_t[gq, f] + v
 
@@ -2378,20 +2399,23 @@ def _ac_bwd_mega_kernel(cfg, rs, T, n_tiles, nxp, n_recw, plan, K, gm_vmem,
         # start the gradient drain BEFORE the epilogue so it overlaps the
         # wait on tile i+1's prefetched input
         if not gm_vmem:
-            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, go_sem)
+            _gm_pipeline_bottom(i, n_tiles, gm_t, gmat_out, T, go_sem,
+                                j=js, J=J)
         _pipeline_epilogue(i, n_tiles, state_in, mats_in, sst2, mat2,
                            stage, state_out, T, E, s_sems, m_sems, out_sem,
-                           EM)
+                           EM, j=js, J=J)
         return 0
 
-    if n_tiles <= _unroll_tiles():
-        for i_static in range(n_tiles):
-            tile_body(i_static, 0)
-    else:
-        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    for js in range(J):
+        body = functools.partial(tile_body, js=js)
+        if n_tiles <= _unroll_tiles():
+            for i_static in range(n_tiles):
+                body(i_static, 0)
+        else:
+            jax.lax.fori_loop(0, n_tiles, body, 0)
 
 
-def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
+def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1, J: int = 1):
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     E = T + 2 * PAD
     EM = _mats_rows(cfg, E)
@@ -2404,7 +2428,7 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
     gm_space = pltpu.VMEM if gm_vmem else pltpu.HBM
 
     kernel = functools.partial(_ac_bwd_mega_kernel, cfg, rs, T, n_tiles,
-                               nxp, n_recw, plan, K, gm_vmem)
+                               nxp, n_recw, plan, K, J, gm_vmem)
     out_shape = [jax.ShapeDtypeStruct((nf, nz_ext, nxp), f32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if plan:
@@ -2412,7 +2436,7 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
                       jax.ShapeDtypeStruct((2, nz_ext, plan.XW), f32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     out_shape += [jax.ShapeDtypeStruct((3, nz_ext, nxp), f32),
-                  jax.ShapeDtypeStruct((K,), f32)]
+                  jax.ShapeDtypeStruct((K * J,), f32)]
     out_specs += [pl.BlockSpec(memory_space=gm_space),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
     n_mats = 2 if _mats_compute(cfg) else 3
@@ -2459,7 +2483,7 @@ def _make_ac_bwd_megastep(cfg: SimConfig, rs, K: int = 1):
 
     def step(state, psic, gmat, mats_ext, profs, sz1, sx1, amp, lr_t, tb_t,
              drec_t):
-        return call(sz1, sx1, jnp.reshape(amp, (K,)).astype(f32),
+        return call(sz1, sx1, jnp.reshape(amp, (K * J,)).astype(f32),
                     state, mats_ext, gmat, *psic, *profs, *recw_in,
                     lr_t, tb_t, drec_t)
 
@@ -2472,10 +2496,12 @@ def _ac_stream_backward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
 
     T, n_tiles, nz_ext, nxp, plan = _layout_plan(cfg)
     Kb = _stream_K_bwd(cfg)
+    Jb = _stream_J(cfg, bwd=True)
+    KJb = Kb * Jb
     f32 = jnp.float32
     mats_ext = _ac_stream_mats_ext(cfg, lam, rho, nz_ext, nxp)
     profs = _profiles_ext(cfg, nz_ext, nxp)
-    step = _make_ac_bwd_megastep(cfg, rs, Kb)
+    step = _make_ac_bwd_megastep(cfg, rs, Kb, Jb)
     sz1 = jnp.reshape(sz1, (1,)).astype(jnp.int32)
     sx1 = jnp.reshape(sx1, (1,)).astype(jnp.int32)
     nf = 6 if plan else AC_NF_BWD
@@ -2493,8 +2519,8 @@ def _ac_stream_backward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
         [d_data.astype(f32), jnp.zeros((1,) + d_data.shape[1:], f32)])
     dd = eng._place_cotangent(cfg, rs, d4[None], cfg.nt, nxp)[0]
     drec_seq = jnp.moveaxis(dd, 1, 0)
-    n_pad = lr_all.shape[0]                         # multiple of Kb
-    n_megab = n_pad // Kb
+    n_pad = lr_all.shape[0]                         # multiple of Kb*Jb
+    n_megab = n_pad // KJb
     NCr = drec_seq.shape[1]
     drec_pad = jnp.zeros((n_pad, NCr, nxp), f32).at[:cfg.nt - 1].set(
         drec_seq[1:])
@@ -2506,13 +2532,13 @@ def _ac_stream_backward(cfg: SimConfig, rs, lam, rho, stf1, sz1, sx1,
         lr_t, tb_t, drec_t, amp = xs
         outs = step(state, psic, gmat, mats_ext, profs, sz1, sx1,
                     amp, lr_t, tb_t, drec_t)
-        d_amp = outs[2 + np_]                       # (Kb,)
+        d_amp = outs[2 + np_]                       # (Kb*Jb,)
         return (*outs[:1 + np_], outs[1 + np_]), d_amp
 
-    xs = (lr_all.reshape(n_megab, Kb, nz_ext, LANE),
-          tb_all.reshape(n_megab, Kb, AC_TB_ROWS, nxp),
-          drec_pad.reshape(n_megab, Kb * NCr, nxp),
-          amps_pad.reshape(n_megab, Kb))
+    xs = (lr_all.reshape(n_megab, KJb, nz_ext, LANE),
+          tb_all.reshape(n_megab, KJb, AC_TB_ROWS, nxp),
+          drec_pad.reshape(n_megab, KJb * NCr, nxp),
+          amps_pad.reshape(n_megab, KJb))
     fin, d_stf_main = jax.lax.scan(rbody, (state0, *psic0, gmat0), xs,
                                    reverse=True)
     d_stf_main = d_stf_main.reshape(n_pad)[:cfg.nt - 1]

@@ -1060,3 +1060,48 @@ def test_ac_stream_temporal_blocking_matches_k1(monkeypatch):
     for name, a, b in zip(("lam", "rho", "stf"), g_k, g_1):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
+
+
+def test_ac_stream_ring_sweeps_match_j1(monkeypatch):
+    """Acoustic twin of test_stream_ring_sweeps_match_j1: ring-sweep
+    megastep grouping vs the J=1 scan (compact plan, 5 tiles via the
+    autouse T=16, nt-1 = 72 a multiple of both padding units)."""
+    npml = 8
+    cfg = st.SimConfig(nz=72, nx=60, dz=20.0, dx=20.0, nt=73, dt=0.002,
+                       f0=10.0, npml=npml)
+    assert ps._layout(cfg)[1] == 5
+    vp = jnp.full(cfg.grid.shape, 3000.0).at[30:38, 24:40].add(250.0)
+    rho = jnp.full(cfg.grid.shape, 2500.0, jnp.float32)
+    lam = (rho * vp ** 2).astype(jnp.float32)
+    survey = Survey(src_z=np.array([12, 40]), src_x=np.array([14, 30]),
+                    rec_z=np.full(20, 50), rec_x=np.arange(12, 32))
+    rs = pe.check_row_survey(survey.rec_z + 0, survey.rec_x + 0)
+    sz = jnp.asarray(survey.src_z)
+    sx = jnp.asarray(survey.src_x)
+    stf = jnp.broadcast_to(
+        jnp.asarray(st.ricker(cfg.f0, cfg.nt, cfg.dt), jnp.float32),
+        (2, cfg.nt))
+
+    def grads(obs):
+        def loss(lam_, rho_, stf_):
+            syn = ps.propagate_pallas_acoustic_streamed(cfg, rs, lam_, rho_,
+                                                        stf_, sz, sx)
+            return jnp.sum((syn - obs) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(lam, rho, stf)
+
+    out_1 = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    obs = jnp.asarray(out_1) * 1.1 + 0.05 * float(np.abs(out_1).max())
+    g_1 = grads(obs)
+
+    monkeypatch.setenv("SEP2023_TPU_STREAM_J", "3")
+    monkeypatch.setenv("SEP2023_TPU_STREAM_JB", "3")
+    out_j = np.asarray(ps.propagate_pallas_acoustic_streamed(
+        cfg, rs, lam, rho, stf, sz, sx))
+    g_j = grads(obs)
+
+    assert np.abs(out_j - out_1).max() <= 1e-7 * np.abs(out_1).max()
+    for name, a, b in zip(("lam", "rho", "stf"), g_j, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
