@@ -284,6 +284,16 @@ def main():
         return {"acoustic_gradient_GCell_per_s": round(cells / t_ac / 1e9,
                                                        3)}
 
+    def sec_streamed_marmousi_nt1001():
+        # the PRODUCTION-share shape (nt=1001): at the bench's quick
+        # nt=601 the ring-sweep ghost pad (nt-1 up to a multiple of
+        # lcm(K*J_f, Kb*J_b) = 18) costs 2% and understates the engine;
+        # marmousi_scale.py runs nt=2001 where the pad share is 0.8%
+        gc_g, gc_f = _stream_gcell(814, 2064, 1001)
+        return {
+            "streamed_gradient_814x2064_nt1001_GCell_per_s": round(gc_g, 3),
+            "streamed_forward_814x2064_nt1001_GCell_per_s": round(gc_f, 3)}
+
     def sec_xla_forward():
         # reference-style XLA scan engine, for the engine-vs-engine row
         fwd = jax.jit(lambda lam, mu, rho, s, g: jax.vmap(
@@ -300,6 +310,7 @@ def main():
         ("streamed_560x720", sec_streamed_560),
         ("acoustic_gradient", sec_acoustic),
         ("xla_forward", sec_xla_forward),
+        ("streamed_814_nt1001", sec_streamed_marmousi_nt1001),
     ]
 
     for name, fn in sections:
