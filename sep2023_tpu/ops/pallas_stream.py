@@ -370,6 +370,24 @@ def _select_layout(cfg: SimConfig):
 
     T_c = min(_budget_rows(cfg, compact=True), _pad8(nz))
     n0 = -(-nz // T_c)
+    # RING-AWARE re-balance (compiled backends): a 2-3-tile layout is
+    # pipeline-FILL-dominated — the blocking tile-0 prime covers 1/n of
+    # the sweep — and below 4 tiles the ring sweeps (_stream_J) that
+    # amortize it are gated off.  Measured at 560x720/nt=1001 (grad,
+    # v5e): the balanced 2x280 layout runs 2.95 GCell/s while 6x96 with
+    # J=3 runs 3.43 (+16%; 8x72: 3.25; 4x140: Mosaic scoped-stack
+    # compile failure — the stack grows with J at large T).  So when the
+    # balanced compact layout would have < 4 tiles, prefer ~96-row tiles
+    # in the VALIDATED compile window T in [72, 96] (T=96 at nxp=768 and
+    # T=88 at nxp=2176 compile at J=3; wider shapes have small budgets
+    # and many tiles anyway, so this branch never triggers there).
+    if n0 < 4 and not eng._interpret():
+        n_r = -(-nz // 96)
+        T_r = -(-(-(-nz // n_r)) // 8) * 8
+        if n_r >= 4 and 72 <= T_r <= 96 and T_r <= T_c:
+            lay = mk(T_r, n_r)
+            if lay[4] is not None:
+                return lay
     for n in range(n0, n0 + 3):
         T = -(-(-(-nz // n)) // 8) * 8
         if T < 32 or T > T_c or (n > 1 and T < PAD):

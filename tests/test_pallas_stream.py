@@ -1105,3 +1105,32 @@ def test_ac_stream_ring_sweeps_match_j1(monkeypatch):
     for name, a, b in zip(("lam", "rho", "stf"), g_j, g_1):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() <= 1e-5 * max(np.abs(b).max(), 1e-30), name
+
+
+def test_ring_aware_layout_rebalance(monkeypatch):
+    """Compiled-backend layout selection prefers ring-capable ~96-row
+    tiles when the balanced compact layout would have < 4 tiles (fill-
+    dominated, ring gated off): 560 rows -> 6x96 instead of 2x280
+    (measured +16% gradient on chip); big grids (many tiles already) and
+    interpret mode (CPU tests) keep the balanced choice.  Pure layout
+    math — no kernels run."""
+    monkeypatch.delenv("SEP2023_TPU_STREAM_T", raising=False)
+    cfg = st.SimConfig(nz=560, nx=720, dz=10.0, dx=10.0, nt=101, dt=0.001,
+                       f0=10.0, npml=32)
+    T, n = ps._select_layout(cfg)[:2]
+    assert n <= 2   # interpret mode: balanced (fewest tiles)
+
+    monkeypatch.setattr(ps.eng, "_interpret", lambda: False)
+    T, n = ps._select_layout(cfg)[:2]
+    assert (T, n) == (96, 6)
+    assert ps._stream_J(cfg) == 3          # ring now active by default
+
+    cfg_big = st.SimConfig(nz=814, nx=2064, dz=10.0, dx=10.0, nt=101,
+                           dt=0.001, f0=10.0, npml=32)
+    T2, n2 = ps._select_layout(cfg_big)[:2]
+    assert (T2, n2) == (88, 10)            # unchanged: already many tiles
+
+    cfg_small = st.SimConfig(nz=120, nx=200, dz=10.0, dx=10.0, nt=101,
+                             dt=0.001, f0=10.0, npml=24)
+    T3, n3 = ps._select_layout(cfg_small)[:2]
+    assert n3 <= 2                         # too short for 4x(>=72) tiles
