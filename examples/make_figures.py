@@ -209,6 +209,8 @@ def plot_marmousi(npz_path, outdir):
     IN-ANOMALY model error — the recovery metric."""
     z = np.load(npz_path)
     vp_t, vp_i, vp_o = z["vp_true"], z["vp_init"], z["vp_out"]
+    nit = (len(z["anom_err_per_iter"]) - 1 if "anom_err_per_iter" in z
+           else "?")
     fig = plt.figure(figsize=(14, 11), constrained_layout=True)
     gs = fig.add_gridspec(4, 2)
     vmin, vmax = vp_t.min(), vp_t.max()
@@ -216,8 +218,8 @@ def plot_marmousi(npz_path, outdir):
             (vp_t, "true Vp: overthrust + 3 Gaussian anomalies "
                    "(750x2000, 7.5x20 km)"),
             (vp_i, "initial Vp (smoothed background, no anomalies)"),
-            (vp_o, "inverted Vp (streamed engine, 30 L-BFGS-B iters, "
-                   "TPU)")]):
+            (vp_o, f"inverted Vp (streamed engine, {nit} L-BFGS-B "
+                   "iters, TPU)")]):
         ax = fig.add_subplot(gs[r, :])
         im = ax.imshow(arr, cmap="viridis", vmin=vmin, vmax=vmax,
                        aspect="auto")

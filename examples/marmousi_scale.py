@@ -46,8 +46,8 @@ def main(outdir="scratch/marmousi_scale", n_iters=30, nz=750, nx=2000,
     which must IMPROVE for the demo to count as a recovery; the
     illuminated-zone and whole-model errors are reported alongside)."""
     os.makedirs(outdir, exist_ok=True)
-    n_iters, nz, nx, nt, n_shots = (int(v) for v in
-                                    (n_iters, nz, nx, nt, n_shots))
+    n_iters, nz, nx, nt, n_shots, npml, shot_chunk = (
+        int(v) for v in (n_iters, nz, nx, nt, n_shots, npml, shot_chunk))
     dh = 10.0
     dt = 0.001                    # 2 s window (receivers at 0.6 nz ~ 1.5 s out)
     # f0=6 Hz at full scale; CPU smokes pass a higher f0 so the blobs

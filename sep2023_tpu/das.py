@@ -202,7 +202,10 @@ def segment_cable(points: np.ndarray, gauge_length: float,
     if L <= gauge_length:
         raise ValueError(f"fiber arc length {L:.3f} shorter than one "
                          f"gauge ({gauge_length})")
-    n_nodes = max(2, int(round(L / gauge_length)) + 1)
+    # >= 3 nodes: channels are interior nodes, so 2 nodes would return
+    # an EMPTY cable for fibers between 1 and ~1.5 gauge lengths — give
+    # them their one (center) channel instead
+    n_nodes = max(3, int(round(L / gauge_length)) + 1)
     spacing = L / (n_nodes - 1)
     s_nodes = np.linspace(0.0, L, n_nodes)
     nodes = eval_at(s_nodes)

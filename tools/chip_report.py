@@ -115,7 +115,10 @@ def main(argv=None):
         json.dump(report, f, indent=1)
     print(json.dumps(report))
     print(f"wrote {out}")
-    ok = ((args.skip_suite or report["suite"].get("failed", 1) == 0)
+    suite = report.get("suite", {})
+    ok = ((args.skip_suite or (suite.get("rc") == 0
+                               and suite.get("passed", 0) > 0
+                               and suite.get("failed", 1) == 0))
           and (args.skip_bench or report["bench"] is not None))
     return 0 if ok else 1
 
