@@ -156,7 +156,13 @@ def tpu_jit(fn, **jit_kwargs):
     return jax.jit(fn, **jit_kwargs)
 
 
-VMEM_LIMIT = 110 * 2 ** 20   # Mosaic scoped limit (v5e carries 128 MiB)
+# Mosaic scoped limit (v5e carries 128 MiB/core).  117 MiB: the
+# weighted-fiber (FiberSurvey) backward at 814x2064 with the J=3 ring
+# default allocates 111.1 MiB of kernel stack — 1% past the previous
+# 110 MiB limit (the fiber's extra recw operands/vjp temps ride on top
+# of _budget_rows' plain-survey calibration) — while the XLA-side
+# scoped limit (compile_options) is already 128 MiB.
+VMEM_LIMIT = 117 * 2 ** 20
 
 
 def _unroll_tiles() -> int:
